@@ -1,0 +1,149 @@
+"""End-to-end issue pipeline tests (the reference's stubbed
+``tests/test_etl.py`` bodies, actually implemented)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.etl import (
+    run_etl,
+    transform_changelog,
+    transform_issues,
+)
+from yandex_tracker_exporter_spark.operators.dedup import latest_version_dedup
+from yandex_tracker_exporter_spark.plans.search_spec import SearchSpec
+from yandex_tracker_exporter_spark.schemas import DEDUP_KEYS
+from yandex_tracker_exporter_spark.sources.sinks import read_latest
+from yandex_tracker_exporter_spark.sources.state import FileStateStore
+
+
+def test_transform_issues_wide_projection(spark, raw_issues, raw_changelog):
+    flat = transform_issues(raw_issues, raw_changelog)
+    rows = {r["issue_key"]: r for r in flat.collect()}
+
+    t1 = rows["TEST-1"]
+    assert t1["queue"] == "TEST"
+    assert t1["title"] == "Implement the thing "  # emoji stripped
+    assert t1["issue_type"] == "task"
+    assert t1["priority"] == "critical"
+    assert t1["assignee"] == "dev@example.com"  # lowered (P1)
+    assert t1["status"] == "closed"
+    assert t1["resolution"] is None
+    assert t1["is_resolved"] is False
+    assert t1["is_closed"] is True  # closed status without resolution
+    assert t1["components"] == ["api", "db"]
+    assert t1["sprints"] == ["Sprint 1"]
+    assert t1["story_points"] == 5.0
+    assert t1["is_subtask"] is False
+    assert t1["epic_issue_key"] == "EPIC-1"
+    # closed_at refinement: unresolved but closed → latest transition
+    # into a closed status (17:00)
+    assert t1["closed_at"] == dt.datetime(2023, 5, 1, 17, 0)
+
+    t2 = rows["TEST-2"]
+    # NB: the reference lowercases before snake_casing
+    # (validate_resource low=True, issue.py:81) so camelCase type names
+    # collapse: "subTask" → "subtask"
+    assert t2["issue_type"] == "subtask"
+    assert t2["status"] == "in_progress"
+    assert t2["resolution"] == "fixed"
+    assert t2["is_resolved"] is True
+    assert t2["is_closed"] is True  # resolved implies closed
+    assert t2["closed_at"] == t2["resolved_at"]
+    assert t2["is_subtask"] is True
+    assert t2["tags"] == []
+    assert t2["story_points"] == 0.0  # null → 0 (issue.py:98)
+    assert t2["assignee"] is None
+
+    d1 = rows["DEV-1"]
+    assert d1["was_moved"] is True
+    assert d1["moved_by"] == "mover@example.com"
+    assert d1["moved_at"] == dt.datetime(2023, 5, 3, 9, 30)
+    assert d1["closed_at"] is None  # open status → no closed_at
+    assert t1["was_moved"] is False
+
+
+def test_transform_issues_extension_surface(spark, raw_issues):
+    # U1: user-supplied extra columns (extended_model example parity)
+    flat = transform_issues(
+        raw_issues, extra_columns={"queue_lower": F.lower(F.col("queue"))}
+    )
+    row = flat.where(F.col("issue_key") == "TEST-1").first()
+    assert row["queue_lower"] == "test"
+
+
+def test_transform_changelog_flatten(spark, raw_changelog):
+    log = transform_changelog(raw_changelog)
+    rows = log.collect()
+    # each workflow event explodes to 2 rows (status pair + datetime pair);
+    # the corrupted event keeps its status row; moved/commented events
+    # with no fields disappear.
+    by_field = {}
+    for r in rows:
+        by_field.setdefault(r["changed_field"], []).append(r)
+    assert "Status" in by_field
+    status_rows = [r for r in by_field["Status"] if r["issue_key"] == "TEST-1"]
+    assert {(r["changed_from"], r["changed_to"]) for r in status_rows} >= {
+        ("Open", "In progress"),
+        ("In progress", "Testing"),
+    }
+    # datetime pair values are reformatted ISO (P9 datetime branch)
+    start_rows = by_field.get("Status start", [])
+    assert any(r["changed_to"] == "2023-05-01T10:00:00.000" for r in start_rows)
+    # actor fallback chain: email lowered
+    assert all(r["actor"] == "actor@example.com" for r in status_rows)
+
+
+def test_run_etl_incremental_upsert(spark, raw_issues, raw_changelog, tmp_path):
+    out = str(tmp_path / "warehouse")
+    state = FileStateStore(str(tmp_path / "state.json"))
+
+    # first run: no stored watermark yet → explicit backfill spec (the
+    # fixture timestamps are in 2023, outside the default 1w backfill)
+    result = run_etl(
+        raw_issues,
+        raw_changelog,
+        out,
+        state=state,
+        search=SearchSpec(watermark=dt.datetime(2023, 1, 1)),
+    )
+    assert not result.skipped
+    assert result.issues == 3
+    assert result.metrics == 4
+    assert result.watermark is not None
+
+    issues = read_latest(spark, f"{out}/issues", DEDUP_KEYS["issues"])
+    assert issues.count() == 3
+
+    # second run: watermark is committed → up-to-date short-circuit (F5)
+    again = run_etl(raw_issues, raw_changelog, out, state=state)
+    assert again.skipped
+
+    # state survives a new store instance (the JSON contract, S8)
+    fresh = FileStateStore(str(tmp_path / "state.json"))
+    assert fresh.get("issues") == result.watermark
+
+
+def test_latest_version_dedup(spark):
+    rows = [
+        ("A", 1, "old"),
+        ("A", 2, "new"),
+        ("B", 1, "only"),
+    ]
+    df = spark.createDataFrame(rows, "issue_key string, version long, payload string")
+    got = {
+        r["issue_key"]: r["payload"]
+        for r in latest_version_dedup(df, ["issue_key"]).collect()
+    }
+    assert got == {"A": "new", "B": "only"}
+
+
+def test_search_spec_incremental_filter(spark, raw_issues, raw_changelog, tmp_path):
+    # queue filter + watermark: only DEV issues updated after 2023-05-11
+    spec = SearchSpec(
+        queues="DEV,!TEST",
+        watermark=dt.datetime(2023, 5, 11, 0, 0, 0),
+    )
+    out = str(tmp_path / "warehouse2")
+    result = run_etl(raw_issues, raw_changelog, out, search=spec)
+    assert result.issues == 1  # only DEV-1

@@ -1,0 +1,213 @@
+"""Expression-level golden tests — vectors ported from the reference's
+``tests/test_helpers.py`` (its only executable spec of P2-P9 semantics).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.functions import (
+    business_seconds,
+    business_seconds_pandas_udf,
+    from_human_time,
+    parse_tracker_datetime,
+    string_normalize,
+    timedelta_seconds,
+    to_human_time,
+    to_snake_case,
+)
+from yandex_tracker_exporter_spark.functions.changelog import (
+    TEXT_TOO_LONG_SENTINEL,
+    extract_changelog_value,
+)
+
+
+def _eval(spark, col, rows=None, schema="value string"):
+    df = spark.createDataFrame(rows or [(None,)], schema)
+    return [r[0] for r in df.select(col).collect()]
+
+
+# --- P2 to_snake_case: the reference's 22-case table (test_helpers.py:138-166)
+SNAKE_CASES = [
+    ("русскаястрока", "русскаястрока"),
+    ("РусскийВерблюд", "русский_верблюд"),
+    ("русскийВерблюд2", "русский_верблюд_2"),
+    ("Русские пробелы", "русские_пробелы"),
+    ("русский-кебаб", "русский_кебаб"),
+    ("РУССКИЕ_БОЛЬШИЕ", "русские_большие"),
+    ("русская_змея", "русская_змея"),
+    ("РусскийДлинныйВерблюдПлюсЧисло1", "русский_длинный_верблюд_плюс_число_1"),
+    ("singlestring", "singlestring"),
+    ("camelCase", "camel_case"),
+    ("longCamelCase", "long_camel_case"),
+    ("longCamelCaseWithNumber1", "long_camel_case_with_number_1"),
+    ("PascalCase", "pascal_case"),
+    ("LongPascalCase", "long_pascal_case"),
+    ("LongPascalCaseWithNumber1", "long_pascal_case_with_number_1"),
+    ("snake_case", "snake_case"),
+    ("kebab-case", "kebab_case"),
+    ("CONSTANT_CASE", "constant_case"),
+    (
+        "camelCase-kebab_snakePascalCaseCONSTANT_case",
+        "camel_case_kebab_snake_pascal_case_constant_case",
+    ),
+    ("separated string case", "separated_string_case"),
+    (None, None),
+    (" ", ""),
+]
+
+
+def test_to_snake_case(spark):
+    rows = [(t,) for t, _ in SNAKE_CASES]
+    got = _eval(spark, to_snake_case(F.col("value")), rows)
+    expected = [e for _, e in SNAKE_CASES]
+    assert got == expected
+
+
+# --- P3 string_normalize (test_helpers.py:235-243)
+def test_string_normalize(spark):
+    rows = [("normalized",), ("emoji\U0001f60e",), ("mid\U0001f680dle",)]
+    got = _eval(spark, string_normalize(F.col("value")), rows)
+    assert got == ["normalized", "emoji", "middle"]
+
+
+# --- P4 convert_datetime (test_helpers.py:169-199) — engine-side the
+# parse returns TimestampType; formatting checks the same instants.
+def test_parse_tracker_datetime(spark):
+    rows = [
+        ("2023-01-01T10:00:00.123+0300",),
+        ("2023-01-01T10:00:00.123+0000",),
+        ("2023-01-01T10:00:00.123456+0000",),
+        ("2023-01-01T10:00:00",),  # naive → UTC
+        (None,),
+    ]
+    col = F.date_format(
+        parse_tracker_datetime(F.col("value")), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+    )
+    got = _eval(spark, col, rows)
+    assert got == [
+        "2023-01-01T07:00:00.123",
+        "2023-01-01T10:00:00.123",
+        "2023-01-01T10:00:00.123",
+        "2023-01-01T10:00:00.000",
+        None,
+    ]
+
+
+def test_parse_tracker_datetime_tz_display(spark):
+    # UTC instant rendered in Europe/Moscow — the reference's tz branch.
+    rows = [("2023-01-01T10:00:00.123+0000",)]
+    col = F.date_format(
+        F.convert_timezone(
+            F.lit("UTC"), F.lit("Europe/Moscow"), parse_tracker_datetime(F.col("value"))
+        ),
+        "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    )
+    assert _eval(spark, col, rows) == ["2023-01-01T13:00:00.123"]
+
+
+# --- P5 get_timedelta (test_helpers.py:19-47)
+def test_timedelta_seconds(spark):
+    rows = [("2023-01-01 10:01:00", "2023-01-01 10:00:00")]
+    df = spark.createDataFrame(rows, "end string, start string")
+    got = df.select(
+        timedelta_seconds(
+            F.col("end").cast("timestamp"), F.col("start").cast("timestamp")
+        )
+    ).collect()[0][0]
+    assert got == 60
+
+
+# --- P6 calculate_time_spent (test_helpers.py:50-86)
+BUSINESS_CASES = [
+    # Sunday 30 min → 0 business seconds
+    ("2023-01-01 10:00:00", "2023-01-01 10:30:00", 0),
+    # Monday 10:00→23:00 with 09-22 window → 12h
+    ("2023-10-16 10:00:00", "2023-10-16 23:00:00", 12 * 3600),
+    # reversed interval → abs semantics
+    ("2023-10-16 23:00:00", "2023-10-16 10:00:00", 12 * 3600),
+    # full week Mon..Sun → 5 workdays × 13h
+    ("2023-10-16 00:00:00", "2023-10-22 23:59:59", 5 * 13 * 3600),
+]
+
+
+@pytest.mark.parametrize("impl", ["expr", "pandas"])
+def test_business_seconds(spark, impl):
+    rows = [(s, e) for s, e, _ in BUSINESS_CASES]
+    df = spark.createDataFrame(rows, "start string, end string").select(
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    if impl == "expr":
+        col = business_seconds("start", "end")
+    else:
+        col = business_seconds_pandas_udf()("start", "end")
+    got = [r[0] for r in df.select(col).collect()]
+    assert got == [e for _, _, e in BUSINESS_CASES]
+
+
+def test_business_seconds_holiday(spark):
+    # Mon 2023-10-16 marked as holiday → 0
+    df = spark.createDataFrame(
+        [("2023-10-16 10:00:00", "2023-10-16 23:00:00")], "start string, end string"
+    ).select(
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    col = business_seconds("start", "end", holiday_dates=("2023-10-16",))
+    assert df.select(col).collect()[0][0] == 0
+
+
+# --- P7 to_human_time (test_helpers.py:207-218)
+HUMAN_CASES = [
+    (60, 2, "1m"),
+    (300, 2, "5m"),
+    (320, 2, "5m 20s"),
+    (86700, 2, "1d 5m"),
+    (3200400, 3, "1mo 1w 1h"),
+    (0, 2, "0s"),
+    (-320, 2, "-5m 20s"),
+]
+
+
+def test_to_human_time(spark):
+    for seconds, verbosity, expected in HUMAN_CASES:
+        df = spark.createDataFrame([(seconds,)], "value long")
+        got = df.select(to_human_time(F.col("value"), verbosity)).collect()[0][0]
+        assert got == expected, f"{seconds} v{verbosity}"
+
+
+# --- P8 from_human_time (test_helpers.py:221-232)
+@pytest.mark.parametrize(
+    "timestr, expected",
+    [("1m", 60), ("5m", 300), ("5m 20s", 320), ("1d 5m", 86700), ("1mo 1w 1h", 3200400)],
+)
+def test_from_human_time(timestr, expected):
+    assert from_human_time(timestr) == expected
+
+
+def test_from_human_time_invalid():
+    with pytest.raises(ValueError):
+        from_human_time("1x")
+
+
+# --- P9 extract_changelog_value (helpers.py:261-298 semantics over
+# JSON-encoded variants)
+def test_extract_changelog_value(spark):
+    long_text = "x" * 150
+    rows = [
+        ('"short text"', "short text"),
+        (f'"{long_text}"', TEXT_TOO_LONG_SENTINEL),
+        ('"2023-01-01T10:00:00.123+0300"', "2023-01-01T07:00:00.123"),
+        (None, ""),
+        ("null", ""),
+        ("42", "42"),
+        ("3.14", "3.14"),
+        ('{"key": "TEST-1", "name": "Test"}', "TEST-1"),
+        ('{"email": "User@Example.com"}', "user@example.com"),
+        ('{"name": "Sprint 1"}', "Sprint 1"),
+        ('{"id": "123"}', "123"),
+        ('{"other": 1}', '{"other": 1}'),
+        ('["a", "b"]', "a, b"),
+    ]
+    got = _eval(spark, extract_changelog_value(F.col("value")), [(r[0],) for r in rows])
+    assert got == [r[1] for r in rows]

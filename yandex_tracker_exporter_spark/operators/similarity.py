@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference operator set for the 100 TB training-data pipeline:
+
+- ``cosine_topk``     — brute-force exact top-k: broadcast the (small)
+                        query set against the corpus, rank per query.
+                        The corpus side streams — no shuffle of the
+                        corpus, one narrow broadcast join + window.
+- ``lsh_bucket_topk`` — scale path: random-hyperplane (sign) LSH buckets
+                        computed from a *deterministic* pseudo-random
+                        plane family, so results are reproducible (and
+                        oracle-checkable). Candidates only within the
+                        query's bucket → sublinear candidate volume at
+                        the cost of recall.
+- ``cosine_neardup_pairs`` — embedding near-duplicate pairs (cos ≥
+                        threshold), bucketed by LSH key to avoid the
+                        cross join.
+
+All dot products are built-in ``zip_with``/``aggregate`` expressions —
+JVM-side, no Python. (At real 100 TB scale the corpus side would also be
+pre-bucketed at rest so the bucket join prunes file groups.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Deterministic pseudo-random hyperplane component for (plane j, dim d):
+#: Knuth-multiplicative scramble of the index, mapped to [-0.5, 0.5).
+_KNUTH = 2654435761
+_MOD = 2147483648  # 2^31
+
+
+def _plane_component(j: int, d: int) -> float:
+    return ((j * 4099 + d * 8191 + 1) * _KNUTH % _MOD) / _MOD - 0.5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns (built-in expressions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is expected small (it is broadcast); output:
+    (query_id, neighbor_id, cosine_sim) with deterministic tie-break
+    (sim desc, neighbor id asc). Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def lsh_bucket_key(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-LSH bucket id: bit j = 1 iff <vec, plane_j> >= 0."""
+    key = None
+    for j in range(num_planes):
+        planes = F.array(*[F.lit(_plane_component(j, d)) for d in range(dim)])
+        projection = dot(vec, planes)
+        bit = F.when(projection >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        key = bit if key is None else key + bit
+    return key.cast("int")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    Equi-join on the bucket key replaces the broadcast-cross of
+    ``cosine_topk`` — the scale path when queries are many.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold within an LSH
+    bucket (near-identical vectors collide with high probability)."""
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    a = e.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_avec"), "bucket"
+    )
+    b = e.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bvec"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", cosine(F.col("_avec"), F.col("_bvec")).alias("cosine_sim")
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Text analysis operators for the training-data pipeline.
+
+Language-ID (marker n-gram heuristic), quality scoring, token counting,
+and rolling-hash document fingerprinting — each a pure column-expression
+transform over the ``documents`` table (no shuffle at all; these are
+map-only and scan-bound at 100 TB).
+
+Determinism matters more than linguistic accuracy here: every function
+is reproducible bit-for-bit so the DuckDB oracle can re-derive it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker stopwords per language for the heuristic language-ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "of", "is", "not"),
+    "es": ("el", "la", "de", "es", "que"),
+    "fr": ("le", "la", "et", "est", "que"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+
+#: Stopword list for the quality score (English analytics-domain mix).
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "is", "in")
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(marker_arr, t)))
+
+
+def detect_language(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language-ID: count marker-word hits per language, argmax
+    with alphabetical tie-break; no hits at all → 'und' (undetermined).
+
+    Output: id, detected_lang, marker_hits.
+    """
+    tokens = _tokens(F.col(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(tokens, markers).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # argmax: keep entries with max hits, take alphabetically-first lang.
+    max_hits = F.array_max(F.transform(scored, lambda x: x["hits"]))
+    best = F.element_at(F.filter(scored, lambda x: x["hits"] == max_hits), 1)
+    return df.select(
+        F.col(id_col),
+        F.when(max_hits > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "detected_lang"
+        ),
+        max_hits.cast("long").alias("marker_hits"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length/stopword/token-shape quality features + composite score.
+
+    All per-row arithmetic (identical IEEE ops in any engine):
+    n_chars, n_tokens, avg_token_len, stopword_ratio, and
+    score = min(1, n_tokens/64) * 0.5 + stopword_ratio * 0.25 +
+            min(1, avg_token_len/8) * 0.25
+    """
+    tokens = _tokens(F.col(text_col))
+    n_tokens = F.size(tokens).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    avg_token_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    stopword_ratio = (
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n_tokens.cast("double")
+    )
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(64.0)) * 0.5
+        + stopword_ratio * 0.25
+        + F.least(F.lit(1.0), avg_token_len / F.lit(8.0)) * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate.
+
+    The subword estimate counts regex word/number/punct chunks, the
+    standard pre-tokenization granularity (≈ tokens before BPE merges).
+    """
+    ws_tokens = F.size(_tokens(F.col(text_col))).cast("long")
+    chunks = F.array_size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        chunks.alias("subword_chunks"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling polynomial hash of the full text (mod 1e9+7, base 31).
+
+    fp = fold(chars, 0, acc*31 + codepoint mod p) — the classic
+    Rabin-Karp document fingerprint; identical in any engine with a
+    left fold.
+    """
+    text = F.col(text_col)
+    codepoints = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        codepoints,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

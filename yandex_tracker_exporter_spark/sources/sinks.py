@@ -1,0 +1,96 @@
+"""Versioned-table sinks (S5/S6/S9 + O1/O2 on the write path).
+
+The reference's sink is ClickHouse ReplacingMergeTree: append full new
+row versions, let ``OPTIMIZE FINAL`` + ``FINAL`` views collapse to
+latest-per-key (``migrations/clickhouse/000004…``). The Spark-native
+equivalent:
+
+- ``write_versioned``    — append a new batch of versioned rows to a
+  parquet table partitioned by month (the DDL's ``PARTITION BY
+  toYYYYMM(...)``), sorted within partitions by the dedup key (the DDL
+  ``ORDER BY`` — gives parquet min/max pruning on the key).
+- ``read_latest``        — latest-version-wins dedup window on read
+  (the ``FINAL`` view).
+- ``compact``            — rewrite a table to one version per key (the
+  ``OPTIMIZE FINAL`` table rewrite, run periodically, not per-batch).
+- ``create_latest_view`` — registers the dedup view in the session
+  catalog (S9's ``CREATE VIEW``).
+
+At 100 TB: appends are cheap (no read-modify-write per batch); the dedup
+window shuffles only at read/compaction, partitioned-by-month so
+compaction touches recent partitions only. With a Delta/Iceberg catalog
+``write_versioned`` + ``compact`` collapse into ``MERGE INTO`` — the
+parquet path keeps the engine dependency-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.operators.dedup import latest_version_dedup
+from yandex_tracker_exporter_spark.schemas import DEDUP_KEYS
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_ts_col: str | None = None,
+    mode: str = "append",
+) -> None:
+    """Append versioned rows, partitioned by month of ``partition_ts_col``
+    and sorted within partitions by the dedup key."""
+    out = df
+    partition_cols: list[str] = []
+    if partition_ts_col is not None:
+        out = out.withColumn(
+            "_month", F.date_format(F.col(partition_ts_col), "yyyyMM")
+        )
+        partition_cols = ["_month"]
+    out = out.sortWithinPartitions(*keys)
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def read_latest(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    version_col: str = "version",
+) -> DataFrame:
+    """The ``FINAL`` view: latest version per dedup key."""
+    df = spark.read.parquet(path)
+    if "_month" in df.columns:
+        df = df.drop("_month")
+    return latest_version_dedup(df, keys, version_col)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    version_col: str = "version",
+) -> None:
+    """``OPTIMIZE FINAL``: rewrite the table to one version per key."""
+    deduped = read_latest(spark, path, keys, version_col)
+    deduped.cache()
+    deduped.count()  # materialize before overwriting the source files
+    deduped.write.mode("overwrite").parquet(path)
+    deduped.unpersist()
+
+
+def create_latest_view(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    keys: list[str] | None = None,
+    version_col: str = "version",
+) -> None:
+    """Register ``{table_name}_view`` = latest-version rows (S9 views)."""
+    keys = keys or DEDUP_KEYS.get(table_name, ["issue_key"])
+    read_latest(spark, path, keys, version_col).createOrReplaceTempView(
+        f"{table_name}_view"
+    )

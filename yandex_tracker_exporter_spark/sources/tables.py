@@ -1,0 +1,41 @@
+"""Table loaders (S1-S4 stand-ins for the harness parquet tables).
+
+The reference's source is a paginated REST scan (``services/tracker.py``)
+— at 100 TB the source is columnar files, so the loader is a thin parquet
+reader; predicate/column pushdown happen automatically from the plan.
+
+``point_lookup`` is the S3 single-key read; ``count_probe`` is S2 (the
+reference warns past the API's 10k cap — here it is a config warning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one harness table (``{sf_dir}/{name}.parquet``)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Read the full harness star schema as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def point_lookup(df: DataFrame, key_col: str, key) -> DataFrame:
+    """S3: single-key read — pushdown turns this into a pruned scan."""
+    return df.where(F.col(key_col) == F.lit(key))
+
+
+def count_probe(df: DataFrame, warn_limit: int = 10_000) -> tuple[int, bool]:
+    """S2: pre-scan count; True when over the (config) warning limit."""
+    n = df.count()
+    return n, n > warn_limit
