@@ -1,38 +1,864 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY §2
+(plus the scale-pipeline operators: dedup / similarity / text analysis);
+``oracle_sql()`` holds the equivalent DuckDB SQL. Every query is designed
+for *bit-identical* results across both engines:
+
+- hashes are md5-derived (same hex in any engine),
+- floating-point reductions are left-folds in identical order,
+- aggregate sums go through exact DECIMAL and only then to double,
+- timestamps are compared as epoch seconds (Spark truncates parquet ns
+  to µs; DuckDB keeps ns — raw timestamp equality would be false).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.functions.datetimes import to_human_time
+from yandex_tracker_exporter_spark.functions.text import to_snake_case
+from yandex_tracker_exporter_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from yandex_tracker_exporter_spark.operators.sessionize import sessionize_events
+from yandex_tracker_exporter_spark.operators.similarity import cosine, lsh_bucket_topk
+from yandex_tracker_exporter_spark.operators.text_analysis import (
+    LANG_MARKERS,
+    QUALITY_STOPWORDS,
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_counts,
+)
+from yandex_tracker_exporter_spark.sources.tables import load_table
+
+WATERMARK_TS = "2024-03-01 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _epoch(col) -> F.Column:
+    """Timestamp → epoch seconds (ns/µs-precision-safe comparison)."""
+    return F.unix_timestamp(F.col(col).cast("timestamp")).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------------
+
+
+def q_cycle_time(spark, sf_dir):
+    """A1/ST6 flagship: per-(user, event_type) dwell-time sessionization."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sessionize_events(events, "user_id", "event_type", "ts")
+    return out.select(
+        F.col("entity").cast("long").alias("user_id"),
+        F.col("state_name").alias("event_type"),
+        F.col("status_transitions_count").cast("long").alias("transitions"),
+        F.col("duration").cast("long").alias("duration_s"),
+        F.unix_timestamp("last_seen").cast("long").alias("last_seen_epoch"),
+    )
+
+
+def q_latest_version(spark, sf_dir):
+    """O1: latest-version-wins dedup (ReplacingMergeTree+FINAL replacement)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def q_watermark(spark, sf_dir):
+    """F1+A2+F5: incremental predicate + order-independent watermark."""
+    events = _t(spark, sf_dir, "events").where(
+        (F.col("ts").cast("timestamp") >= F.lit(WATERMARK_TS).cast("timestamp"))
+        & F.col("event_type").isin("purchase", "signup")
+    )
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(_epoch("ts")).alias("max_ts_epoch"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style hash aggregation with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+        F.sum(disc_price).alias("_sdp"),
+        F.sum(charge).alias("_sc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """§2.5 dimension hydration as broadcast joins: orders→customer→nation→region."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """O-S sorts/limits: top-10 customers by revenue, deterministic ties."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").cast("long"), "c_name", "revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+
+
+def q_point_lookup(spark, sf_dir):
+    """S3: single-key pruned read."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") == 42)
+        .select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_custkey").cast("long"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+def q_snake_case(spark, sf_dir):
+    """P2 normalization applied table-wide."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").cast("long"),
+            to_snake_case(F.col("p_type")).alias("p_type_snake"),
+            to_snake_case(F.col("p_brand")).alias("p_brand_snake"),
+        )
+    )
+
+
+def q_human_time(spark, sf_dir):
+    """P7: human-readable durations from aggregated seconds."""
+    events = _t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,2)"))).cast("long").alias(
+            "total_s"
+        )
+    )
+    return agg.select(
+        "event_type", "total_s", to_human_time("total_s", 2).alias("human_duration")
+    )
+
+
+def q_business_hours(spark, sf_dir):
+    """P6: business-hours clipping of event sessions (pure expression)."""
+    from yandex_tracker_exporter_spark.functions.business import business_seconds
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 5)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_type").asc())
+    sessions = events.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("session_start"),
+        F.lead("ts").over(w).alias("session_end"),
+    ).where(F.col("session_end").isNotNull())
+    per_session = sessions.withColumn(
+        "bus_s", business_seconds("session_start", "session_end")
+    )
+    return per_session.groupBy("user_id", "event_type").agg(
+        F.sum("bus_s").alias("busdays_duration"),
+        F.sum(
+            F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+        ).alias("duration"),
+    ).select(
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("duration").cast("long"),
+        F.col("busdays_duration").cast("long"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """P9 changelog-value flattening shape: typed extract from JSON props."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").cast("long"),
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+        .where(F.col("k_value") >= 90)
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact content dedup: md5 hash-groupBy on documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "content_md5",
+        F.col("representative_id").cast("long"),
+        F.col("dup_count").cast("long"),
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5).select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long"), "est_jaccard"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (shingle-blocked, no cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6).select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long"), "jaccard"
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language-ID over marker stopwords."""
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long"), "detected_lang", F.col("marker_hits").cast("long")
+    )
+
+
+def q_quality(spark, sf_dir):
+    """Quality-score features (per-row arithmetic, no float aggs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long"),
+        F.col("n_chars").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "avg_token_len",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long"),
+        F.col("ws_tokens").cast("long"),
+        F.col("subword_chunks").cast("long"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long"), F.col("fingerprint").cast("long")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact ANN baseline: top-10 cosine for query ids < 5.
+
+    The dot products are left-fold double reductions so the oracle can
+    reproduce them bit-for-bit.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cvec")
+    )
+    qv = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
+    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        cosine(qv, cv).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine ≥ 0.9), id-blocked pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_a"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_b"))
+    av = F.transform(F.col("_a"), lambda x: x.cast("double"))
+    bv = F.transform(F.col("_b"), lambda x: x.cast("double"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").cast("long"),
+            F.col("b_id").cast("long"),
+            cosine(av, bv).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.9)
+    )
+
+
+def q_windowed_counts(spark, sf_dir):
+    """ST6 windowed aggregation (batch path of the streaming pipeline)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_session_gaps(spark, sf_dir):
+    """Gap-based session counting (30 min inactivity ends a session)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cycle_time_sessionize": q_cycle_time,
+    "latest_version_dedup": q_latest_version,
+    "incremental_watermark": q_watermark,
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "top_customers": q_top_customers,
+    "point_lookup": q_point_lookup,
+    "snake_case_normalize": q_snake_case,
+    "human_time_format": q_human_time,
+    "business_hours_duration": q_business_hours,
+    "json_value_extract": q_json_extract,
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "simhash_signatures": q_simhash,
+    "language_id": q_lang_id,
+    "quality_score": q_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "windowed_counts": q_windowed_counts,
+    "session_gaps": q_session_gaps,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cycle_time(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+# md5-derived 32-bit hash, identical to Spark conv(substr(md5(x),1,8),16,10)
+def _dd_hash(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+# distinct character k-grams as a DuckDB list
+def _dd_shingles(expr: str, k: int = 9) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({expr}) - {k - 1}, 1) + 1), "
+        f"i -> substr({expr}, i, {k})))"
+    )
+
+
+def _dd_human_time(seconds_expr: str, verbosity: int = 2) -> str:
+    """DuckDB replica of to_human_time's greedy unit decomposition."""
+    units = [("y", 31104000), ("mo", 2592000), ("w", 604800), ("d", 86400),
+             ("h", 3600), ("m", 60), ("s", 1)]
+    s = f"abs({seconds_expr})"
+    parts = []
+    for name, count in units:
+        rem = s
+        for _, bigger in units:
+            if bigger > count:
+                rem = f"({rem} % {bigger})"
+        parts.append(f"{{'v': ({rem} // {count}), 'n': '{name}'}}")
+    arr = "[" + ", ".join(parts) + "]"
+    joined = (
+        f"array_to_string(list_transform(list_slice("
+        f"list_filter({arr}, x -> x.v > 0), 1, {verbosity}), "
+        f"x -> x.v::VARCHAR || x.n), ' ')"
+    )
+    return (
+        f"CASE WHEN {seconds_expr} = 0 THEN '0s' "
+        f"WHEN {seconds_expr} < 0 THEN '-' || {joined} "
+        f"ELSE {joined} END"
+    )
+
+
+# left-fold double dot product — same reduction order as the Spark side
+def _dd_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _dd_norm(a: str, dim: int = 64) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)), (acc, x) -> acc + x))"
+    )
+
+
+def _dd_cosine(a: str, b: str, dim: int = 64) -> str:
+    return f"({_dd_dot(a, b, dim)} / ({_dd_norm(a, dim)} * {_dd_norm(b, dim)}))"
+
+
+_SNAKE_SQL_RULES = [
+    ("([a-zа-яё])([A-ZА-ЯЁ])", r"\1_\2"),
+    ("([a-zа-яё])([0-9])", r"\1_\2"),
+    ("([0-9])([a-zа-яё])", r"\1_\2"),
+    ("[^a-zA-Zа-яёА-ЯЁ0-9_]", "_"),
+]
+
+
+def _dd_snake(expr: str) -> str:
+    out = expr
+    for pattern, repl in _SNAKE_SQL_RULES:
+        out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
+    out = f"lower({out})"
+    return f"CASE WHEN trim({expr}) = '' THEN trim({expr}) ELSE {out} END"
+
+
+_MINHASH_SIG = (
+    "list_transform(range(0, 16), i -> "
+    "list_min(list_transform(shingles, s -> "
+    f"((2*i + 1) * {_dd_hash('s')} + (7919*i + 12345)) % 2147483647)))"
+)
+
+_ORACLES: dict[str, str] = {
+    "cycle_time_sessionize": """
+        WITH sessions AS (
+            SELECT user_id, event_type, ts AS session_start,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_type ASC) AS session_end
+            FROM events
+        )
+        SELECT user_id::BIGINT AS user_id,
+               event_type,
+               count(*)::BIGINT AS transitions,
+               sum(floor(epoch(session_end))::BIGINT - floor(epoch(session_start))::BIGINT)::BIGINT
+                   AS duration_s,
+               max(floor(epoch(session_end))::BIGINT)::BIGINT AS last_seen_epoch
+        FROM sessions WHERE session_end IS NOT NULL
+        GROUP BY user_id, event_type
+    """,
+    "latest_version_dedup": """
+        SELECT user_id::BIGINT AS user_id, event_type,
+               event_id::BIGINT AS last_event_id, value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "incremental_watermark": f"""
+        SELECT count(*)::BIGINT AS n_rows,
+               max(floor(epoch(ts))::BIGINT)::BIGINT AS max_ts_epoch
+        FROM events
+        WHERE ts >= TIMESTAMP '{WATERMARK_TS}'
+          AND event_type IN ('purchase', 'signup')
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1.00::DECIMAL(3,2) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1.00::DECIMAL(3,2) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (1.00::DECIMAL(3,2) + CAST(l_tax AS DECIMAL(4,2))))
+                    AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                   AS avg_price,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "region_revenue": """
+        SELECT r_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*)::BIGINT AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "top_customers": """
+        SELECT c_custkey::BIGINT AS c_custkey, c_name, revenue
+        FROM (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_custkey
+        ) r JOIN customer ON r.o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "point_lookup": """
+        SELECT o_orderkey::BIGINT AS o_orderkey, o_custkey::BIGINT AS o_custkey,
+               o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey = 42
+    """,
+    "snake_case_normalize": f"""
+        SELECT p_partkey::BIGINT AS p_partkey,
+               {_dd_snake('p_type')} AS p_type_snake,
+               {_dd_snake('p_brand')} AS p_brand_snake
+        FROM part
+    """,
+    "human_time_format": f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(floor(sum(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS total_s
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, total_s, {_dd_human_time('total_s', 2)} AS human_duration
+        FROM agg
+    """,
+    "business_hours_duration": """
+        WITH sessions AS (
+            SELECT user_id, event_type, ts AS ss,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_type ASC) AS se
+            FROM events WHERE user_id < 5
+        ), scored AS (
+            SELECT user_id, event_type, ss, se,
+                   (SELECT coalesce(sum(
+                        greatest(
+                            least(floor(epoch(se))::BIGINT,
+                                  floor(epoch(d + INTERVAL 22 HOUR))::BIGINT)
+                            - greatest(floor(epoch(ss))::BIGINT,
+                                       floor(epoch(d + INTERVAL 9 HOUR))::BIGINT),
+                            0)), 0)
+                    FROM unnest(generate_series(date_trunc('day', ss),
+                                                date_trunc('day', se),
+                                                INTERVAL 1 DAY)) AS t(d)
+                    WHERE isodow(d) <= 5) AS bus_s
+            FROM sessions WHERE se IS NOT NULL
+        )
+        SELECT user_id::BIGINT AS user_id, event_type,
+               sum(floor(epoch(se))::BIGINT - floor(epoch(ss))::BIGINT)::BIGINT AS duration,
+               sum(bus_s)::BIGINT AS busdays_duration
+        FROM scored
+        GROUP BY user_id, event_type
+    """,
+    "json_value_extract": """
+        SELECT event_id::BIGINT AS event_id,
+               json_extract_string(props, '$.k')::BIGINT AS k_value
+        FROM events
+        WHERE json_extract_string(props, '$.k')::BIGINT >= 90
+    """,
+    "exact_dedup": """
+        SELECT md5(text) AS content_md5,
+               min(doc_id)::BIGINT AS representative_id,
+               count(*)::BIGINT AS dup_count
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH sigs AS (
+            SELECT doc_id, {_MINHASH_SIG} AS sig
+            FROM (SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents)
+        ), banded AS (
+            SELECT doc_id, sig, bi,
+                   md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
+                       || '_' || sig[4*bi + 3]::VARCHAR || '_'
+                       || sig[4*bi + 4]::VARCHAR) AS band_key
+            FROM sigs, unnest(range(0, 4)) AS t(bi)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                            a.sig AS a_sig, b.sig AS b_sig
+            FROM banded a JOIN banded b
+              ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+               (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
+                / 16.0) AS est_jaccard
+        FROM cand
+        WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
+               / 16.0) >= 0.5
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_dd_shingles('text')}) AS shingle
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS set_size FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+               (shared::DOUBLE / (sa.set_size + sb.set_size - shared)::DOUBLE)
+                   AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE (shared::DOUBLE / (sa.set_size + sb.set_size - shared)::DOUBLE) >= 0.6
+    """,
+    "simhash_signatures": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_transform(regexp_split_to_array(text, '\\s+'),
+                                  t -> {_dd_hash('t')}) AS th
+            FROM documents
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(0, 32), j ->
+                       CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                                list_transform(th, h ->
+                                    CASE WHEN (h >> j) & 1 = 1
+                                         THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+                                (a, x) -> a + x) > 0
+                            THEN (1::BIGINT << j) ELSE 0::BIGINT END)),
+                   (a, x) -> a + x) AS BIGINT) AS simhash
+        FROM toks
+    """,
+    "language_id": None,  # generated below
+    "quality_score": None,
+    "token_count": """
+        SELECT doc_id::BIGINT AS doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS subword_chunks
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id::BIGINT AS doc_id,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(1, len(text) + 1),
+                                  i -> ascii(substr(text, i, 1))::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    "cosine_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id::BIGINT AS query_id, c.vec_id::BIGINT AS neighbor_id,
+                   {_dd_cosine('q.embedding', 'c.embedding')} AS cosine_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 5
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id ASC)::BIGINT AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    """,
+    "embedding_neardup": f"""
+        SELECT a.vec_id::BIGINT AS a_id, b.vec_id::BIGINT AS b_id,
+               {_dd_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.9
+    """,
+    "windowed_counts": """
+        SELECT ((floor(epoch(ts))::BIGINT // 3600) * 3600)::BIGINT AS window_epoch,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "session_gaps": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN floor(epoch(ts))::BIGINT
+                             - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC)))::BIGINT > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id::BIGINT AS user_id,
+               (sum(new_session) + 1)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM flagged GROUP BY user_id
+    """,
+}
+
+
+def _build_lang_id_sql() -> str:
+    cases = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        cases.append(
+            f"{{'hits': len(list_filter(toks, t -> list_contains({arr}, t)))::BIGINT,"
+            f" 'lang': '{lang}'}}"
+        )
+    scored = "[" + ", ".join(cases) + "]"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, {scored} AS scored FROM t
+        ), m AS (
+            SELECT doc_id, scored,
+                   list_max(list_transform(scored, x -> x.hits)) AS max_hits
+            FROM s
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               CASE WHEN max_hits > 0
+                    THEN list_filter(scored, x -> x.hits = max_hits)[1].lang
+                    ELSE 'und' END AS detected_lang,
+               max_hits::BIGINT AS marker_hits
+        FROM m
     """
-    return {}
+
+
+def _build_quality_sql() -> str:
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS) + "]"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   len(text)::BIGINT AS n_chars
+            FROM documents
+        ), f AS (
+            SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+                   (n_chars - (len(toks) - 1))::DOUBLE / len(toks)::DOUBLE
+                       AS avg_token_len,
+                   len(list_filter(toks, x -> list_contains({stop_arr}, x)))::DOUBLE
+                       / len(toks)::DOUBLE AS stopword_ratio
+            FROM t
+        )
+        SELECT doc_id::BIGINT AS doc_id, n_chars, n_tokens, avg_token_len,
+               stopword_ratio,
+               (least(1.0::DOUBLE, n_tokens::DOUBLE / 64.0) * 0.5
+                + stopword_ratio * 0.25
+                + least(1.0::DOUBLE, avg_token_len / 8.0) * 0.25) AS quality
+        FROM f
+    """
+
+
+_ORACLES["language_id"] = _build_lang_id_sql()
+_ORACLES["quality_score"] = _build_quality_sql()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, sql in _ORACLES.items() if sql is not None}

@@ -34,6 +34,8 @@ _SCALE_DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
+    # harness parquet carries ns timestamps; Spark reads them as longs
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -19,8 +19,20 @@ from yandex_tracker_exporter_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one harness table (``{sf_dir}/{name}.parquet``)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one harness table (``{sf_dir}/{name}.parquet``).
+
+    The harness ``events`` table carries nanosecond timestamps, which
+    Spark only reads as raw longs (``nanosAsLong``); they are converted
+    here to µs-precision ``TimestampType`` so every consumer sees a real
+    timestamp column.
+    """
+    # Runtime conf, harmless when already set; required because the
+    # driver's own SparkSession won't carry it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(
