@@ -98,21 +98,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (array of ``num_hashes`` longs).
 
-    shingle → md5-derived base hash → min over the universal-hash family.
+    Single-pass fold: each shingle is md5-hashed ONCE, then the whole
+    hash family updates an array accumulator via ``zip_with(least)`` —
+    a 16× saving over computing each signature component independently
+    (Catalyst's CollapseProject would otherwise inline the shingle
+    hashing per component).
     """
     shingles = _char_shingles(F.col(content_col), shingle_k)
     base_hashes = F.transform(shingles, _hash64)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
 
-    def sig_component(i: int) -> Column:
-        a, b = 2 * i + 1, 7919 * i + 12345
-        return F.array_min(
-            F.transform(
-                base_hashes,
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
-            )
+    def fold_step(acc: Column, h: Column) -> Column:
+        candidates = F.transform(
+            idx,
+            lambda i: ((2 * i + 1).cast("long") * h + (i * 7919 + 12345).cast("long"))
+            % F.lit(MINHASH_PRIME),
         )
+        return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
 
-    signature = F.array(*[sig_component(i) for i in range(num_hashes)])
+    signature = F.aggregate(base_hashes, init, fold_step)
     return df.select(F.col(id_col), signature.alias("minhash_sig"))
 
 
@@ -200,22 +205,35 @@ def simhash(
     """
     tokens = F.split(F.col(content_col), r"\s+")
     token_hashes = F.transform(tokens, _hash64)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def bit_vote(j: int) -> Column:
-        return F.aggregate(
-            token_hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+    # Single pass over tokens: fold a per-bit vote array. Bit extraction
+    # uses floor(h / 2^j) % 2 — exact in doubles since h < 2^32 < 2^53 —
+    # because shift builtins need literal shift amounts.
+    def vote_step(acc: Column, h: Column) -> Column:
+        bits_of_h = F.transform(
+            bit_idx,
+            lambda j: F.when(
+                F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
+        return F.zip_with(acc, bits_of_h, lambda a, b: a + b)
 
-    value = None
-    for j in range(bits):
-        contribution = F.when(bit_vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        value = contribution if value is None else value + contribution
-    return df.select(F.col(id_col), value.cast("long").alias("simhash"))
+    votes = F.aggregate(
+        token_hashes, F.array_repeat(F.lit(0).cast("long"), bits), vote_step
+    )
+    value = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), value.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -224,36 +242,61 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 9,
     threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs.
 
-    Blocking: pairs must share ≥1 shingle (equi-join on shingle), so the
-    join is linear in shared-shingle volume, not a cross join. Output:
+    A naive shingle self-join blows up quadratically on frequent
+    shingles (word-soup corpora share most 9-grams across documents), so
+    candidates come from LSH banding and each candidate pair is verified
+    with the EXACT set intersection over the pair's shingle arrays.
+    4 bands × 4 rows: near-dups (jaccard ≳ 0.8) are caught with ≥95%
+    probability while near-zero-similarity pairs collide with ~1e-4 —
+    the corpus-wide candidate volume stays linear. Output:
     (a_id, b_id, jaccard), a_id < b_id, jaccard ≥ threshold.
     """
+    rows_per_band = num_hashes // bands
     shingled = df.select(
-        F.col(id_col),
-        F.explode(_char_shingles(F.col(content_col), shingle_k)).alias("shingle"),
+        F.col(id_col), _char_shingles(F.col(content_col), shingle_k).alias("shingles")
     )
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_k)
 
-    a = shingled.select(F.col(id_col).alias("a_id"), "shingle")
-    b = shingled.select(F.col(id_col).alias("b_id"), "shingle")
-    shared = (
-        a.join(b, "shingle")
+    def band_hash(b: int) -> Column:
+        parts = [
+            F.element_at("minhash_sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat_ws("_", *parts))
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
+    right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
+    # dedupe candidate pairs on ids only, then join the (heavier) shingle
+    # arrays back — keeps the distinct's shuffle narrow
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("a_id", "b_id")
+        .distinct()
+        .join(shingled.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")), "a_id")
+        .join(shingled.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
     )
-    sizes_a = sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("a_size"))
-    sizes_b = sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("b_size"))
-    jaccard = F.col("shared").cast("double") / (
-        F.col("a_size") + F.col("b_size") - F.col("shared")
-    ).cast("double")
+    shared = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+    union = (F.size("a_sh") + F.size("b_sh")).cast("double") - shared
     return (
-        shared.join(sizes_a, "a_id")
-        .join(sizes_b, "b_id")
-        .withColumn("jaccard", jaccard)
+        candidates.withColumn("jaccard", shared / union)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
