@@ -401,6 +401,69 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_lsh_topk(spark, sf_dir):
+    """Approximate ANN: sign-LSH bucketed top-k (the scale path where
+    the exact broadcast-cross of cosine_topk stops being viable).
+
+    Deterministic plane family → the oracle reproduces buckets exactly.
+    """
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = lsh_bucket_topk(emb, queries, k=10, num_planes=8, dim=64)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine_sim",
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """Rollup aggregation (SURVEY §2.4 capability extension): order counts
+    and revenue by (status, priority) with subtotals and grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation: customers with orders, per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_supplier_balance(spark, sf_dir):
+    """Supplier dimension join + exact decimal aggregation."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
 def q_windowed_counts(spark, sf_dir):
     """ST6 windowed aggregation (batch path of the streaming pipeline)."""
     events = _t(spark, sf_dir, "events").withColumn(
@@ -469,6 +532,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
+    "lsh_bucket_topk": q_lsh_topk,
+    "rollup_orders": q_rollup_orders,
+    "distinct_agg": q_distinct_agg,
+    "supplier_balance": q_supplier_balance,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
 }
@@ -561,6 +628,23 @@ def _dd_snake(expr: str) -> str:
         out = f"regexp_replace({out}, '{pattern}', '{repl}', 'g')"
     out = f"lower({out})"
     return f"CASE WHEN trim({expr}) = '' THEN trim({expr}) ELSE {out} END"
+
+
+def _dd_lsh_bucket(vec: str, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of the sign-LSH bucket key — identical plane family
+    and left-fold dot products as operators/similarity.lsh_bucket_key."""
+    from yandex_tracker_exporter_spark.operators.similarity import _plane_component
+
+    terms = []
+    for j in range(num_planes):
+        plane = "[" + ", ".join(repr(_plane_component(j, d)) for d in range(dim)) + "]"
+        dot_j = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim} + 1), "
+            f"d -> {vec}[d]::DOUBLE * ({plane}::DOUBLE[])[d])), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot_j} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 _MINHASH_SIG = (
@@ -809,6 +893,31 @@ _ORACLES: dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.45
     """,
+    "lsh_bucket_topk": None,  # generated below (plane literals)
+    "rollup_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "distinct_agg": """
+        SELECT n_name,
+               count(DISTINCT o_custkey)::BIGINT AS n_customers,
+               count(*)::BIGINT AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "supplier_balance": """
+        SELECT n_name,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+               count(*)::BIGINT AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "windowed_counts": """
         SELECT ((floor(epoch(ts))::BIGINT // 3600) * 3600)::BIGINT AS window_epoch,
                event_type,
@@ -888,8 +997,35 @@ def _build_quality_sql() -> str:
     """
 
 
+def _build_lsh_topk_sql() -> str:
+    bucket = _dd_lsh_bucket("embedding")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv, bucket
+            FROM emb WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM emb
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   {_dd_cosine('qv', 'cv')} AS cosine_sim
+            FROM c JOIN q USING (bucket)
+            WHERE query_id != neighbor_id
+        )
+        SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+               cosine_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """
+
+
 _ORACLES["language_id"] = _build_lang_id_sql()
 _ORACLES["quality_score"] = _build_quality_sql()
+_ORACLES["lsh_bucket_topk"] = _build_lsh_topk_sql()
 
 
 def oracle_sql() -> dict[str, str]:

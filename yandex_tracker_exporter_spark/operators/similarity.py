@@ -37,9 +37,14 @@ def _plane_component(j: int, d: int) -> float:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two float-array columns (built-in expressions)."""
+    """Dot product of two float-array columns (built-in expressions).
+
+    Elements are widened to double BEFORE multiplying so the reduction
+    is a pure double left-fold — deterministic and reproducible by any
+    engine that folds in the same order (float32 intermediate products
+    would diverge from the DuckDB oracle)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
@@ -48,7 +53,7 @@ def dot(a: Column, b: Column) -> Column:
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )
