@@ -1,0 +1,79 @@
+"""Physical-plan shape guards — the 100 TB story is only real if the
+plans show pushdown, pruning, and broadcast where designed (SURVEY §4).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from yandex_tracker_exporter_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark):
+    df = entry_mod.queries()["point_lookup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_prunes_scan_schema(spark):
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column not read
+
+
+def test_watermark_predicate_pushdown(spark):
+    df = entry_mod.queries()["incremental_watermark"](spark, SF_DIR)
+    # event_type filter must reach the scan (ts is converted from ns so
+    # its predicate stays post-scan, but the queue-style filter pushes)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:300]
+
+
+def test_dim_joins_are_broadcast(spark):
+    df = entry_mod.queries()["region_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_customers_uses_top_k_sort(spark):
+    df = entry_mod.queries()["top_customers"](spark, SF_DIR)
+    plan = _plan(df)
+    # limit+orderBy must plan as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregates_are_partial(spark):
+    df = entry_mod.queries()["pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_in_hot_path(spark):
+    df = entry_mod.queries()["pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE final plan (with codegen annotations) needs execution
+    plan = _plan(df)
+    # codegen spans appear as "*(n)" stage markers in the final plan;
+    # both aggregate levels must sit inside codegen stages
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    # the window and the groupBy share the entity key → exactly one
+    # shuffle (plus the AQE read); a second exchange would double-shuffle
+    df = entry_mod.queries()["cycle_time_sessionize"](spark, SF_DIR)
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"

@@ -55,19 +55,31 @@ def sessionize_events(
     Output: entity, state_name, status_transitions_count, duration (sum
     of session seconds), last_seen (max session end).
     """
+    # NB: aggregate on the ORIGINAL column names and alias only at the
+    # end — renaming before the window hides the alias equivalence from
+    # Spark's partitioning propagation and costs a second shuffle (the
+    # window's hashpartitioning(entity) already satisfies the groupBy's
+    # (entity, state) clustered distribution).
     w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).asc(), F.col(state_col).asc())
     sessions = events.select(
-        F.col(entity_col).alias("entity"),
-        F.col(state_col).alias("state_name"),
-        F.col(ts_col).alias("session_start"),
-        F.lead(F.col(ts_col)).over(w).alias("session_end"),
-    ).where(F.col("session_end").isNotNull())
-    return sessions.groupBy("entity", "state_name").agg(
+        entity_col,
+        state_col,
+        F.col(ts_col).alias("_session_start"),
+        F.lead(F.col(ts_col)).over(w).alias("_session_end"),
+    ).where(F.col("_session_end").isNotNull())
+    out = sessions.groupBy(entity_col, state_col).agg(
         F.count(F.lit(1)).alias("status_transitions_count"),
         F.sum(
-            F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+            F.unix_timestamp("_session_end") - F.unix_timestamp("_session_start")
         ).alias("duration"),
-        F.max("session_end").alias("last_seen"),
+        F.max("_session_end").alias("last_seen"),
+    )
+    return out.select(
+        F.col(entity_col).alias("entity"),
+        F.col(state_col).alias("state_name"),
+        "status_transitions_count",
+        "duration",
+        "last_seen",
     )
 
 
