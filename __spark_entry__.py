@@ -464,6 +464,19 @@ def q_supplier_balance(spark, sf_dir):
     )
 
 
+def q_top_docs_per_lang(spark, sf_dir):
+    """Top-k per group: 3 longest documents per language (window rank)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("lang", F.col("doc_id").cast("long"), F.col("n_chars").cast("long"), "rank")
+    )
+
+
 def q_windowed_counts(spark, sf_dir):
     """ST6 windowed aggregation (batch path of the streaming pipeline)."""
     events = _t(spark, sf_dir, "events").withColumn(
@@ -536,6 +549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": q_rollup_orders,
     "distinct_agg": q_distinct_agg,
     "supplier_balance": q_supplier_balance,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
 }
@@ -917,6 +931,16 @@ _ORACLES: dict[str, str] = {
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "top_docs_per_lang": """
+        SELECT lang, doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+               rank::BIGINT AS rank
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+        ) WHERE rank <= 3
     """,
     "windowed_counts": """
         SELECT ((floor(epoch(ts))::BIGINT // 3600) * 3600)::BIGINT AS window_epoch,
