@@ -17,13 +17,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 def _stage_event_files(spark, tmp_path, n_parts=3):
     """Write the events table as several TIME-SLICED files — each becomes
-    a micro-batch with maxFilesPerTrigger=1. Range partitioning on ts
-    keeps cross-batch lateness below the watermark threshold (randomly
-    scattered files would make most data late-beyond-watermark, which is
-    correct drop semantics but not what this test measures)."""
+    a micro-batch with maxFilesPerTrigger=1.
+
+    Slices are written SEQUENTIALLY (distinct mtimes) because the file
+    source orders batches by modification time: time-sliced-but-
+    simultaneous files can be consumed out of order, making whole slices
+    late-beyond-watermark (correct drop semantics, but not what this
+    test measures)."""
+    import time
+
     src = load_table(spark, SF_DIR, "events")
     path = str(tmp_path / "incoming")
-    src.repartitionByRange(n_parts, "ts").write.parquet(path)
+    bounds = src.approxQuantile("event_id", [i / n_parts for i in range(1, n_parts)], 0)
+    lo = None
+    for hi in [*bounds, None]:
+        cond = F.lit(True) if lo is None else F.col("event_id") >= lo
+        if hi is not None:
+            cond = cond & (F.col("event_id") < hi)
+        # event_id order ≈ ts order in the harness data; use ts bounds on
+        # the slice to keep the time ordering exact
+        src.where(cond).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+        lo = hi
     return path, src.schema, src.count()
 
 
