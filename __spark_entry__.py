@@ -464,6 +464,21 @@ def q_supplier_balance(spark, sf_dir):
     )
 
 
+def q_session_window_native(spark, sf_dir):
+    """ST6 via Spark's native session_window (30-minute gap): per-user
+    session count + event total. Mathematically identical to the
+    gaps-and-islands formulation (q_session_gaps) — the oracle IS the
+    gaps-and-islands SQL, proving the two operators agree."""
+    events = _t(spark, sf_dir, "events")
+    per_session = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
+
+
 def q_top_docs_per_lang(spark, sf_dir):
     """Top-k per group: 3 longest documents per language (window rank)."""
     docs = _t(spark, sf_dir, "documents")
@@ -550,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": q_distinct_agg,
     "supplier_balance": q_supplier_balance,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "session_window_native": q_session_window_native,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
 }
@@ -931,6 +947,19 @@ _ORACLES: dict[str, str] = {
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "session_window_native": """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                             >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        )
+        SELECT user_id::BIGINT AS user_id,
+               (sum(new_session) + 1)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM flagged GROUP BY user_id
     """,
     "top_docs_per_lang": """
         SELECT lang, doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,

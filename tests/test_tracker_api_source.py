@@ -1,0 +1,71 @@
+"""Custom Tracker-API DataSource tests (S1 + source-level pushdown)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.sources.tracker_api import (
+    FakeTrackerBackend,
+    SearchQuery,
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _read(spark, **options):
+    reader = spark.read.format("tracker_api")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def test_full_scan_pagination(spark):
+    df = _read(spark, total=250, page_size=100)
+    assert df.count() == 250
+    # one partition per page
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_queue_filter_pushed_to_source(spark):
+    df = _read(spark, total=400, page_size=50).where(F.col("queue") == "DEV")
+    rows = df.collect()
+    backend = FakeTrackerBackend(400, 50)
+    assert len(rows) == backend.count(SearchQuery(queues=["DEV"]))
+    assert all(r["queue"] == "DEV" for r in rows)
+    # pushdown shrank the scan itself: partitions follow the FILTERED
+    # count (2 pages of ≤50 from 100 DEV issues, not 8 pages of 400)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_watermark_filter_pushed_to_source(spark):
+    wm = dt.datetime(2024, 1, 1, 5, 0)  # issues are minute-spaced
+    df = _read(spark, total=400, page_size=100).where(F.col("updated_at") >= wm)
+    assert df.count() == 400 - 300  # first 300 minutes filtered out
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_combined_incremental_scan(spark):
+    """The reference's stateful search: queue + watermark, both remote."""
+    wm = dt.datetime(2024, 1, 1, 2, 0)
+    df = _read(spark, total=600, page_size=100).where(
+        F.col("queue").isin("DEV", "SRE") & (F.col("updated_at") > wm)
+    )
+    backend = FakeTrackerBackend(600, 100)
+    expected = backend.count(
+        SearchQuery(queues=["DEV", "SRE"], updated_from=wm, strict_from=True)
+    )
+    assert df.count() == expected
+    got = df.agg(F.min("updated_at").alias("m")).first()["m"]
+    assert got > wm
+
+
+def test_unsupported_filter_stays_in_spark(spark):
+    # status filter is not pushable — Spark must still apply it
+    df = _read(spark, total=100, page_size=100).where(F.col("status") == "open")
+    rows = df.collect()
+    assert rows and all(r["status"] == "open" for r in rows)

@@ -260,7 +260,25 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col), _char_shingles(F.col(content_col), shingle_k).alias("shingles")
     )
-    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_k)
+    # derive the signature from the SAME shingle column (one shingling +
+    # one hashing pass; going through minhash_signatures would re-shingle)
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+
+    def fold_step(acc: Column, h: Column) -> Column:
+        candidates = F.transform(
+            idx,
+            lambda i: ((2 * i + 1).cast("long") * h + (i * 7919 + 12345).cast("long"))
+            % F.lit(MINHASH_PRIME),
+        )
+        return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
+
+    sigs = shingled.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform("shingles", _hash64), init, fold_step
+        ).alias("minhash_sig"),
+    )
 
     def band_hash(b: int) -> Column:
         parts = [

