@@ -69,3 +69,57 @@ def test_unsupported_filter_stays_in_spark(spark):
     df = _read(spark, total=100, page_size=100).where(F.col("status") == "open")
     rows = df.collect()
     assert rows and all(r["status"] == "open" for r in rows)
+
+
+def test_streaming_source_incremental_offsets(spark, tmp_path):
+    """ST2: the watermark is the stream offset; micro-batches advance it
+    and the checkpoint makes restarts incremental."""
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("tracker_api")
+        .option("total", "600")  # minute-spaced updates → 600 min of data
+        .option("batch_minutes", "120")
+        .load()
+    )
+    assert stream.isStreaming
+    # NB: python streaming sources don't support availableNow — drive a
+    # fast processingTime trigger and wait for the drain; the parquet
+    # sink (unlike memory) supports checkpoint recovery
+    import time
+
+    out = str(tmp_path / "feed")
+
+    def run_stream(seconds_budget: float, target: int | None) -> None:
+        s = (
+            spark.readStream.format("tracker_api")
+            .option("total", "600")
+            .option("batch_minutes", "120")
+            .load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + seconds_budget
+        while time.time() < deadline:
+            try:
+                if target is not None and spark.read.parquet(out).count() >= target:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination()
+
+    run_stream(90, 600)
+    # 5 micro-batches of 120 minutes drain the 600-minute corpus
+    assert spark.read.parquet(out).count() == 600
+
+    # restart from the checkpoint: offsets resume past the corpus — no
+    # reprocessing, nothing new appended
+    run_stream(6, None)
+    assert spark.read.parquet(out).count() == 600

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -174,8 +175,55 @@ class TrackerApiReader(DataSourceReader):
         yield from self.backend.fetch_page(self.query, partition.page)
 
 
+class TrackerStreamReader(SimpleDataSourceStreamReader):
+    """ST2 as a true streaming source: the reference persists the last
+    ``updated_at`` to a JSON/S3/Redis state store and re-queries
+    ``Updated >= watermark`` every 30 minutes (``etl.py:80-89,249-257``);
+    here the watermark IS the stream offset, checkpointed by Spark.
+
+    Offsets are ``{"updated_after": <iso timestamp>}``; each micro-batch
+    pulls issues updated in (start, latest] from the backend.
+    ``readBetweenOffsets`` replays a committed range on recovery —
+    exactly the reference's re-export-and-dedup repair model (ST4).
+    """
+
+    def __init__(self, options: dict) -> None:
+        total = int(options.get("total", "1000"))
+        page_size = int(options.get("page_size", "100"))
+        batch_minutes = int(options.get("batch_minutes", "120"))
+        self.backend = FakeTrackerBackend(total, page_size)
+        self.batch = dt.timedelta(minutes=batch_minutes)
+        self.epoch = FakeTrackerBackend.BASE_TS - dt.timedelta(seconds=1)
+
+    def initialOffset(self) -> dict:
+        return {"updated_after": self.epoch.isoformat()}
+
+    def _slice(self, start: dt.datetime, end: dt.datetime):
+        query = SearchQuery(updated_from=start, strict_from=True)
+        rows = []
+        page = 0
+        while True:
+            batch = self.backend.fetch_page(query, page)
+            if not batch:
+                break
+            rows.extend(r for r in batch if r[6] <= end)
+            page += 1
+        return rows
+
+    def read(self, start: dict):
+        lo = dt.datetime.fromisoformat(start["updated_after"])
+        hi = lo + self.batch
+        return iter(self._slice(lo, hi)), {"updated_after": hi.isoformat()}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo = dt.datetime.fromisoformat(start["updated_after"])
+        hi = dt.datetime.fromisoformat(end["updated_after"])
+        return iter(self._slice(lo, hi))
+
+
 class TrackerApiDataSource(DataSource):
-    """``spark.read.format("tracker_api")`` after ``register``."""
+    """``spark.read.format("tracker_api")`` after ``register``; also a
+    streaming source via ``spark.readStream.format("tracker_api")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -186,6 +234,9 @@ class TrackerApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TrackerApiReader:
         return TrackerApiReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> TrackerStreamReader:
+        return TrackerStreamReader(dict(self.options))
 
 
 def register(spark) -> None:
