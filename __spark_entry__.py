@@ -464,6 +464,27 @@ def q_supplier_balance(spark, sf_dir):
     )
 
 
+def q_sql_interface(spark, sf_dir):
+    """S7: arbitrary SQL text against the engine catalog (registered
+    views) — the reference's ClickHouse ``execute`` surface, served by
+    Spark SQL instead of an external warehouse."""
+    from yandex_tracker_exporter_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders_v
+        JOIN customer_v ON o_custkey = c_custkey
+        JOIN nation_v ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING count(*) >= 10
+        """
+    )
+
+
 def q_session_window_native(spark, sf_dir):
     """ST6 via Spark's native session_window (30-minute gap): per-user
     session count + event total. Mathematically identical to the
@@ -566,6 +587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_balance": q_supplier_balance,
     "top_docs_per_lang": q_top_docs_per_lang,
     "session_window_native": q_session_window_native,
+    "sql_interface": q_sql_interface,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
 }
@@ -947,6 +969,16 @@ _ORACLES: dict[str, str] = {
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "sql_interface": """
+        SELECT n_name,
+               count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING count(*) >= 10
     """,
     "session_window_native": """
         WITH flagged AS (

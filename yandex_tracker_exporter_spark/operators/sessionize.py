@@ -181,6 +181,22 @@ def status_metrics(
     )
 
 
+def corrupt_transition_events(
+    changelog: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """F8 quarantine: the workflow status-transition events that
+    ``status_metrics`` drops (null interval endpoint with no createdAt
+    fallback) — routed to a DataFrame instead of log lines so bad data
+    is queryable, not lost (SURVEY F8 mapping)."""
+    transitions = _status_transition_events(changelog, config)
+    start_raw = F.col("fields")[1]["from"]
+    end_raw = F.col("fields")[1]["to"]
+    return transitions.where(
+        parse_tracker_datetime(end_raw).isNull()
+        | (start_raw.isNotNull() & parse_tracker_datetime(start_raw).isNull())
+    )
+
+
 def closed_at_refinement(
     issues_flat: DataFrame,
     changelog: DataFrame,

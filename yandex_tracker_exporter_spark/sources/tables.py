@@ -42,6 +42,15 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """S7: register every harness table as ``{name}_v`` so arbitrary SQL
+    runs against the engine's catalog via ``spark.sql``."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+
+
 def point_lookup(df: DataFrame, key_col: str, key) -> DataFrame:
     """S3: single-key read — pushdown turns this into a pruned scan."""
     return df.where(F.col(key_col) == F.lit(key))
