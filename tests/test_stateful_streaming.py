@@ -1,0 +1,82 @@
+"""applyInPandasWithState incremental sessionization (ST5/ST6 custom
+stateful operator)."""
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.sources.tables import load_table
+from yandex_tracker_exporter_spark.streaming.stateful import stateful_sessionize
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _batch_closed_sessions(events):
+    """Gaps-and-islands reference: sessions closed by a >30min gap (the
+    per-user final session stays open and must NOT be emitted)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    # a session closes at event e when the next event is >30min away
+    closes = flagged.where(
+        F.col("next_ts").isNotNull()
+        & (F.col("next_ts").cast("double") - F.col("ts").cast("double") > 1800)
+    )
+    return closes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_closed"))
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+
+    # stage as 3 sequential time slices (see test_streaming.py)
+    import time
+
+    path = str(tmp_path / "incoming")
+    bounds = events.approxQuantile("event_id", [1 / 3, 2 / 3], 0)
+    lo = None
+    for hi in [*bounds, None]:
+        cond = F.lit(True) if lo is None else F.col("event_id") >= lo
+        if hi is not None:
+            cond = cond & (F.col("event_id") < hi)
+        events.where(cond).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sessions = stateful_sessionize(stream, gap_seconds=1800)
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = spark.table("stateful_sessions")
+
+    expected = {
+        r["user_id"]: r["n_closed"] for r in _batch_closed_sessions(events).collect()
+    }
+    got_counts = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_counts == expected
+
+    # session integrity: per-session event counts also match the batch
+    # total minus whatever is still open in state
+    total_emitted = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total_emitted < events.count()
+    # every closed session is a valid interval
+    bad = got.where(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
