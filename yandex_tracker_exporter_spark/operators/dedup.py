@@ -160,6 +160,8 @@ def minhash_lsh_duplicates(
             )
         ).alias("band"),
     ).select(id_col, "minhash_sig", "band.band_idx", "band.band_key")
+    # shared Exchange: one signature computation feeds both join sides
+    banded = banded.repartition("band_idx", "band_key")
 
     left = banded.select(
         F.col(id_col).alias("a_id"),
@@ -260,8 +262,9 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col), _char_shingles(F.col(content_col), shingle_k).alias("shingles")
     )
-    # derive the signature from the SAME shingle column (one shingling +
-    # one hashing pass; going through minhash_signatures would re-shingle)
+    # signature derived from the SAME shingle column in one projection
+    # chain (a separate sigs branch + join-back would re-shingle and
+    # re-scan the table)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
 
@@ -273,11 +276,8 @@ def ngram_jaccard_pairs(
         )
         return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
 
-    sigs = shingled.select(
-        F.col(id_col),
-        F.aggregate(
-            F.transform("shingles", _hash64), init, fold_step
-        ).alias("minhash_sig"),
+    base = shingled.withColumn(
+        "minhash_sig", F.aggregate(F.transform("shingles", _hash64), init, fold_step)
     )
 
     def band_hash(b: int) -> Column:
@@ -287,8 +287,12 @@ def ngram_jaccard_pairs(
         ]
         return F.md5(F.concat_ws("_", *parts))
 
-    banded = sigs.select(
+    # carry the shingle arrays through the band join: no join-backs;
+    # duplicate candidates (pairs sharing several bands) are collapsed
+    # AFTER verification, when rows are tiny (id, id, double)
+    banded = base.select(
         F.col(id_col),
+        "shingles",
         F.explode(
             F.array(
                 *[
@@ -297,24 +301,27 @@ def ngram_jaccard_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    ).select(id_col, "shingles", "band.band_idx", "band.band_key")
 
-    left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
-    right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
-    # dedupe candidate pairs on ids only, then join the (heavier) shingle
-    # arrays back — keeps the distinct's shuffle narrow
-    candidates = (
-        left.join(right, ["band_idx", "band_key"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-        .join(shingled.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh")), "a_id")
-        .join(shingled.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
+    # pre-shuffle on the join key: the self-join requires this exact
+    # partitioning, and the shared Exchange (ReuseExchange) materializes
+    # the shingle+signature computation ONCE for both join sides —
+    # without it each side re-hashes the whole corpus
+    banded = banded.repartition("band_idx", "band_key")
+
+    left = banded.select(
+        F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"), "band_idx", "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"), "band_idx", "band_key"
     )
     shared = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
     union = (F.size("a_sh") + F.size("b_sh")).cast("double") - shared
     return (
-        candidates.withColumn("jaccard", shared / union)
+        left.join(right, ["band_idx", "band_key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", shared / union)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+        .distinct()
     )
