@@ -464,6 +464,62 @@ def q_supplier_balance(spark, sf_dir):
     )
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composite training-data cleaning pipeline in one plan: quality
+    gate → exact dedup (keep lowest id per md5) → normalized output.
+    Map-only except the single dedup shuffle."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text", "doc_id").join(
+        docs.select("doc_id", "text", "lang"), "doc_id"
+    )
+    gated = scored.where(
+        (F.col("n_tokens") >= 16) & (F.col("stopword_ratio") <= 0.5)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("doc_id").cast("long"),
+            "lang",
+            F.col("n_tokens").cast("long"),
+            "quality",
+        )
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (union+ordered-window, one shuffle): each event sees
+    the user's latest order at or before the event time."""
+    from yandex_tracker_exporter_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # right side must be unique per (key, ts): collapse same-day orders
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max("o_totalprice").alias("last_totalprice"),
+        )
+    )
+    joined = asof_join(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["last_orderkey", "last_totalprice"],
+    )
+    return joined.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long").alias("ts_epoch"),
+        F.col("last_orderkey").cast("long"),
+        "last_totalprice",
+    )
+
+
 def q_sql_interface(spark, sf_dir):
     """S7: arbitrary SQL text against the engine catalog (registered
     views) — the reference's ClickHouse ``execute`` surface, served by
@@ -587,6 +643,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_balance": q_supplier_balance,
     "top_docs_per_lang": q_top_docs_per_lang,
     "session_window_native": q_session_window_native,
+    "corpus_clean": q_corpus_clean,
+    "asof_join": q_asof_join,
     "sql_interface": q_sql_interface,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
@@ -970,6 +1028,22 @@ _ORACLES: dict[str, str] = {
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "asof_join": """
+        WITH right_side AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS last_orderkey,
+                   max(o_totalprice) AS last_totalprice
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id::BIGINT AS event_id,
+               e.user_id::BIGINT AS user_id,
+               floor(epoch(e.ts))::BIGINT AS ts_epoch,
+               r.last_orderkey::BIGINT AS last_orderkey,
+               r.last_totalprice
+        FROM events e
+        ASOF LEFT JOIN right_side r
+          ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """,
     "sql_interface": """
         SELECT n_name,
                count(*)::BIGINT AS n_orders,
@@ -1082,6 +1156,38 @@ def _build_quality_sql() -> str:
     """
 
 
+def _build_corpus_clean_sql() -> str:
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS) + "]"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   len(text)::BIGINT AS n_chars
+            FROM documents
+        ), f AS (
+            SELECT doc_id, text, lang, n_chars, len(toks)::BIGINT AS n_tokens,
+                   (n_chars - (len(toks) - 1))::DOUBLE / len(toks)::DOUBLE
+                       AS avg_token_len,
+                   len(list_filter(toks, x -> list_contains({stop_arr}, x)))::DOUBLE
+                       / len(toks)::DOUBLE AS stopword_ratio
+            FROM t
+        ), gated AS (
+            SELECT doc_id, text, lang, n_tokens,
+                   (least(1.0::DOUBLE, n_tokens::DOUBLE / 64.0) * 0.5
+                    + stopword_ratio * 0.25
+                    + least(1.0::DOUBLE, avg_token_len / 8.0) * 0.25) AS quality
+            FROM f
+            WHERE n_tokens >= 16 AND stopword_ratio <= 0.5
+        )
+        SELECT doc_id::BIGINT AS doc_id, lang, n_tokens, quality
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id ASC) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    """
+
+
 def _build_lsh_topk_sql() -> str:
     bucket = _dd_lsh_bucket("embedding")
     return f"""
@@ -1111,6 +1217,7 @@ def _build_lsh_topk_sql() -> str:
 _ORACLES["language_id"] = _build_lang_id_sql()
 _ORACLES["quality_score"] = _build_quality_sql()
 _ORACLES["lsh_bucket_topk"] = _build_lsh_topk_sql()
+_ORACLES["corpus_clean"] = _build_corpus_clean_sql()
 
 
 def oracle_sql() -> dict[str, str]:

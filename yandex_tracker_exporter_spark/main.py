@@ -1,0 +1,86 @@
+"""CLI entry (reference ``main.py`` lifecycle, SURVEY §3.1).
+
+The reference wires an APScheduler interval loop around one ETL pass
+(``main.py:138-147``) with ``--run-once`` for single execution. Engine
+equivalent: argparse + the same ``run_etl`` — loop mode is a plain
+interval loop (the heavy lifting is Spark's; the scheduler needs no
+framework), run-once is the serverless shape.
+
+Usage::
+
+    python -m yandex_tracker_exporter_spark.main \
+        --issues raw_issues.parquet --changelog raw_changelog.parquet \
+        --output /warehouse --state state.json [--run-once]
+        [--interval-minutes 30] [--queues "DEV,!TEST"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+from yandex_tracker_exporter_spark.etl import run_etl
+from yandex_tracker_exporter_spark.plans.search_spec import SearchSpec
+from yandex_tracker_exporter_spark.session import get_spark
+from yandex_tracker_exporter_spark.sources.state import FileStateStore
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tracker-exporter-spark")
+    p.add_argument("--issues", required=True, help="raw issues parquet path")
+    p.add_argument("--changelog", required=True, help="raw changelog parquet path")
+    p.add_argument("--output", required=True, help="warehouse output dir")
+    p.add_argument("--state", default=None, help="watermark state JSON path")
+    p.add_argument("--queues", default=None, help='queue spec, e.g. "DEV,!TEST"')
+    p.add_argument(
+        "--backfill-range",
+        default="1w",
+        help="initial backfill window when no watermark exists "
+        "(reference stateful_initial_range, e.g. '1w', '3mo')",
+    )
+    p.add_argument("--run-once", action="store_true")
+    p.add_argument("--interval-minutes", type=int, default=30)
+    p.add_argument("--max-runs", type=int, default=None, help="stop after N runs")
+    return p
+
+
+def run(args: argparse.Namespace) -> list:
+    spark = get_spark(app_name="tracker-exporter-spark")
+    state = FileStateStore(args.state) if args.state else None
+    results = []
+    runs = 0
+    while True:
+        search = SearchSpec(
+            queues=args.queues,
+            watermark=state.get("issues") if state else None,
+            stateful_initial_range=args.backfill_range,
+            search_range=args.backfill_range,
+        )
+        result = run_etl(
+            spark.read.parquet(args.issues),
+            spark.read.parquet(args.changelog),
+            args.output,
+            state=state,
+            search=search,
+        )
+        results.append(result)
+        logger.info(
+            "run=%d issues=%d metrics=%d skipped=%s watermark=%s",
+            runs, result.issues, result.metrics, result.skipped, result.watermark,
+        )
+        runs += 1
+        if args.run_once or (args.max_runs is not None and runs >= args.max_runs):
+            return results
+        time.sleep(args.interval_minutes * 60)
+
+
+def main(argv: list[str] | None = None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
