@@ -464,6 +464,31 @@ def q_supplier_balance(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketized interval join (no equi key): events falling inside
+    synthetic 100-minute maintenance windows that start every 7 hours —
+    deliberately unaligned so the bucket trick is actually exercised."""
+    from yandex_tracker_exporter_spark.operators.rangejoin import interval_join
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    windows = spark.range(0, 200).select(
+        F.col("id").alias("window_idx"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.col("id") * F.expr("interval 7 hours")).alias("win_start"),
+    ).withColumn("win_end", F.col("win_start") + F.expr("interval 100 minutes"))
+
+    joined = interval_join(
+        events, windows, "ts", "win_start", "win_end", bucket_width_s=3600
+    )
+    return joined.select(
+        F.col("event_id").cast("long"),
+        F.col("window_idx").cast("long"),
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite training-data cleaning pipeline in one plan: quality
     gate → exact dedup (keep lowest id per md5) → normalized output.
@@ -645,6 +670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_native": q_session_window_native,
     "corpus_clean": q_corpus_clean,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "sql_interface": q_sql_interface,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
@@ -1027,6 +1053,21 @@ _ORACLES: dict[str, str] = {
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "range_join": """
+        WITH windows AS (
+            SELECT i AS window_idx,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR
+                       AS win_start,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR
+                       + INTERVAL 100 MINUTE AS win_end
+            FROM unnest(range(0, 200)) AS t(i)
+        )
+        SELECT e.event_id::BIGINT AS event_id,
+               w.window_idx::BIGINT AS window_idx,
+               floor(epoch(e.ts))::BIGINT AS ts_epoch
+        FROM events e JOIN windows w
+          ON e.ts >= w.win_start AND e.ts < w.win_end
     """,
     "asof_join": """
         WITH right_side AS (

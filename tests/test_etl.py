@@ -147,3 +147,20 @@ def test_search_spec_incremental_filter(spark, raw_issues, raw_changelog, tmp_pa
     out = str(tmp_path / "warehouse2")
     result = run_etl(raw_issues, raw_changelog, out, search=spec)
     assert result.issues == 1  # only DEV-1
+
+
+def test_compact_rewrites_to_latest(spark, tmp_path):
+    from yandex_tracker_exporter_spark.sources.sinks import compact
+
+    path = str(tmp_path / "versioned")
+    spark.createDataFrame(
+        [("A", 1, "old"), ("B", 1, "b1")], "issue_key string, version long, p string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [("A", 2, "new")], "issue_key string, version long, p string"
+    ).write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == 3
+
+    compact(spark, path, ["issue_key"])
+    rows = {r["issue_key"]: r["p"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"A": "new", "B": "b1"}  # OPTIMIZE FINAL semantics

@@ -1,0 +1,59 @@
+"""Bucketized interval join semantics + plan shape."""
+
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.operators.rangejoin import interval_join
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "pid long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _intervals(spark, rows):
+    return (
+        spark.createDataFrame(rows, "iid long, s string, e string")
+        .withColumn("s", F.col("s").cast("timestamp"))
+        .withColumn("e", F.col("e").cast("timestamp"))
+    )
+
+
+def test_interval_join_containment(spark):
+    points = _points(
+        spark,
+        [
+            (1, "2024-01-01 10:30:00"),  # inside i1
+            (2, "2024-01-01 11:00:00"),  # at i1 end → excluded from i1, inside i2
+            (3, "2024-01-01 10:00:00"),  # exactly at i1 start → included
+            (4, "2024-01-02 00:00:00"),  # no interval
+            (5, "2024-01-01 10:45:00"),  # inside i1 AND i2 (overlap)
+        ],
+    )
+    intervals = _intervals(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+            (2, "2024-01-01 10:40:00", "2024-01-01 12:00:00"),
+            # multi-bucket interval (crosses several 1h buckets)
+            (3, "2024-01-01 15:30:00", "2024-01-01 18:30:00"),
+        ],
+    )
+    out = interval_join(points, intervals, "ts", "s", "e", bucket_width_s=3600)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 1), (2, 2), (3, 1), (5, 1), (5, 2)]
+
+    # point inside the multi-bucket interval matches exactly once
+    p6 = _points(spark, [(6, "2024-01-01 17:59:00")])
+    out6 = interval_join(p6, intervals, "ts", "s", "e", bucket_width_s=3600)
+    assert [(r["pid"], r["iid"]) for r in out6.collect()] == [(6, 3)]
+
+
+def test_interval_join_is_equi_join(spark):
+    points = _points(spark, [(1, "2024-01-01 10:30:00")])
+    intervals = _intervals(spark, [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00")])
+    out = interval_join(points, intervals, "ts", "s", "e")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole point: no nested-loop/cartesian physical join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
