@@ -259,21 +259,31 @@ def run_etl(
     if is_up_to_date(candidate, stored):  # F5 short-circuit
         return EtlResult(0, 0, 0, stored, skipped=True)
 
-    n_issues, n_changelog, n_metrics = issues.count(), changelog.count(), metrics.count()
+    # A3 run counters ride the write jobs as observed metrics — no extra
+    # counting actions (the reference pays a python statement per row).
+    from pyspark.sql import Observation
+
+    obs = {name: Observation(f"etl_{name}") for name in ("issues", "changelog", "metrics")}
     write_versioned(
-        issues.withColumn("version", version),
+        issues.observe(obs["issues"], F.count(F.lit(1)).alias("n")).withColumn(
+            "version", version
+        ),
         f"{output_dir}/issues",
         DEDUP_KEYS["issues"],
         partition_ts_col="updated_at",
     )
     write_versioned(
-        changelog.withColumn("version", version),
+        changelog.observe(obs["changelog"], F.count(F.lit(1)).alias("n")).withColumn(
+            "version", version
+        ),
         f"{output_dir}/issues_changelog",
         DEDUP_KEYS["issues_changelog"],
         partition_ts_col="event_time",
     )
     write_versioned(
-        metrics.withColumn("version", version),
+        metrics.observe(obs["metrics"], F.count(F.lit(1)).alias("n")).withColumn(
+            "version", version
+        ),
         f"{output_dir}/issue_metrics",
         DEDUP_KEYS["issue_metrics"],
         partition_ts_col="last_seen",
@@ -281,4 +291,9 @@ def run_etl(
     if state is not None and candidate is not None:  # ST7 commit-after-write
         state.set(state_key, candidate)
         state.flush()
-    return EtlResult(n_issues, n_changelog, n_metrics, candidate)
+    return EtlResult(
+        obs["issues"].get["n"],
+        obs["changelog"].get["n"],
+        obs["metrics"].get["n"],
+        candidate,
+    )

@@ -26,9 +26,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     here to µs-precision ``TimestampType`` so every consumer sees a real
     timestamp column.
     """
-    # Runtime conf, harmless when already set; required because the
-    # driver's own SparkSession won't carry it.
+    # Runtime confs, harmless when already set; required because the
+    # driver's own SparkSession won't carry them: ns-parquet reading and
+    # UTC epoch semantics (oracle comparisons assume UTC).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
