@@ -432,6 +432,18 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    """Cube aggregation: all grouping-set combinations of
+    (status, priority) in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct aggregation: customers with orders, per nation."""
     orders = _t(spark, sf_dir, "orders")
@@ -664,6 +676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "lsh_bucket_topk": q_lsh_topk,
     "rollup_orders": q_rollup_orders,
+    "cube_orders": q_cube_orders,
     "distinct_agg": q_distinct_agg,
     "supplier_balance": q_supplier_balance,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -1036,6 +1049,13 @@ _ORACLES: dict[str, str] = {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "cube_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "distinct_agg": """
         SELECT n_name,

@@ -164,3 +164,32 @@ def test_compact_rewrites_to_latest(spark, tmp_path):
     compact(spark, path, ["issue_key"])
     rows = {r["issue_key"]: r["p"] for r in spark.read.parquet(path).collect()}
     assert rows == {"A": "new", "B": "b1"}  # OPTIMIZE FINAL semantics
+
+
+def test_upsert_newer_version_wins(spark, raw_issues, raw_changelog, tmp_path):
+    """O2 end-to-end: a re-exported issue with a newer updated_at
+    replaces the old row in the latest view (ReplacingMergeTree+FINAL
+    semantics across two runs)."""
+    out = str(tmp_path / "wh_upsert")
+    run_etl(raw_issues, raw_changelog, out,
+            search=SearchSpec(watermark=dt.datetime(2023, 1, 1)))
+
+    updated = raw_issues.withColumn(
+        "summary",
+        F.when(F.col("key") == "TEST-1", F.lit("Retitled")).otherwise(
+            F.col("summary")
+        ),
+    ).withColumn(
+        "updatedAt",
+        F.when(
+            F.col("key") == "TEST-1", F.lit("2023-06-01T12:00:00.000000+0000")
+        ).otherwise(F.col("updatedAt")),
+    )
+    run_etl(updated, raw_changelog, out,
+            search=SearchSpec(watermark=dt.datetime(2023, 1, 1)))
+
+    latest = read_latest(spark, f"{out}/issues", DEDUP_KEYS["issues"])
+    assert latest.count() == 3  # still one row per issue
+    t1 = latest.where(F.col("issue_key") == "TEST-1").first()
+    assert t1["title"] == "Retitled"
+    assert t1["updated_at"] == dt.datetime(2023, 6, 1, 12, 0)

@@ -26,6 +26,20 @@ from yandex_tracker_exporter_spark.operators.watermark import (
     compute_watermark,
     is_up_to_date,
 )
+from yandex_tracker_exporter_spark.operators.asof import asof_join
+from yandex_tracker_exporter_spark.operators.rangejoin import interval_join
+from yandex_tracker_exporter_spark.operators.skew import salted_join
+from yandex_tracker_exporter_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    cosine_neardup_pairs,
+)
+from yandex_tracker_exporter_spark.operators.text_analysis import (
+    detect_language,
+    quality_score,
+    token_counts,
+    fingerprint,
+)
 
 __all__ = [
     "sessionize_events",
@@ -38,4 +52,14 @@ __all__ = [
     "ngram_jaccard_pairs",
     "compute_watermark",
     "is_up_to_date",
+    "asof_join",
+    "interval_join",
+    "salted_join",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "cosine_neardup_pairs",
+    "detect_language",
+    "quality_score",
+    "token_counts",
+    "fingerprint",
 ]
