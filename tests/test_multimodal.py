@@ -50,3 +50,23 @@ def test_metadata_stats_prunes_payload(spark, media, tmp_path):
     assert "payload" not in plan
     got = {r["kind"]: r["n_media"] for r in stats.collect()}
     assert got == {"image": 2, "audio": 1, "video": 1}
+
+
+def test_frame_sampling_explodes_rows(spark, media):
+    import hashlib as _hl
+
+    from yandex_tracker_exporter_spark.multimodal import sample_frames
+
+    # add a video WITH payload (fixture video 4 has null payload)
+    extra = spark.createDataFrame(
+        [(5, "video", "video/mp4", b"fake-mp4-bytes", None, None, 3500)],
+        media.schema,
+    )
+    frames = sample_frames(media.union(extra), every_ms=1000).collect()
+    # 3500ms at 1000ms sampling → frames at 0,1000,2000,3000
+    assert len(frames) == 4
+    assert [f["frame_ts_ms"] for f in sorted(frames, key=lambda r: r["frame_idx"])] == [
+        0, 1000, 2000, 3000,
+    ]
+    base = _hl.sha256(b"fake-mp4-bytes").hexdigest()
+    assert frames[0]["frame_sha256"] == _hl.sha256(f"{base}:0".encode()).hexdigest()

@@ -107,6 +107,63 @@ def extract_media_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     return pruned.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_sha256", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, decode: str = "fake"
+) -> DataFrame:
+    """Frame-sample video payloads: one output row per sampled frame
+    (1→N row explosion inside mapInPandas — the batch shape a real
+    ffmpeg kernel needs).
+
+    The fake kernel derives deterministic per-frame hashes from
+    (payload sha, frame index); ``decode="real"`` is the marked ffmpeg
+    integration point.
+    """
+    if decode == "real":
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            raise NotImplementedError(
+                "ffmpeg is not installed in this environment; plug the "
+                "frame decoder in here"
+            )
+
+    else:
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out: list[tuple] = []
+                for _, row in pdf.iterrows():
+                    if row["payload"] is None or row["duration_ms"] is None:
+                        continue
+                    base = hashlib.sha256(row["payload"]).hexdigest()
+                    n_frames = int(row["duration_ms"] // every_ms) + 1
+                    for idx in range(n_frames):
+                        frame_hash = hashlib.sha256(
+                            f"{base}:{idx}".encode()
+                        ).hexdigest()
+                        out.append(
+                            (row["media_id"], idx, idx * every_ms, frame_hash)
+                        )
+                yield pd.DataFrame(
+                    out,
+                    columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sha256"],
+                )
+
+    pruned = df.where(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    )
+    return pruned.mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def metadata_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must not read the payload column (check
     ``.explain`` ReadSchema excludes ``payload``)."""
