@@ -606,6 +606,23 @@ def q_top_docs_per_lang(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN: deterministic coarse quantizer (16 lowest-id
+    vectors as centroids), nprobe=4 — candidates shrink ~4× vs brute."""
+    from yandex_tracker_exporter_spark.operators.similarity import ivf_topk
+
+    emb = _t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=10, num_centroids=16, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine_sim",
+    )
+
+
 def q_windowed_counts(spark, sf_dir):
     """ST6 windowed aggregation (batch path of the streaming pipeline)."""
     events = _t(spark, sf_dir, "events").withColumn(
@@ -675,6 +692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "lsh_bucket_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "rollup_orders": q_rollup_orders,
     "cube_orders": q_cube_orders,
     "distinct_agg": q_distinct_agg,
@@ -1249,6 +1267,45 @@ def _build_corpus_clean_sql() -> str:
     """
 
 
+def _build_ivf_topk_sql() -> str:
+    cos_assign = _dd_cosine("c.embedding", "ct.centv")
+    cos_probe = _dd_cosine("q.embedding", "ct.centv")
+    cos_final = _dd_cosine("p.qv", "a.embedding")
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS centv
+            FROM embeddings ORDER BY vec_id ASC LIMIT 16
+        ), assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT c.vec_id, c.embedding, ct.centroid_id,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY {cos_assign} DESC, ct.centroid_id ASC) AS rn
+                FROM embeddings c CROSS JOIN centroids ct
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, qv, centroid_id AS cluster_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, ct.centroid_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {cos_probe} DESC, ct.centroid_id ASC) AS rn
+                FROM embeddings q CROSS JOIN centroids ct
+                WHERE q.vec_id < 5
+            ) WHERE rn <= 4
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {cos_final} AS cosine_sim
+            FROM probes p JOIN assigned a ON p.cluster_id = a.centroid_id
+            WHERE p.query_id != a.vec_id
+        )
+        SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+               cosine_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """
+
+
 def _build_lsh_topk_sql() -> str:
     bucket = _dd_lsh_bucket("embedding")
     return f"""
@@ -1278,6 +1335,7 @@ def _build_lsh_topk_sql() -> str:
 _ORACLES["language_id"] = _build_lang_id_sql()
 _ORACLES["quality_score"] = _build_quality_sql()
 _ORACLES["lsh_bucket_topk"] = _build_lsh_topk_sql()
+_ORACLES["ivf_topk"] = _build_ivf_topk_sql()
 _ORACLES["corpus_clean"] = _build_corpus_clean_sql()
 
 

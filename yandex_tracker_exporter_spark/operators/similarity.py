@@ -152,6 +152,78 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path next
+    to sign-LSH.
+
+    Training-free deterministic coarse quantizer: the ``num_centroids``
+    lowest-id corpus vectors act as centroids (reproducible — a k-means
+    fit would make results depend on iteration order). Every corpus
+    vector is assigned to its nearest centroid (one broadcast join, one
+    window); each query probes its ``nprobe`` nearest centroids and
+    ranks only those clusters' members — candidate volume drops by
+    ~``num_centroids/nprobe``× versus brute force.
+    """
+    centroids = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_centv"))
+    )
+
+    def assign(df: DataFrame, out_col: str, n: int) -> DataFrame:
+        scored = df.crossJoin(centroids).withColumn(
+            "_cd", cosine(F.col("_v"), F.col("_centv"))
+        )
+        w = Window.partitionBy(df[id_col]).orderBy(
+            F.col("_cd").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(df[id_col], F.col("_v"), F.col("centroid_id").alias(out_col))
+        )
+
+    corpus_v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    assigned = assign(corpus_v, "cluster_id", 1)
+
+    queries_v = queries.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    probes = assign(queries_v, "cluster_id", nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        "cluster_id",
+    )
+
+    candidates = probes.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_v").alias("_cv"),
+            "cluster_id",
+        ),
+        "cluster_id",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
