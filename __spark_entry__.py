@@ -623,6 +623,19 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_median_gap(spark, sf_dir):
+    """Grouped applyInPandas custom aggregation: exact per-user median
+    inter-event gap (order statistics need the whole group)."""
+    from yandex_tracker_exporter_spark.operators.grouped import exact_median_gap
+
+    events = _t(spark, sf_dir, "events")
+    return exact_median_gap(events, "user_id", "ts").select(
+        F.col("entity").cast("long").alias("user_id"),
+        F.col("n_gaps").cast("long"),
+        "median_gap_s",
+    )
+
+
 def q_windowed_counts(spark, sf_dir):
     """ST6 windowed aggregation (batch path of the streaming pipeline)."""
     events = _t(spark, sf_dir, "events").withColumn(
@@ -693,6 +706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "lsh_bucket_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "median_gap": q_median_gap,
     "rollup_orders": q_rollup_orders,
     "cube_orders": q_cube_orders,
     "distinct_agg": q_distinct_agg,
@@ -1067,6 +1081,20 @@ _ORACLES: dict[str, str] = {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "median_gap": """
+        WITH gaps AS (
+            SELECT user_id,
+                   floor(epoch(ts))::BIGINT
+                   - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC)))::BIGINT AS gap
+            FROM events
+        )
+        SELECT user_id::BIGINT AS user_id,
+               count(gap)::BIGINT AS n_gaps,
+               median(gap)::DOUBLE AS median_gap_s
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY user_id
     """,
     "cube_orders": """
         SELECT o_orderstatus, o_orderpriority,

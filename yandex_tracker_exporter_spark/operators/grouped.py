@@ -1,0 +1,66 @@
+"""Grouped custom aggregation via ``applyInPandas``.
+
+Completes the custom-operator surface triad: ``mapInPandas``
+(multimodal), ``applyInPandasWithState`` (incremental sessions), and —
+here — grouped-batch pandas aggregation for semantics awkward in SQL
+aggregates. The demonstrator is the exact per-entity **median
+inter-event gap**: order statistics need the whole group (the classic
+applyInPandas use case), and the result is deterministic so a DuckDB
+``median()`` oracle can verify it.
+
+Scale notes: one shuffle on the entity key; each group materializes as
+one Arrow batch, so per-entity cardinality must be memory-bounded
+(true for tracker-style entities; for unbounded groups use an approx
+percentile instead — Spark's ``percentile_approx`` is listed alongside
+for exactly that reason).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+MEDIAN_GAP_SCHEMA = StructType(
+    [
+        StructField("entity", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("median_gap_s", DoubleType()),
+    ]
+)
+
+
+def exact_median_gap(
+    events: DataFrame, entity_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Exact median of per-entity inter-event gaps (seconds).
+
+    Gaps are computed on epoch seconds (floor) so results are precision
+    -portable; entities with fewer than 2 events are omitted.
+    """
+    prepped = events.select(
+        F.col(entity_col).cast("long").alias("entity"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("epoch_s"),
+    )
+
+    def median_of_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        ordered = pdf["epoch_s"].sort_values().to_numpy()
+        if len(ordered) < 2:
+            return pd.DataFrame(columns=["entity", "n_gaps", "median_gap_s"])
+        gaps = ordered[1:] - ordered[:-1]
+        return pd.DataFrame(
+            {
+                "entity": [pdf["entity"].iloc[0]],
+                "n_gaps": [len(gaps)],
+                "median_gap_s": [float(pd.Series(gaps).median())],
+            }
+        )
+
+    return prepped.groupBy("entity").applyInPandas(median_of_gaps, MEDIAN_GAP_SCHEMA)
