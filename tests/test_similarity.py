@@ -1,0 +1,145 @@
+"""Direct tests for the similarity operators (ANN + near-dup pairs).
+
+The oracle-parity suite covers the driver queries end-to-end; these
+tests pin the operator contracts themselves: multi-band LSH recall on
+true duplicates, exact-precision verification, and the no-nested-loop
+plan shape that makes ``cosine_neardup_pairs`` the 100 TB path.
+"""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from yandex_tracker_exporter_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_bucket_key,
+)
+
+DIM = 16
+
+VEC_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _mk_vec(seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish vector (no RNG state)."""
+    raw = [
+        math.sin(seed * 37.0 + d * 11.0) + math.cos(seed * 13.0 + d * 7.0) * 0.5
+        for d in range(DIM)
+    ]
+    return [float(x) for x in raw]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """20 base vectors + exact duplicates of the first 5 (ids 100..104)
+    + a near-duplicate of vector 6 (id 200, tiny perturbation)."""
+    rows = [(i, _mk_vec(i)) for i in range(20)]
+    rows += [(100 + i, _mk_vec(i)) for i in range(5)]  # exact dups
+    near = _mk_vec(6)
+    near[0] *= 1.01
+    rows.append((200, near))
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def _true_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_neardup_finds_exact_duplicates(spark, corpus):
+    out = cosine_neardup_pairs(
+        corpus, threshold=0.95, num_planes=6, num_bands=4, dim=DIM
+    )
+    pairs = {(r.a_id, r.b_id): r.cosine_sim for r in out.collect()}
+    # identical vectors share every bucket in every band -> recall 1.0
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"exact duplicate pair ({i},{100+i}) missed"
+        assert pairs[(i, 100 + i)] == pytest.approx(1.0, abs=1e-12)
+    # the planted near-dup collides with overwhelming probability
+    assert (6, 200) in pairs
+
+
+def test_neardup_precision_is_exact(spark, corpus):
+    """Every emitted pair must truly satisfy the threshold (LSH affects
+    recall only — candidates are verified with the exact cosine)."""
+    vecs = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    out = cosine_neardup_pairs(
+        corpus, threshold=0.95, num_planes=6, num_bands=4, dim=DIM
+    ).collect()
+    assert out, "expected at least the planted duplicate pairs"
+    for r in out:
+        assert r.a_id < r.b_id
+        true_cos = _true_cosine(vecs[r.a_id], vecs[r.b_id])
+        assert true_cos >= 0.95
+        assert r.cosine_sim == pytest.approx(true_cos, rel=1e-9)
+
+
+def test_neardup_no_pairs_below_threshold(spark, corpus):
+    """Dissimilar vectors may collide in a band, but verification must
+    drop them: result == brute-force qualifying pairs ∩ candidates."""
+    vecs = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    qualifying = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and _true_cosine(vecs[a], vecs[b]) >= 0.95
+    }
+    out = {
+        (r.a_id, r.b_id)
+        for r in cosine_neardup_pairs(
+            corpus, threshold=0.95, num_planes=6, num_bands=4, dim=DIM
+        ).collect()
+    }
+    assert out <= qualifying
+
+
+def test_neardup_plan_has_no_nested_loop(spark, corpus):
+    """The scale contract: banded equi-join, never an all-pairs join."""
+    out = cosine_neardup_pairs(
+        corpus, threshold=0.9, num_planes=6, num_bands=2, dim=DIM
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multiband_families_are_independent(spark, corpus):
+    """offset must select a different plane family per band — otherwise
+    banding degenerates to one band."""
+    sample = corpus.limit(8).select(
+        "vec_id",
+        *[
+            lsh_bucket_key(F.col("embedding"), 6, DIM, offset=b * 6).alias(f"b{b}")
+            for b in range(3)
+        ],
+    )
+    rows = sample.collect()
+    cols = [[getattr(r, f"b{b}") for r in rows] for b in range(3)]
+    assert cols[0] != cols[1] and cols[1] != cols[2]
+
+
+def test_cosine_topk_exact_neighbors(spark, corpus):
+    """Brute-force baseline agrees with a driver-side recompute."""
+    vecs = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+    queries = corpus.where(F.col("vec_id") == 0)
+    out = cosine_topk(corpus, queries, k=3).collect()
+    assert len(out) == 3
+    expected = sorted(
+        ((b, _true_cosine(vecs[0], vecs[b])) for b in vecs if b != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    got = sorted(out, key=lambda r: (-r.cosine_sim, r.neighbor_id))
+    for (eid, ecos), r in zip(expected, got):
+        assert r.neighbor_id == eid
+        assert r.cosine_sim == pytest.approx(ecos, rel=1e-9)
