@@ -166,6 +166,35 @@ def test_compact_rewrites_to_latest(spark, tmp_path):
     assert rows == {"A": "new", "B": "b1"}  # OPTIMIZE FINAL semantics
 
 
+def test_compact_swap_protocol_is_durable(spark, tmp_path):
+    """compact() must never overwrite the directory it reads: it writes
+    a temp sibling, swaps, and cleans up — including a stale old-copy
+    left by a crashed previous run."""
+    import os
+
+    from yandex_tracker_exporter_spark.sources.sinks import compact
+
+    path = str(tmp_path / "versioned")
+    spark.createDataFrame(
+        [("A", 1, "old"), ("A", 2, "new")],
+        "issue_key string, version long, p string",
+    ).write.parquet(path)
+
+    # stale leftover from a crashed earlier compaction
+    stale = path + ".__compact_old__"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("stale")
+
+    compact(spark, path, ["issue_key"])
+
+    rows = {r["issue_key"]: r["p"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"A": "new"}
+    # swap artifacts are gone: live dir only
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")
+
+
 def test_upsert_newer_version_wins(spark, raw_issues, raw_changelog, tmp_path):
     """O2 end-to-end: a re-exported issue with a newer updated_at
     replaces the old row in the latest view (ReplacingMergeTree+FINAL

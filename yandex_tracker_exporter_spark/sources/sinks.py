@@ -68,18 +68,53 @@ def read_latest(
     return latest_version_dedup(df, keys, version_col)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path factory for ``path``'s scheme (works for
+    ``file://``, ``hdfs://``, ``s3a://`` — whatever the session's Hadoop
+    conf can resolve)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def compact(
     spark: SparkSession,
     path: str,
     keys: list[str],
     version_col: str = "version",
 ) -> None:
-    """``OPTIMIZE FINAL``: rewrite the table to one version per key."""
-    deduped = read_latest(spark, path, keys, version_col)
-    deduped.cache()
-    deduped.count()  # materialize before overwriting the source files
-    deduped.write.mode("overwrite").parquet(path)
-    deduped.unpersist()
+    """``OPTIMIZE FINAL``: rewrite the table to one version per key.
+
+    Durable swap protocol — the rewrite NEVER overwrites the files it is
+    reading (a cache-and-overwrite-in-place loses the table if cached
+    blocks are evicted mid-write and the plan recomputes from deleted
+    source files):
+
+    1. write the deduped table to ``<path>.__compact_tmp__``
+    2. rename the live directory aside to ``<path>.__compact_old__``
+    3. rename the temp directory into place
+    4. delete the old directory
+
+    A crash between steps leaves either the untouched live table or the
+    complete old copy at ``.__compact_old__`` — recoverable, never torn.
+    (On HDFS the renames are atomic; object stores emulate rename — a
+    Delta/Iceberg ``OPTIMIZE`` replaces this whole protocol when a
+    transactional catalog is available.)
+    """
+    base = path.rstrip("/")
+    tmp, old = base + ".__compact_tmp__", base + ".__compact_old__"
+    read_latest(spark, path, keys, version_col).write.mode("overwrite").parquet(tmp)
+
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath(old)):
+        fs.delete(hpath(old), True)
+    if not fs.rename(hpath(base), hpath(old)):
+        raise IOError(f"compact: could not move {base} aside to {old}")
+    if not fs.rename(hpath(tmp), hpath(base)):
+        fs.rename(hpath(old), hpath(base))  # restore the live table
+        raise IOError(f"compact: could not move {tmp} into place (restored {base})")
+    fs.delete(hpath(old), True)
 
 
 def create_latest_view(
