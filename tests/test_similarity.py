@@ -129,6 +129,83 @@ def test_multiband_families_are_independent(spark, corpus):
     assert cols[0] != cols[1] and cols[1] != cols[2]
 
 
+def test_ivf_assignment_is_map_only(spark, corpus):
+    """The 100 TB contract for IVF: cluster assignment must not shuffle
+    the corpus — no Exchange partitioned on the vector id, exactly one
+    Window (the final per-query top-k), no nested-loop expansion."""
+    import re
+
+    from yandex_tracker_exporter_spark.operators.similarity import ivf_topk
+
+    queries = corpus.where(F.col("vec_id") < 2)
+    out = ivf_topk(corpus, queries, k=3, num_centroids=4, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    assert len(re.findall(r"\bWindow ", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_matches_windowed_reference(spark, corpus):
+    """array_max/array_sort centroid ranking ≡ the row_number window
+    formulation (cosine desc, centroid id asc tie-break)."""
+    from pyspark.sql import Window
+
+    from yandex_tracker_exporter_spark.operators.similarity import cosine, ivf_topk
+
+    queries = corpus.where(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in ivf_topk(corpus, queries, k=3, num_centroids=4, nprobe=2).collect()
+    }
+
+    cents = corpus.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_cv")
+    )
+
+    def assign(df, n):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_cd", cosine(F.col("embedding"), F.col("_cv"))
+        )
+        w = Window.partitionBy(df["vec_id"]).orderBy(
+            F.col("_cd").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(df["vec_id"], "embedding", "centroid_id")
+        )
+
+    assigned = assign(corpus, 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
+        F.col("centroid_id"),
+    )
+    probes = assign(queries, 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("centroid_id"),
+    )
+    cand = probes.join(assigned, "centroid_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    ref = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_nv")).alias("cosine_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+    )
+    want = {(r.query_id, r.neighbor_id): r.cosine_sim for r in ref.collect()}
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key] == pytest.approx(want[key], rel=1e-12)
+
+
 def test_cosine_topk_exact_neighbors(spark, corpus):
     """Brute-force baseline agrees with a driver-side recompute."""
     vecs = {r.vec_id: list(r.embedding) for r in corpus.collect()}

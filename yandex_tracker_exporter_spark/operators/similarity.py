@@ -178,45 +178,98 @@ def ivf_topk(
 
     Training-free deterministic coarse quantizer: the ``num_centroids``
     lowest-id corpus vectors act as centroids (reproducible — a k-means
-    fit would make results depend on iteration order). Every corpus
-    vector is assigned to its nearest centroid (one broadcast join, one
-    window); each query probes its ``nprobe`` nearest centroids and
-    ranks only those clusters' members — candidate volume drops by
-    ~``num_centroids/nprobe``× versus brute force.
+    fit would make results depend on iteration order). Cluster
+    assignment is **map-only**: the centroid set is collected into a
+    single-row broadcast array, and each row ranks it with a per-row
+    ``array_sort`` (cosine desc, centroid id asc) — no corpus expansion,
+    no shuffle, no window. (The previous crossJoin(centroids) +
+    row_number-by-vec_id formulation shuffled a 16×-expanded copy of
+    the whole corpus just to take this argmax.) Each query probes its
+    ``nprobe`` best centroids via a sorted-slice of the same array —
+    candidate volume drops by ~``num_centroids/nprobe``× versus brute
+    force.
     """
-    centroids = F.broadcast(
+    centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_centv"))
+        .select(
+            F.struct(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cv"),
+                norm(F.col(vec_col)).alias("cn"),
+            ).alias("_c")
+        )
+        # single row holding all centroids, sorted by id (collect_list
+        # order is not deterministic; array_sort on the struct is)
+        .agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
     )
 
-    def assign(df: DataFrame, out_col: str, n: int) -> DataFrame:
-        scored = df.crossJoin(centroids).withColumn(
-            "_cd", cosine(F.col("_v"), F.col("_centv"))
+    def ranked_centroids(vec: Column, vnorm: Column) -> Column:
+        """Centroid structs (cosine, cid) sorted best-first, exactly the
+        (cosine desc, centroid_id asc) order of a row_number window.
+        Norms arrive precomputed — the row norm once per row (not once
+        per centroid) and the centroid norms baked into the broadcast."""
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot(vec, c["cv"]) / (vnorm * c["cn"])).alias("cd"),
+                c["cid"].alias("cid"),
+            ),
         )
-        w = Window.partitionBy(df[id_col]).orderBy(
-            F.col("_cd").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .select(df[id_col], F.col("_v"), F.col("centroid_id").alias(out_col))
+        return F.array_sort(
+            scored,
+            lambda l, r: F.when(l["cd"] > r["cd"], F.lit(-1))
+            .when(l["cd"] < r["cd"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .when(l["cid"] > r["cid"], F.lit(1))
+            .otherwise(F.lit(0)),
         )
 
-    corpus_v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    assigned = assign(corpus_v, "cluster_id", 1)
+    corpus_v = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), norm(F.col(vec_col)).alias("_vn")
+    )
+    # corpus-side argmax via builtin array_max on (cd, -cid) structs:
+    # lexicographic struct max = highest cosine, ties to the LOWEST
+    # centroid id — identical to the (cd desc, cid asc) window order,
+    # with no per-element comparator lambda on the big side
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot(F.col("_v"), c["cv"]) / (F.col("_vn") * c["cn"])).alias("cd"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+    )
+    assigned = corpus_v.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("_vn"),
+        (-best["negcid"]).alias("cluster_id"),
+    )
 
-    queries_v = queries.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    probes = assign(queries_v, "cluster_id", nprobe).select(
+    queries_v = queries.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), norm(F.col(vec_col)).alias("_vn")
+    )
+    probes = queries_v.join(F.broadcast(centroids)).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
-        "cluster_id",
+        F.col("_vn").alias("_qn"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_centroids(F.col("_v"), F.col("_vn")), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("cluster_id"),
     )
 
-    candidates = probes.join(
+    # probes is tiny (n_queries × nprobe) — broadcast it so the corpus
+    # side is never shuffled on cluster_id
+    candidates = F.broadcast(probes).join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("_v").alias("_cv"),
+            F.col("_vn").alias("_cn"),
             "cluster_id",
         ),
         "cluster_id",
@@ -224,7 +277,9 @@ def ivf_topk(
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
