@@ -644,15 +644,17 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_median_gap(spark, sf_dir):
-    """Grouped applyInPandas custom aggregation: exact per-user median
-    inter-event gap (order statistics need the whole group)."""
-    from yandex_tracker_exporter_spark.operators.grouped import exact_median_gap
+    """Exact per-user median inter-event gap, pure-JVM plan: lag window
+    + built-in exact median aggregate (one shuffle, no Python/Arrow).
+    The applyInPandas variant (operators/grouped.exact_median_gap) is
+    the documented custom-agg surface and is tested row-equal."""
+    from yandex_tracker_exporter_spark.operators.grouped import median_gap_native
 
     events = _t(spark, sf_dir, "events")
-    return exact_median_gap(events, "user_id", "ts").select(
+    return median_gap_native(events, "user_id", "ts").select(
         F.col("entity").cast("long").alias("user_id"),
         F.col("n_gaps").cast("long"),
-        "median_gap_s",
+        F.col("median_gap_s").cast("double"),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -64,3 +64,29 @@ def exact_median_gap(
         )
 
     return prepped.groupBy("entity").applyInPandas(median_of_gaps, MEDIAN_GAP_SCHEMA)
+
+
+def median_gap_native(
+    events: DataFrame, entity_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Pure-JVM formulation of :func:`exact_median_gap`: ``lag`` window
+    for the gaps + the built-in exact ``median`` aggregate (Spark ≥ 3.4).
+
+    Row-for-row equal to the pandas path (tested), with no Python/Arrow
+    in the plan — this is the variant production pipelines should use;
+    ``exact_median_gap`` stays as the documented grouped-custom-agg
+    surface for order statistics Spark has no builtin for. Same single
+    shuffle on the entity key (the window and the aggregation share it).
+    """
+    prepped = events.select(
+        F.col(entity_col).cast("long").alias("entity"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("epoch_s"),
+    )
+    w = Window.partitionBy("entity").orderBy(F.col("epoch_s").asc())
+    gaps = prepped.withColumn(
+        "gap", F.col("epoch_s") - F.lag("epoch_s").over(w)
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("entity").agg(
+        F.count("gap").alias("n_gaps"),
+        F.median("gap").alias("median_gap_s"),
+    )
