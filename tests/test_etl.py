@@ -138,6 +138,52 @@ def test_latest_version_dedup(spark):
     assert got == {"A": "new", "B": "only"}
 
 
+def test_latest_version_dedup_tiebreak_is_slim_and_deterministic(spark):
+    """Version ties resolve via ONE cheap sort key (md5 of the row JSON
+    by default, or a caller-named ingest id) — not every payload column."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    rows = [("A", 1, "x", 10), ("A", 1, "y", 20), ("B", 1, "z", 30)]
+    schema = "issue_key string, version long, payload string, ingest_id long"
+    df = spark.createDataFrame(rows, schema)
+
+    # default tiebreak: md5(to_json(row)) — deterministic across runs
+    first = latest_version_dedup(df, ["issue_key"]).collect()
+    second = latest_version_dedup(df, ["issue_key"]).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    winner = {r.issue_key: r.payload for r in first}
+    expected = max(
+        ("x", "y"),
+        key=lambda p: spark.sql(
+            f"SELECT md5(to_json(struct('A' AS issue_key, 1L AS version, "
+            f"'{p}' AS payload, {10 if p == 'x' else 20}L AS ingest_id)))"
+        ).collect()[0][0],
+    )
+    assert winner["A"] == expected
+
+    # explicit tiebreak column wins ties by that column
+    got = {
+        r.issue_key: r.ingest_id
+        for r in latest_version_dedup(
+            df, ["issue_key"], tiebreak_col="ingest_id"
+        ).collect()
+    }
+    assert got == {"A": 20, "B": 30}
+
+    # the window sort carries exactly two sort keys (version + tiebreak)
+    plan = (
+        latest_version_dedup(df, ["issue_key"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    spec = re.search(r"windowspecdefinition\((.*?)\)", plan)
+    assert spec is not None
+    assert spec.group(1).count("DESC") == 2, spec.group(1)
+
+
 def test_search_spec_incremental_filter(spark, raw_issues, raw_changelog, tmp_path):
     # queue filter + watermark: only DEV issues updated after 2023-05-11
     spec = SearchSpec(

@@ -39,17 +39,26 @@ DEFAULT_BANDS = 4
 
 
 def latest_version_dedup(
-    df: DataFrame, keys: list[str], version_col: str = "version"
+    df: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Latest-version-wins dedup (O1) — replaces ReplacingMergeTree+FINAL.
 
-    Ties on ``version`` are broken deterministically by preferring the
-    row that sorts last on all columns (ClickHouse keeps an arbitrary
-    one; we must be reproducible).
+    Ties on ``version`` are broken deterministically (ClickHouse keeps
+    an arbitrary row; we must be reproducible) by ONE cheap sort key:
+    ``tiebreak_col`` when the table has a stable ingest id, else the md5
+    of the JSON-serialized row. Sorting on every payload column instead
+    (the previous formulation) drags wide strings/arrays into the window
+    sort keys of every dedup shuffle — needless bytes at scale.
     """
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), *[F.col(c).desc() for c in df.columns]
+    tiebreak = (
+        F.col(tiebreak_col)
+        if tiebreak_col is not None
+        else F.md5(F.to_json(F.struct(*df.columns)))
     )
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc(), tiebreak.desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
