@@ -43,3 +43,42 @@ def test_ddl_parity_shapes():
     ddl = issues_changelog_ddl()
     assert "ORDER BY (issue_key, event_time, event_type, changed_field)" in ddl
     assert latest_view_ddl("issues").endswith("FROM agile.issues FINAL")
+
+
+def test_write_jdbc_retries_with_backoff(spark):
+    """Transient sink failures retry with exponential backoff (reference
+    helpers.py backoff parity); permanent failures re-raise after
+    max_tries."""
+    from yandex_tracker_exporter_spark.sources.clickhouse_compat import (
+        with_retries,
+        write_jdbc,
+    )
+
+    df = spark.createDataFrame([("A", 1)], "k string, v long")
+
+    calls, delays = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("connection reset")
+
+    # succeed on the 3rd attempt; two backoff sleeps 0.5, 1.25
+    with_retries(flaky, base_delay=0.5, expo_factor=2.5, max_tries=3,
+                 sleep=delays.append)
+    assert len(calls) == 3
+    assert delays == [0.5, 1.25]
+
+    # write_jdbc wires the retry around the (injected) writer
+    calls.clear()
+
+    def always_fails():
+        calls.append(1)
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        write_jdbc(df, "jdbc:clickhouse://x", "t", writer=always_fails,
+                   max_tries=3, base_delay=0.0)
+    assert len(calls) == 3

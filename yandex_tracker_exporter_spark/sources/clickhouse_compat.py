@@ -126,6 +126,33 @@ def latest_view_ddl(table: str, database: str = "agile") -> str:
     )
 
 
+def with_retries(
+    fn,
+    exceptions: tuple[type[Exception], ...] = (Exception,),
+    base_delay: float = 0.5,
+    expo_factor: float = 2.5,
+    max_tries: int = 3,
+    sleep=None,
+):
+    """Bounded exponential-backoff retry (reference
+    ``utils/helpers.py:149-186`` ``backoff`` decorator, functional form:
+    delay starts at ``base_delay`` and multiplies by ``expo_factor``
+    per failure; the last failure re-raises). ``sleep`` is injectable
+    for tests."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    delay = base_delay
+    for attempt in range(1, max_tries + 1):
+        try:
+            return fn()
+        except exceptions:
+            if attempt == max_tries:
+                raise
+            do_sleep(delay)
+            delay *= expo_factor
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -134,23 +161,39 @@ def write_jdbc(
     password: str = "",
     batch_size: int = 10_000,
     sort_keys: list[str] | None = None,
+    max_tries: int = 3,
+    base_delay: float = 0.5,
+    writer=None,
 ) -> None:
     """S5 batch insert: JDBC append, sorted by the table's ORDER BY key
     (the reference's TODO at ``clickhouse.py:109`` — pre-sorted inserts
-    merge cheaper in MergeTree).
+    merge cheaper in MergeTree), with the reference's bounded
+    exponential-backoff retry around the insert
+    (``utils/helpers.py:149-186``; the reference wraps ``execute`` and
+    ``insert_batch`` in ``@backoff``).
 
     Requires the ClickHouse JDBC driver on the classpath; this is the
-    single integration point for a live warehouse.
+    single integration point for a live warehouse. ``writer`` overrides
+    the actual save call (tests inject failures); retries re-run the
+    whole idempotent-append attempt.
     """
     out = df.sortWithinPartitions(*sort_keys) if sort_keys else df
-    (
-        out.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
-        .option("batchsize", batch_size)
-        .option("isolationLevel", "NONE")
-        .mode("append")
-        .save()
+
+    def _save() -> None:
+        (
+            out.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("user", user)
+            .option("password", password)
+            .option("batchsize", batch_size)
+            .option("isolationLevel", "NONE")
+            .mode("append")
+            .save()
+        )
+
+    with_retries(
+        writer if writer is not None else _save,
+        max_tries=max_tries,
+        base_delay=base_delay,
     )
