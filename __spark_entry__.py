@@ -658,6 +658,29 @@ def q_median_gap(spark, sf_dir):
     )
 
 
+def q_display_timezone(spark, sf_dir):
+    """P4 second half: UTC storage → configured display timezone at the
+    export edge (EngineConfig.timezone, default Europe/Moscow). Wall
+    times come from the real tz database on BOTH engines (JVM tzdata in
+    Spark, ICU in DuckDB) — not a hardcoded offset. Date rendering is
+    ISO (the reference's %Y-%d-%m day/month swap is a recorded bug we
+    do not reproduce)."""
+    from yandex_tracker_exporter_spark.config import DEFAULT_CONFIG
+    from yandex_tracker_exporter_spark.functions.datetimes import (
+        format_display_datetime,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return events.select(
+        F.col("event_id").cast("long"),
+        format_display_datetime(ts, DEFAULT_CONFIG.timezone).alias("local_dt"),
+        format_display_datetime(ts, DEFAULT_CONFIG.timezone, date_only=True).alias(
+            "local_date"
+        ),
+    )
+
+
 def q_windowed_counts(spark, sf_dir):
     """ST6 windowed aggregation (batch path of the streaming pipeline)."""
     events = _t(spark, sf_dir, "events").withColumn(
@@ -741,6 +764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_interface": q_sql_interface,
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
+    "display_timezone": q_display_timezone,
 }
 
 
@@ -1208,6 +1232,14 @@ _ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "display_timezone": """
+        SELECT event_id::BIGINT AS event_id,
+               strftime(timezone('Europe/Moscow', timezone('UTC', ts::TIMESTAMP)),
+                        '%Y-%m-%dT%H:%M:%S.%g') AS local_dt,
+               strftime(timezone('Europe/Moscow', timezone('UTC', ts::TIMESTAMP)),
+                        '%Y-%m-%d') AS local_date
+        FROM events
     """,
     "session_gaps": """
         WITH flagged AS (

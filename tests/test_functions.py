@@ -105,6 +105,57 @@ def test_parse_tracker_datetime_tz_display(spark):
     assert _eval(spark, col, rows) == ["2023-01-01T13:00:00.123"]
 
 
+def test_format_display_datetime_reference_vectors(spark):
+    """P4 second half — the reference's own convert_datetime vectors
+    (tests/test_helpers.py:169-199): parse → UTC → display tz → string.
+    The reference's date_only output for 2023-01-01 UTC is '2023-01-01'
+    only by coincidence of day==01: its format string is '%Y-%d-%m'
+    (day/month swapped, helpers.py:142). We assert the NON-buggy ISO
+    rendering, including a date where the swap would show."""
+    from yandex_tracker_exporter_spark.functions.datetimes import (
+        format_display_datetime,
+    )
+
+    cases = [
+        # (input, tz, date_only, expected)
+        ("2023-01-01T10:00:00.123+0000", "UTC", True, "2023-01-01"),
+        ("2023-01-01T10:00:00.123+0300", "UTC", False, "2023-01-01T07:00:00.123"),
+        ("2023-01-01T10:00:00.123+0000", "Europe/Moscow", False,
+         "2023-01-01T13:00:00.123"),
+        (None, "UTC", False, None),
+        # date_only where %Y-%d-%m would yield 2023-05-03 instead
+        ("2023-03-05T10:00:00.123+0000", "UTC", True, "2023-03-05"),
+        # tz shift that crosses midnight moves the DATE too
+        ("2023-03-05T22:30:00.000+0000", "Europe/Moscow", True, "2023-03-06"),
+    ]
+    for value, tz, date_only, expected in cases:
+        col = format_display_datetime(
+            parse_tracker_datetime(F.col("value")), tz, date_only=date_only
+        )
+        assert _eval(spark, col, [(value,)]) == [expected], (value, tz, date_only)
+
+
+def test_format_for_display_export_edge(spark):
+    """format_for_display applies EngineConfig.timezone to every
+    timestamp/date column at the export edge; storage stays UTC."""
+    import datetime as dt
+
+    from yandex_tracker_exporter_spark.config import EngineConfig
+    from yandex_tracker_exporter_spark.sources.clickhouse_compat import (
+        format_for_display,
+    )
+
+    df = spark.createDataFrame(
+        [("A", dt.datetime(2023, 1, 1, 10, 0, 0), dt.date(2023, 6, 1))],
+        "k string, updated_at timestamp, deadline date",
+    )
+    out = format_for_display(df, EngineConfig()).collect()[0]
+    assert out.updated_at == "2023-01-01T13:00:00.000"  # Moscow default
+    assert out.deadline == "2023-06-01"  # ISO, not %Y-%d-%m
+    utc = format_for_display(df, EngineConfig(timezone="UTC")).collect()[0]
+    assert utc.updated_at == "2023-01-01T10:00:00.000"
+
+
 # --- P5 get_timedelta (test_helpers.py:19-47)
 def test_timedelta_seconds(spark):
     rows = [("2023-01-01 10:01:00", "2023-01-01 10:00:00")]

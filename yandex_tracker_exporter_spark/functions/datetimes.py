@@ -43,6 +43,26 @@ def parse_tracker_datetime(col: Column | str) -> Column:
     )
 
 
+def format_display_datetime(
+    col: Column | str, tz: str = "UTC", date_only: bool = False
+) -> Column:
+    """Format a UTC timestamp for display in ``tz`` (P4 second half,
+    reference ``helpers.py:120-146`` + ``config.py:114``): storage stays
+    UTC; only this edge shifts to the configured timezone and renders
+    the reference's ClickHouse string format (``%Y-%m-%dT%H:%M:%S.%f``
+    trimmed to milliseconds).
+
+    Deliberately NOT reproduced: the reference's ``date_only`` format is
+    ``"%Y-%d-%m"`` (``helpers.py:142``) — day and month swapped, a
+    recorded upstream bug. We emit ISO ``yyyy-MM-dd``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    local = F.from_utc_timestamp(c, tz)
+    if date_only:
+        return F.date_format(local, "yyyy-MM-dd")
+    return F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+
 def timedelta_seconds(end: Column | str, start: Column | str) -> Column:
     """Whole seconds between two timestamps (P5, ``helpers.py:27-37``)."""
     e = F.col(end) if isinstance(end, str) else end

@@ -64,6 +64,34 @@ def apply_ch_compat(df: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> Dat
     return out
 
 
+def format_for_display(
+    df: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """P4 second half: serialize timestamp/date columns as strings in the
+    configured display timezone (``EngineConfig.timezone``, default
+    Europe/Moscow — reference ``config.py:114``). The reference converts
+    every outbound datetime this way in its serializer
+    (``helpers.py:120-146``); internally the engine stays UTC and this
+    runs only at the export edge. Date columns render ISO ``yyyy-MM-dd``
+    (NOT the reference's ``%Y-%d-%m`` bug)."""
+    from yandex_tracker_exporter_spark.functions.datetimes import (
+        format_display_datetime,
+    )
+
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampType):
+            out = out.withColumn(
+                field.name,
+                format_display_datetime(F.col(field.name), config.timezone),
+            )
+        elif isinstance(field.dataType, DateType):
+            out = out.withColumn(
+                field.name, F.date_format(F.col(field.name), "yyyy-MM-dd")
+            )
+    return out
+
+
 def issues_ddl(database: str = "agile") -> str:
     """S9 parity with ``000001_create_table_issues.up.sql``."""
     return f"""CREATE TABLE IF NOT EXISTS {database}.issues (
