@@ -1,16 +1,27 @@
-"""Watermark state store (S8).
+"""Watermark state stores (S8): local JSON / Hadoop-FS (S3) / Redis.
 
 The reference persists a key→timestamp JSON map to local file / S3 /
 Redis (``state/managers.py:77-115,171-220``, backends
-``state/backends.py``). The engine keeps the same contract — a tiny
-key→ISO-timestamp JSON document — written atomically (tmp + rename) so a
-crashed run never leaves a torn state file (the reference's
-commit-after-write ordering, ST7, lives in ``etl.py:229-259``; callers
-here do the same: write data, then ``set`` + ``flush``).
+``state/backends.py:69-249``, factory ``state/factory.py:21-50``). The
+engine keeps the same contract — a tiny key→ISO-timestamp document —
+with three backends behind one API (get/set/delete/flush, U2's
+pluggable surface):
 
-Only the local-filesystem backend is implemented; the interface is the
-pluggable surface (U2) — an object-store or Redis backend slots in by
-overriding ``_read``/``_write``.
+- :class:`FileStateStore`       — local JSON, atomic tmp+rename write.
+- :class:`HadoopFileStateStore` — the object-store backend. One
+  implementation serves ``file://``, ``hdfs://`` AND ``s3a://`` by
+  going through the Hadoop FileSystem API of the running Spark session
+  (the reference needs a separate boto3 backend for S3; here S3
+  credentials/endpoint ride the standard ``spark.hadoop.fs.s3a.*``
+  conf — the natural Spark deployment story for the reference's
+  stateless-container mode).
+- :class:`RedisStateStore`      — key-value backend, namespaced keys,
+  immediately durable writes (the reference's Redis ``flush`` raises
+  NotImplementedError; ours is a documented no-op because every ``set``
+  is already committed).
+
+Commit-after-write ordering (ST7) is the caller's contract: write data,
+then ``set`` + ``flush`` (``etl.py:229-259``).
 """
 
 from __future__ import annotations
@@ -64,3 +75,128 @@ class FileStateStore:
     def flush(self) -> None:
         if self._cache is not None:
             self._write(self._cache)
+
+
+class HadoopFileStateStore(FileStateStore):
+    """State JSON on any Hadoop-resolvable filesystem (``s3a://``,
+    ``hdfs://``, ``file://`` …) — the reference's S3 backend
+    (``state/backends.py:144-249``) re-expressed through the Spark
+    session's Hadoop FS so no extra SDK or credentials plumbing is
+    needed. Writes go to a temp sibling and rename into place (atomic
+    on HDFS; object stores emulate rename — still never a torn file,
+    because the JSON is written in one ``create`` call)."""
+
+    def __init__(self, spark, path: str) -> None:
+        super().__init__(path)
+        self._spark = spark
+
+    def _fs(self):
+        jvm = self._spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return fs, hpath, jvm
+
+    def _read(self) -> dict[str, str]:
+        if self._cache is None:
+            fs, hpath, jvm = self._fs()
+            p = hpath(self.path)
+            if fs.exists(p):
+                stream = fs.open(p)
+                sink = jvm.java.io.ByteArrayOutputStream()
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
+                self._cache = json.loads(sink.toString("UTF-8"))
+            else:
+                self._cache = {}
+        return self._cache
+
+    def _write(self, data: dict[str, str]) -> None:
+        fs, hpath, _ = self._fs()
+        tmp = self.path + ".tmp"
+        out = fs.create(hpath(tmp), True)
+        out.write(bytearray(json.dumps(data).encode("utf-8")))
+        out.close()
+        if fs.exists(hpath(self.path)):
+            fs.delete(hpath(self.path), False)
+        if not fs.rename(hpath(tmp), hpath(self.path)):
+            raise IOError(f"state store: rename {tmp} -> {self.path} failed")
+
+
+class RedisStateStore:
+    """Redis watermark store (reference ``state/managers.py:171-220``).
+
+    Keys are namespaced ``{namespace}:{key}``; values are ISO-8601
+    strings, the same wire format as the JSON stores, so backends are
+    interchangeable. Every ``set``/``delete`` is immediately durable —
+    ``flush`` is therefore a no-op (the reference raises
+    NotImplementedError there). ``client`` is injectable for tests; by
+    default it is built lazily from the optional ``redis`` package.
+    """
+
+    def __init__(
+        self,
+        url: str | None = None,
+        client=None,
+        namespace: str = "tracker_exporter_default",
+    ) -> None:
+        if client is None:
+            try:
+                import redis  # type: ignore[import-not-found]
+            except ImportError as exc:  # pragma: no cover - env without redis
+                raise ImportError(
+                    "RedisStateStore needs the 'redis' package (or an "
+                    "injected client)"
+                ) from exc
+            client = redis.Redis.from_url(url, decode_responses=True)
+        self._client = client
+        self.namespace = namespace
+
+    def _rkey(self, key: str) -> str:
+        return f"{self.namespace}:{key}"
+
+    def get(self, key: str) -> dt.datetime | None:
+        value = self._client.get(self._rkey(key))
+        if value is None:
+            return None
+        if isinstance(value, bytes):
+            value = value.decode("utf-8")
+        return dt.datetime.fromisoformat(value)
+
+    def set(self, key: str, value: dt.datetime) -> None:
+        self._client.set(self._rkey(key), value.isoformat())
+
+    def delete(self, key: str) -> None:
+        self._client.delete(self._rkey(key))
+
+    def flush(self) -> None:
+        """No-op: Redis writes are committed per call."""
+
+
+def state_store_factory(
+    strategy: str,
+    path: str | None = None,
+    spark=None,
+    url: str | None = None,
+    client=None,
+    namespace: str = "tracker_exporter_default",
+):
+    """Build a state store (reference ``state/factory.py:21-50``).
+
+    - ``"local"``          → :class:`FileStateStore` (needs ``path``)
+    - ``"hadoop"``/``"s3"`` → :class:`HadoopFileStateStore` (needs
+      ``spark`` + ``path``; ``s3a://…`` paths hit object storage)
+    - ``"redis"``          → :class:`RedisStateStore` (``url`` or
+      injected ``client``)
+    """
+    if strategy == "local":
+        if path is None:
+            raise ValueError("local state store needs a path")
+        return FileStateStore(path)
+    if strategy in ("hadoop", "s3"):
+        if spark is None or path is None:
+            raise ValueError("hadoop/s3 state store needs spark and path")
+        return HadoopFileStateStore(spark, path)
+    if strategy == "redis":
+        return RedisStateStore(url=url, client=client, namespace=namespace)
+    raise ValueError(
+        f"unknown state store strategy {strategy!r}; allowed: local, hadoop, s3, redis"
+    )
