@@ -71,6 +71,44 @@ def test_unsupported_filter_stays_in_spark(spark):
     assert rows and all(r["status"] == "open" for r in rows)
 
 
+def test_comments_entity_scan(spark):
+    """S4: the comments table of the same source."""
+    df = _read(spark, entity="comments", total=100, page_size=50)
+    backend = FakeTrackerBackend(100, 50)
+    expected = backend.count_comments(None)
+    rows = df.collect()
+    assert len(rows) == expected > 0
+    # schema shape
+    assert df.columns == ["issue_key", "comment_id", "author", "text", "created_at"]
+    # deterministic payloads: issue 5 (queue SRE-5, 5%4=1 comment)
+    by_issue = {}
+    for r in rows:
+        by_issue.setdefault(r["issue_key"], []).append(r)
+    assert len(by_issue["SRE-5"]) == 1
+    assert by_issue["SRE-5"][0]["text"] == "comment 0 on SRE-5"
+
+
+def test_comments_issue_key_pushdown(spark):
+    """issue_key predicates compile into the remote fetch: partition
+    count follows the FILTERED comment count, not the corpus size."""
+    df = _read(spark, entity="comments", total=400, page_size=10).where(
+        F.col("issue_key").isin("DEV-4", "SRE-5", "OPS-6")
+    )
+    rows = df.collect()
+    # 4%4=0, 5%4=1, 6%4=2 comments
+    assert len(rows) == 3
+    assert {r["issue_key"] for r in rows} == {"SRE-5", "OPS-6"}
+    # 3 comments fit one 10-row page; an unpushed scan of 400 issues'
+    # comments (~600) would need ~60 partitions
+    assert df.rdd.getNumPartitions() == 1
+
+    eq = _read(spark, entity="comments", total=400, page_size=10).where(
+        F.col("issue_key") == "OPS-6"
+    )
+    assert eq.count() == 2
+    assert eq.rdd.getNumPartitions() == 1
+
+
 def test_streaming_source_incremental_offsets(spark, tmp_path):
     """ST2: the watermark is the stream offset; micro-batches advance it
     and the checkpoint makes restarts incremental."""

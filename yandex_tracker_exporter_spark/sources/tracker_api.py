@@ -49,6 +49,15 @@ TRACKER_API_SCHEMA = (
     "assignee string, story_points float, updated_at timestamp"
 )
 
+#: Comments entity (S4): the reference exposes ``get_comments``
+#: (``services/tracker.py:46-48``) but never wires it into the pipeline;
+#: here it is a first-class table of the same DataSource
+#: (``option("entity", "comments")``) with issue_key pushdown.
+TRACKER_COMMENTS_SCHEMA = (
+    "issue_key string, comment_id long, author string, text string, "
+    "created_at timestamp"
+)
+
 
 @dataclass
 class SearchQuery:
@@ -103,6 +112,38 @@ class FakeTrackerBackend:
         hits = [r for i in range(self.total) if self._matches(r := self._issue(i), query)]
         start = page * self.page_size
         return hits[start : start + self.page_size]
+
+    # --- comments entity (S4) ------------------------------------------
+    def _comments_for(self, i: int) -> list[tuple]:
+        key = f"{self.QUEUES[i % len(self.QUEUES)]}-{i}"
+        return [
+            (
+                key,
+                i * 10 + j,
+                f"user{(i + j) % 7}@example.com",
+                f"comment {j} on {key}",
+                self.BASE_TS + dt.timedelta(minutes=i, seconds=30 * (j + 1)),
+            )
+            for j in range(i % 4)  # 0-3 comments per issue
+        ]
+
+    def _comment_hits(self, issue_keys: list[str] | None) -> list[tuple]:
+        wanted = set(issue_keys) if issue_keys else None
+        hits: list[tuple] = []
+        for i in range(self.total):
+            rows = self._comments_for(i)
+            if rows and (wanted is None or rows[0][0] in wanted):
+                hits.extend(rows)
+        return hits
+
+    def count_comments(self, issue_keys: list[str] | None) -> int:
+        return len(self._comment_hits(issue_keys))
+
+    def fetch_comments_page(
+        self, issue_keys: list[str] | None, page: int
+    ) -> list[tuple]:
+        start = page * self.page_size
+        return self._comment_hits(issue_keys)[start : start + self.page_size]
 
 
 class HttpTrackerBackend:  # pragma: no cover - integration point
@@ -175,6 +216,43 @@ class TrackerApiReader(DataSourceReader):
         yield from self.backend.fetch_page(self.query, partition.page)
 
 
+class TrackerCommentsReader(DataSourceReader):
+    """S4: paginated comments scan with issue_key pushdown (the
+    reference fetches comments per issue key — ``services/tracker.py:
+    46-48``; here the pushed key set becomes the remote filter and
+    unfiltered scans page through every issue's comments)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        total = int(options.get("total", "1000"))
+        page_size = int(options.get("page_size", "100"))
+        self.backend = FakeTrackerBackend(total, page_size)
+        self.page_size = page_size
+        self.issue_keys: list[str] | None = None
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        remaining: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("issue_key",):
+                self.issue_keys = [f.value]
+                self.pushed.append(f)
+            elif isinstance(f, In) and f.attribute == ("issue_key",):
+                self.issue_keys = list(f.value)
+                self.pushed.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        n = self.backend.count_comments(self.issue_keys)
+        pages = max(1, -(-n // self.page_size))
+        return [_PagePartition(p) for p in range(pages)]
+
+    def read(self, partition: _PagePartition):
+        yield from self.backend.fetch_comments_page(self.issue_keys, partition.page)
+
+
 class TrackerStreamReader(SimpleDataSourceStreamReader):
     """ST2 as a true streaming source: the reference persists the last
     ``updated_at`` to a JSON/S3/Redis state store and re-queries
@@ -230,9 +308,13 @@ class TrackerApiDataSource(DataSource):
         return "tracker_api"
 
     def schema(self) -> str:
+        if self.options.get("entity", "issues") == "comments":
+            return TRACKER_COMMENTS_SCHEMA
         return TRACKER_API_SCHEMA
 
-    def reader(self, schema: StructType) -> TrackerApiReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("entity", "issues") == "comments":
+            return TrackerCommentsReader(schema, dict(self.options))
         return TrackerApiReader(schema, dict(self.options))
 
     def simpleStreamReader(self, schema: StructType) -> TrackerStreamReader:
