@@ -60,3 +60,18 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan  # co-located: zero shuffles
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_rejects_outer_small_side(spark):
+    """right/full outer would emit unmatched small rows once per salt —
+    the operator must refuse instead of silently duplicating."""
+    import pytest
+
+    large = spark.createDataFrame([(1, "a")], "k long, payload string")
+    small = spark.createDataFrame([(1, "d")], "k long, dim string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="not semantics-preserving"):
+            salted_join(large, small, "k", how=how)
+    # left family still works
+    assert salted_join(large, small, "k", how="left").count() == 1
+    assert salted_join(large, small, "k", how="left_semi").count() == 1

@@ -139,23 +139,39 @@ def sample_frames(
     else:
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # vectorized 1->N explosion: per-row frame counts -> repeat
+            # media ids -> per-frame indices from cumulative offsets.
+            # (Only the sha256 calls stay per-element: hashing is the
+            # "decode" stand-in and is per-file in a real kernel anyway.)
+            import numpy as np
+
             for pdf in batches:
-                out: list[tuple] = []
-                for _, row in pdf.iterrows():
-                    if row["payload"] is None or row["duration_ms"] is None:
-                        continue
-                    base = hashlib.sha256(row["payload"]).hexdigest()
-                    n_frames = int(row["duration_ms"] // every_ms) + 1
-                    for idx in range(n_frames):
-                        frame_hash = hashlib.sha256(
-                            f"{base}:{idx}".encode()
-                        ).hexdigest()
-                        out.append(
-                            (row["media_id"], idx, idx * every_ms, frame_hash)
-                        )
+                ok = pdf["payload"].notna() & pdf["duration_ms"].notna()
+                pdf = pdf[ok]
+                if pdf.empty:
+                    yield pd.DataFrame(
+                        columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sha256"]
+                    )
+                    continue
+                n_frames = (pdf["duration_ms"] // every_ms).astype("int64") + 1
+                media_id = np.repeat(pdf["media_id"].to_numpy(), n_frames.to_numpy())
+                ends = n_frames.to_numpy().cumsum()
+                frame_idx = np.arange(ends[-1]) - np.repeat(
+                    ends - n_frames.to_numpy(), n_frames.to_numpy()
+                )
+                base = pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
+                base_rep = np.repeat(base.to_numpy(), n_frames.to_numpy())
+                sha = [
+                    hashlib.sha256(f"{b}:{i}".encode()).hexdigest()
+                    for b, i in zip(base_rep, frame_idx)
+                ]
                 yield pd.DataFrame(
-                    out,
-                    columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sha256"],
+                    {
+                        "media_id": media_id,
+                        "frame_idx": frame_idx.astype("int32"),
+                        "frame_ts_ms": frame_idx * every_ms,
+                        "frame_sha256": sha,
+                    }
                 )
 
     pruned = df.where(F.col("kind") == "video").select(

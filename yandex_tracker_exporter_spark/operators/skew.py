@@ -30,7 +30,19 @@ def salted_join(
     The large side gets a deterministic-per-row salt (hash of all
     columns, not ``rand()`` — keeps the operator reproducible); the
     small side explodes to every salt value.
+
+    Only join types where an UNMATCHED small-side row emits nothing are
+    semantics-preserving under replication (inner/left/left_semi/
+    left_anti); right/full outer would emit every unmatched small row
+    once per salt and are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not semantics-preserving under "
+            f"small-side replication; allowed: inner, left, left_semi, left_anti"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(num_salts))
     salted_large = large.withColumn("_salt", salt)
     replicated_small = small.withColumn(

@@ -67,7 +67,10 @@ def _sessionize_group(
 
     closed: list[tuple] = []
     for pdf in pdfs:
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        # normalize to ns explicitly: pandas may deliver datetime64[us]
+        # (Arrow-backed paths), where a bare int64 view would be µs and
+        # the //1000 below would silently shrink gaps 1000×
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000  # ns → µs
         for t in sorted(ts_us):
             if last_ts_us is None:
                 session_start_us, last_ts_us, n_events = t, t, 1
