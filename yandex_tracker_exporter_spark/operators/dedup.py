@@ -169,7 +169,11 @@ def minhash_lsh_duplicates(
             )
         ).alias("band"),
     ).select(id_col, "minhash_sig", "band.band_idx", "band.band_key")
-    # shared Exchange: one signature computation feeds both join sides
+    # pre-shuffle on the join key. Known tail: ReuseExchange does not
+    # canonicalize the two self-join sides, so signatures compute twice;
+    # a lazy localCheckpoint here was MEASURED SLOWER (3.02s vs 2.92s at
+    # sf0.1 — block serialization eats the saved recompute), so the
+    # plain repartition stays.
     banded = banded.repartition("band_idx", "band_key")
 
     left = banded.select(
@@ -312,10 +316,12 @@ def ngram_jaccard_pairs(
         ).alias("band"),
     ).select(id_col, "shingles", "band.band_idx", "band.band_key")
 
-    # pre-shuffle on the join key: the self-join requires this exact
-    # partitioning, and the shared Exchange (ReuseExchange) materializes
-    # the shingle+signature computation ONCE for both join sides —
-    # without it each side re-hashes the whole corpus
+    # pre-shuffle on the join key (the self-join needs exactly this
+    # partitioning). ReuseExchange does not kick in for this self-join
+    # shape, so each side re-shingles — but materializing the banded
+    # relation with a lazy localCheckpoint was MEASURED SLOWER (3.87s vs
+    # 2.95s at sf0.1): serializing the wide shingle arrays to block
+    # storage costs more than recomputing them. Recompute wins.
     banded = banded.repartition("band_idx", "band_key")
 
     left = banded.select(
