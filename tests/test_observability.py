@@ -45,3 +45,50 @@ def test_corrupt_events_quarantined_not_lost(spark, raw_issues, raw_changelog):
     )
     kept = metrics.agg(F.sum("status_transitions_count")).collect()[0][0]
     assert kept + len(rows) == total_transitions
+
+
+def test_statsd_exporter_wire_format(spark):
+    """DogStatsd datagrams received on a real UDP socket: counter,
+    gauge, timing, tags, and the observation bridge."""
+    import socket as socket_mod
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.observability import (
+        StatsdExporter,
+        with_run_counters,
+    )
+
+    server = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+    server.bind(("127.0.0.1", 0))
+    server.settimeout(5)
+    port = server.getsockname()[1]
+
+    exp = StatsdExporter(port=port, prefix="yte", tags={"env": "test"})
+    exp.count("issues.exported", 3, tags={"queue": "DEV"})
+    exp.gauge("lag_seconds", 12.5)
+    with exp.timed("cycle"):
+        pass
+
+    got = [server.recv(2048).decode() for _ in range(3)]
+    assert got[0] == "yte.issues.exported:3|c|#env:test,queue:DEV"
+    assert got[1] == "yte.lag_seconds:12.5|g|#env:test"
+    assert got[2].startswith("yte.cycle:") and got[2].endswith("|ms|#env:test")
+
+    # observation bridge: observed run counters ship as gauges
+    df = spark.createDataFrame([("A-1",), (None,)], "issue_key string")
+    observed, obs = with_run_counters(df, "run1")
+    observed.count()
+    exp.ship_observation(obs, run="etl")
+    shipped = sorted(server.recv(2048).decode() for _ in range(2))
+    assert any(s.startswith("yte.etl.n_rows:2|g") for s in shipped)
+    assert any(s.startswith("yte.etl.null_keys:1|g") for s in shipped)
+
+    # disabled exporter sends nothing and raises nothing
+    off = StatsdExporter(port=port, enabled=False)
+    off.count("x")
+    server.settimeout(0.3)
+    import pytest as _pytest
+
+    with _pytest.raises(socket_mod.timeout):
+        server.recv(2048)

@@ -10,6 +10,9 @@ the reference's counters each cost a python statement per row), and a
 
 from __future__ import annotations
 
+import socket
+import time
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,3 +45,85 @@ class MetricsCollector:
         entry = {**(tags or {}), **obs.get}
         self.records.append(entry)
         return entry
+
+
+class StatsdExporter:
+    """Ship metrics in the DogStatsd wire format over UDP (reference
+    ``services/monitoring.py:23-89``: ``send_count_metric`` /
+    ``send_gauge_metric`` / measure-time decorator).
+
+    Dependency-free: the DogStatsd text protocol is a one-line datagram
+    (``metric:value|type|#tag:v,...``), so a plain UDP socket replaces
+    the datadog client. UDP is fire-and-forget — no agent listening
+    means datagrams are dropped, never an error, matching the
+    reference's sidecar model. ``prefix`` and base ``tags`` mirror the
+    reference's ``monitoring_metrics_base_prefix``/``_base_labels``.
+    """
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 8125,
+        prefix: str = "tracker_exporter",
+        tags: dict[str, str] | None = None,
+        enabled: bool = True,
+    ) -> None:
+        self.addr = (host, port)
+        self.prefix = prefix
+        self.base_tags = dict(tags or {})
+        self.enabled = enabled
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def _format(
+        self, name: str, value, type_code: str, tags: dict[str, str] | None
+    ) -> bytes:
+        all_tags = {**self.base_tags, **(tags or {})}
+        suffix = (
+            "|#" + ",".join(f"{k}:{v}" for k, v in sorted(all_tags.items()))
+            if all_tags
+            else ""
+        )
+        return f"{self.prefix}.{name}:{value}|{type_code}{suffix}".encode()
+
+    def _send(self, payload: bytes) -> None:
+        if not self.enabled:
+            return
+        try:
+            self._sock.sendto(payload, self.addr)
+        except OSError:  # pragma: no cover - metrics must never break runs
+            pass
+
+    def count(self, name: str, value: int = 1, tags: dict | None = None) -> None:
+        self._send(self._format(name, value, "c", tags))
+
+    def gauge(self, name: str, value, tags: dict | None = None) -> None:
+        self._send(self._format(name, value, "g", tags))
+
+    def timing(self, name: str, seconds: float, tags: dict | None = None) -> None:
+        # DogStatsd timers are milliseconds
+        self._send(self._format(name, round(seconds * 1000.0, 3), "ms", tags))
+
+    def timed(self, name: str, tags: dict | None = None):
+        """Context manager mirroring the reference's measure-time
+        decorator (``monitoring.py:64-77``)."""
+        exporter = self
+
+        class _Timer:
+            def __enter__(self):
+                self._t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, exc_type, exc, tb):
+                exporter.timing(name, time.perf_counter() - self._t0, tags)
+                return False
+
+        return _Timer()
+
+    def ship_observation(
+        self, obs: Observation, run: str = "etl", tags: dict | None = None
+    ) -> None:
+        """Export every observed metric of a finished run as gauges —
+        the bridge from ``with_run_counters`` to the metrics backend."""
+        for key, value in obs.get.items():
+            if isinstance(value, (int, float)):
+                self.gauge(f"{run}.{key}", value, tags)
