@@ -658,6 +658,56 @@ def q_median_gap(spark, sf_dir):
     )
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (§2.4 capability
+    extension): p50/p90/p99 of event value by event_type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both implement exact
+    linear interpolation — bit-comparable as doubles."""
+    events = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value").cast("double"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = events.groupBy("event_type").agg(pct.alias("_p"))
+    return agg.select(
+        "event_type",
+        F.element_at("_p", 1).alias("p50"),
+        F.element_at("_p", 2).alias("p90"),
+        F.element_at("_p", 3).alias("p99"),
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti-join coverage: customers that never placed an order
+    (left_anti — map-side filter against a broadcast-able key set)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"), "left_anti"
+        )
+        .select(F.col("c_custkey").cast("long"), "c_name", F.col("c_nationkey").cast("long"))
+    )
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Text n-gram statistics at corpus scale: top whitespace-token
+    bigrams (explode + hash agg; the shape of n-gram LM count jobs)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = docs.where(F.size(toks) >= 2).select(
+        F.explode(bigrams).alias("bigram")
+    )
+    counts = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.where(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
 def q_display_timezone(spark, sf_dir):
     """P4 second half: UTC storage → configured display timezone at the
     export edge (EngineConfig.timezone, default Europe/Moscow). Wall
@@ -765,6 +815,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_counts": q_windowed_counts,
     "session_gaps": q_session_gaps,
     "display_timezone": q_display_timezone,
+    "value_percentiles": q_value_percentiles,
+    "anti_join": q_anti_join,
+    "bigram_counts": q_bigram_counts,
 }
 
 
@@ -1232,6 +1285,36 @@ _ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value::DOUBLE, 0.5) AS p50,
+               quantile_cont(value::DOUBLE, 0.9) AS p90,
+               quantile_cont(value::DOUBLE, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    "anti_join": """
+        SELECT c_custkey::BIGINT AS c_custkey, c_name,
+               c_nationkey::BIGINT AS c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "bigram_counts": """
+        WITH toks AS (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+        ), bi AS (
+            SELECT t[i] || ' ' || t[i + 1] AS bigram
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+        )
+        SELECT bigram, count(*)::BIGINT AS n
+        FROM bi
+        GROUP BY bigram
+        HAVING count(*) >= 5
+        ORDER BY n DESC, bigram ASC
+        LIMIT 50
     """,
     "display_timezone": """
         SELECT event_id::BIGINT AS event_id,
