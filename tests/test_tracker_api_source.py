@@ -71,6 +71,21 @@ def test_unsupported_filter_stays_in_spark(spark):
     assert rows and all(r["status"] == "open" for r in rows)
 
 
+def test_rate_limited_scan_staggers_pages(spark):
+    """requests_per_second spaces page fetches: 4 pages at 4 rps must
+    take ≥ 0.75s (pages scheduled at t=0, .25, .5, .75) and return the
+    same rows as an unthrottled scan."""
+    import time
+
+    t0 = time.time()
+    rows = _read(spark, total=400, page_size=100, requests_per_second=4).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 400
+    assert elapsed >= 0.75
+    fast = _read(spark, total=400, page_size=100).collect()
+    assert sorted(rows) == sorted(fast)
+
+
 def test_comments_entity_scan(spark):
     """S4: the comments table of the same source."""
     df = _read(spark, entity="comments", total=100, page_size=50)

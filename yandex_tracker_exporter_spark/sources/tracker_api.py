@@ -13,8 +13,10 @@ as a Spark 4 Python DataSource:
   and updated-at range predicates and compiles them into the remote
   search spec — exactly F1's Tracker QL builder, but driven by Catalyst
   instead of hand-built strings. Everything else stays in Spark.
-- **rate limiting**: per-partition token spacing caps request
-  concurrency (the reference's API-politeness constraint, README:141-147).
+- **rate limiting**: ``option("requests_per_second", ...)`` staggers
+  page fetches on a schedule computed from the partition index, capping
+  the scan-wide request rate with zero cross-executor coordination (the
+  reference's API-politeness constraint, README:141-147).
 
 The HTTP transport is pluggable. ``FakeTrackerBackend`` generates a
 deterministic corpus and applies the pushed predicates "server-side" so
@@ -26,6 +28,7 @@ tests can assert that pushdown actually reduced what the source emitted;
 from __future__ import annotations
 
 import datetime as dt
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
@@ -172,6 +175,18 @@ class TrackerApiReader(DataSourceReader):
         else:
             self.backend = HttpTrackerBackend()
         self.page_size = page_size
+        #: API politeness (reference README:141-147 — the real Tracker
+        #: rate-limits aggressively): max requests/second ACROSS the
+        #: scan. 0 disables. Enforced by staggering each page partition
+        #: ``page / rps`` seconds from scan start — partitions run in
+        #: parallel but their fetch instants are spaced 1/rps apart
+        #: regardless of executor count (no coordination needed because
+        #: the schedule is computed from the partition index alone).
+        self.requests_per_second = float(options.get("requests_per_second", "0"))
+        # wall clock, not monotonic: the reader is pickled to executors
+        # and the schedule must be comparable across machines (NTP-level
+        # skew is fine at API-politeness granularity)
+        self._scan_epoch = time.time()
         self.query = SearchQuery()
         self.pushed: list[Filter] = []
 
@@ -213,6 +228,11 @@ class TrackerApiReader(DataSourceReader):
         return [_PagePartition(p) for p in range(pages)]
 
     def read(self, partition: _PagePartition):
+        if self.requests_per_second > 0:
+            not_before = self._scan_epoch + partition.page / self.requests_per_second
+            delay = not_before - time.time()
+            if delay > 0:
+                time.sleep(delay)
         yield from self.backend.fetch_page(self.query, partition.page)
 
 
