@@ -23,7 +23,7 @@ import time
 from yandex_tracker_exporter_spark.etl import run_etl
 from yandex_tracker_exporter_spark.plans.search_spec import SearchSpec
 from yandex_tracker_exporter_spark.session import get_spark
-from yandex_tracker_exporter_spark.sources.state import FileStateStore
+from yandex_tracker_exporter_spark.sources.state import state_store_factory
 
 logger = logging.getLogger(__name__)
 
@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--changelog", required=True, help="raw changelog parquet path")
     p.add_argument("--output", required=True, help="warehouse output dir")
     p.add_argument("--state", default=None, help="watermark state JSON path")
+    p.add_argument(
+        "--state-backend",
+        default="local",
+        choices=["local", "hadoop", "s3", "redis"],
+        help="watermark store backend (reference state/factory.py strategies): "
+        "local JSON file, hadoop/s3 (any Hadoop FS path incl. s3a://), or "
+        "redis (--state becomes the redis URL)",
+    )
     p.add_argument("--queues", default=None, help='queue spec, e.g. "DEV,!TEST"')
     p.add_argument(
         "--backfill-range",
@@ -49,7 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(args: argparse.Namespace) -> list:
     spark = get_spark(app_name="tracker-exporter-spark")
-    state = FileStateStore(args.state) if args.state else None
+    state = None
+    if args.state:
+        if args.state_backend == "redis":
+            state = state_store_factory("redis", url=args.state)
+        else:
+            state = state_store_factory(
+                args.state_backend, path=args.state, spark=spark
+            )
     results = []
     runs = 0
     while True:
