@@ -124,6 +124,41 @@ def test_comments_issue_key_pushdown(spark):
     assert eq.rdd.getNumPartitions() == 1
 
 
+def test_parallel_stream_reader_fans_out_pages(spark, tmp_path):
+    """parallel_stream=true: the batch's offset range fans out one
+    partition per page (executor-side fetch), drains the corpus, and
+    matches the batch scan row-for-row."""
+    import time
+
+    out = str(tmp_path / "pfeed")
+    s = (
+        spark.readStream.format("tracker_api")
+        .option("total", "600")
+        .option("page_size", "100")
+        .option("parallel_stream", "true")
+        .load()
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 600
+    batch = _read(spark, total=600, page_size=100)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # fan-out actually happened: one output file per page partition
+    import os
+
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) >= 6
+
+
 def test_streaming_source_incremental_offsets(spark, tmp_path):
     """ST2: the watermark is the stream offset; micro-batches advance it
     and the checkpoint makes restarts incremental."""

@@ -31,9 +31,11 @@ import datetime as dt
 import time
 from dataclasses import dataclass, field
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -319,6 +321,57 @@ class TrackerStreamReader(SimpleDataSourceStreamReader):
         return iter(self._slice(lo, hi))
 
 
+class _SlicePagePartition(InputPartition):
+    def __init__(self, start_iso: str, end_iso: str, page: int) -> None:
+        self.start_iso = start_iso
+        self.end_iso = end_iso
+        self.page = page
+
+
+class TrackerParallelStreamReader(DataSourceStreamReader):
+    """Page-parallel streaming reader (``option("parallel_stream",
+    "true")``): each micro-batch's offset range fans out to one
+    partition per page, so EXECUTORS fetch pages concurrently — the
+    reference (and the simple reader) pull pages sequentially on one
+    thread. Offsets keep the simple reader's shape
+    (``{"updated_after": iso}``) so checkpoints stay comparable."""
+
+    def __init__(self, options: dict) -> None:
+        total = int(options.get("total", "1000"))
+        page_size = int(options.get("page_size", "100"))
+        self.backend = FakeTrackerBackend(total, page_size)
+        self.page_size = page_size
+        self.epoch = FakeTrackerBackend.BASE_TS - dt.timedelta(seconds=1)
+        # the corpus' own high watermark: issues are minute-spaced
+        self.corpus_end = FakeTrackerBackend.BASE_TS + dt.timedelta(minutes=total)
+
+    def initialOffset(self) -> dict:
+        return {"updated_after": self.epoch.isoformat()}
+
+    def latestOffset(self) -> dict:
+        return {"updated_after": self.corpus_end.isoformat()}
+
+    def partitions(self, start: dict, end: dict):
+        lo = dt.datetime.fromisoformat(start["updated_after"])
+        n = self.backend.count(SearchQuery(updated_from=lo, strict_from=True))
+        pages = max(1, -(-n // self.page_size))
+        return [
+            _SlicePagePartition(start["updated_after"], end["updated_after"], p)
+            for p in range(pages)
+        ]
+
+    def read(self, partition: _SlicePagePartition):
+        lo = dt.datetime.fromisoformat(partition.start_iso)
+        hi = dt.datetime.fromisoformat(partition.end_iso)
+        query = SearchQuery(updated_from=lo, strict_from=True)
+        for row in self.backend.fetch_page(query, partition.page):
+            if row[6] <= hi:
+                yield row
+
+    def commit(self, end: dict) -> None:
+        """Offsets are checkpointed by Spark; nothing to clean up."""
+
+
 class TrackerApiDataSource(DataSource):
     """``spark.read.format("tracker_api")`` after ``register``; also a
     streaming source via ``spark.readStream.format("tracker_api")``."""
@@ -336,6 +389,16 @@ class TrackerApiDataSource(DataSource):
         if self.options.get("entity", "issues") == "comments":
             return TrackerCommentsReader(schema, dict(self.options))
         return TrackerApiReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        """Page-parallel reader when ``parallel_stream=true``; raising
+        the NotImplementedError otherwise makes Spark fall back to
+        :meth:`simpleStreamReader` (watermark-paced micro-batches)."""
+        if self.options.get("parallel_stream", "false").lower() == "true":
+            return TrackerParallelStreamReader(dict(self.options))
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+        )
 
     def simpleStreamReader(self, schema: StructType) -> TrackerStreamReader:
         return TrackerStreamReader(dict(self.options))
