@@ -709,6 +709,58 @@ def q_bigram_counts(spark, sf_dir):
     )
 
 
+def q_running_total(spark, sf_dir):
+    """Window-frame coverage: per-customer running order total in date
+    order (rows between unbounded preceding and current row), with a
+    deterministic tiebreak on o_orderkey."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").cast("long"),
+        F.col("o_orderkey").cast("long"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_pivot_orders(spark, sf_dir):
+    """Pivot coverage: order counts by priority pivoted on status (fixed
+    value list so the output schema is deterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce("P", F.lit(0)).cast("long").alias("n_p"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set-operation coverage: customers that bought in BOTH halves of
+    1995 (INTERSECT of projected key sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    h1 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    ).select(F.col("o_custkey").cast("long"))
+    h2 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").cast("long"))
+    return h1.intersect(h2)
+
+
 def q_display_timezone(spark, sf_dir):
     """P4 second half: UTC storage → configured display timezone at the
     export edge (EngineConfig.timezone, default Europe/Moscow). Wall
@@ -819,6 +871,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": q_value_percentiles,
     "anti_join": q_anti_join,
     "bigram_counts": q_bigram_counts,
+    "running_total": q_running_total,
+    "pivot_orders": q_pivot_orders,
+    "set_ops": q_set_ops,
 }
 
 
@@ -1286,6 +1341,33 @@ _ORACLES: dict[str, str] = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "running_total": """
+        SELECT o_custkey::BIGINT AS o_custkey,
+               o_orderkey::BIGINT AS o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_total
+        FROM orders WHERE o_custkey < 50
+    """,
+    "pivot_orders": """
+        SELECT o_orderpriority,
+               coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)::BIGINT AS n_f,
+               coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)::BIGINT AS n_o,
+               coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)::BIGINT AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "set_ops": """
+        SELECT o_custkey::BIGINT AS o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+        INTERSECT
+        SELECT o_custkey::BIGINT AS o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
     """,
     "value_percentiles": """
         SELECT event_type,
