@@ -47,6 +47,13 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
+        # isolation between queries: drop cached relations and collect
+        # garbage so one query's leftovers (cache entries, broadcast
+        # blocks, codegen classes) don't turn into GC pauses billed to
+        # the NEXT query (measured: multi-second spikes on trivial
+        # queries late in the run without this)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
