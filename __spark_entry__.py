@@ -709,6 +709,47 @@ def q_bigram_counts(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: overlapping 32-token chunks (8-token
+    overlap) per document — map-only explode, no shuffle."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import chunk_tokens
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = chunk_tokens(docs, "text", "doc_id", chunk_size=32, overlap=8)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("chunk_idx").cast("long"),
+        F.col("n_chunk_tokens").cast("long"),
+        "chunk_text",
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub: the corpus has no natural PII, so deterministic
+    contact lines (seeded by doc_id) are appended first, then redacted —
+    the oracle reproduces both steps and the match counts."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import redact_pii
+
+    docs = _t_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.col("doc_id").cast("string"),
+            F.lit("0000"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs, "text", "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "n_emails",
+        "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def q_running_total(spark, sf_dir):
     """Window-frame coverage: per-customer running order total in date
     order (rows between unbounded preceding and current row), with a
@@ -874,6 +915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": q_running_total,
     "pivot_orders": q_pivot_orders,
     "set_ops": q_set_ops,
+    "chunk_documents": q_chunk_documents,
+    "pii_redact": q_pii_redact,
 }
 
 
@@ -1342,6 +1385,21 @@ _ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "chunk_documents": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   greatest(1, floor((len(toks) - 8 + 23) / 24))::INT AS n_chunks
+            FROM t
+        )
+        SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS chunk_idx,
+               len(toks[i*24 + 1 : i*24 + 32])::BIGINT AS n_chunk_tokens,
+               array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+        FROM c, unnest(range(0, n_chunks)) AS u(i)
+    """,
+    "pii_redact": None,  # generated below (shared regex constants)
     "running_total": """
         SELECT o_custkey::BIGINT AS o_custkey,
                o_orderkey::BIGINT AS o_orderkey,
@@ -1635,6 +1693,37 @@ def _build_lsh_topk_sql() -> str:
     """
 
 
+def _build_pii_redact_sql() -> str:
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id::VARCHAR
+                        || '@example.com or +1 555-000-' || doc_id::VARCHAR
+                        || '0000' AS text
+            FROM documents
+        ), r AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT
+                       AS n_emails,
+                   regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g')
+                       AS no_email
+            FROM aug
+        )
+        SELECT doc_id::BIGINT AS doc_id, n_emails,
+               len(regexp_extract_all(no_email, '{PII_PHONE_RE}'))::BIGINT
+                   AS n_phones,
+               md5(regexp_replace(no_email, '{PII_PHONE_RE}', '<PHONE>', 'g'))
+                   AS redacted_md5
+        FROM r
+    """
+
+
+_ORACLES["pii_redact"] = _build_pii_redact_sql()
 _ORACLES["embedding_neardup"] = _build_embedding_neardup_sql()
 _ORACLES["language_id"] = _build_lang_id_sql()
 _ORACLES["quality_score"] = _build_quality_sql()

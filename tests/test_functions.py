@@ -262,3 +262,51 @@ def test_extract_changelog_value(spark):
     ]
     got = _eval(spark, extract_changelog_value(F.col("value")), [(r[0],) for r in rows])
     assert got == [r[1] for r in rows]
+
+
+def test_chunk_tokens_boundaries(spark):
+    """Chunk arithmetic: short docs yield one chunk; long docs overlap
+    by exactly `overlap` tokens; no empty chunks ever."""
+    import pytest as _pytest
+
+    from yandex_tracker_exporter_spark.operators.text_analysis import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # < chunk_size
+            (2, " ".join(f"t{i}" for i in range(40))),   # 2 chunks
+            (3, " ".join(f"t{i}" for i in range(100))),  # 4 chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_tokens(docs, chunk_size=32, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 10
+    assert len(by_doc[2]) == 2
+    chunks2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    # stride 24: chunk 1 starts at token 24 -> 8-token overlap
+    assert chunks2[0].chunk_text.split()[24:] == chunks2[1].chunk_text.split()[:8]
+    assert len(by_doc[3]) == 4
+    assert all(r.n_chunk_tokens > 0 for r in rows)
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(docs, chunk_size=8, overlap=8)
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from yandex_tracker_exporter_spark.operators.text_analysis import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, call +1 555-000-1234 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].n_emails == 2 and got[1].n_phones == 1
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL>, call <PHONE> now"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].redacted == "no pii here"

@@ -142,3 +142,69 @@ def fingerprint(
         lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    context-window preparation step of a training pipeline (each chunk
+    is ``chunk_size`` whitespace tokens, consecutive chunks share
+    ``overlap`` tokens). Map-only + explode: no shuffle; output size is
+    ~``n_tokens/stride`` rows per document.
+
+    Deterministic: chunk boundaries are pure integer arithmetic over
+    the token array, so an oracle can re-derive every chunk exactly.
+    Output: id, chunk_idx, n_chunk_tokens, chunk_text.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    tokens = _tokens(F.col(text_col))
+    n = F.size(tokens)
+    n_chunks = F.greatest(
+        F.lit(1), F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    with_idx = df.select(F.col(id_col), tokens.alias("_toks"), chunk)
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return with_idx.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+#: PII patterns shared by engine and oracle (RE2/Java-compatible: no
+#: lookarounds). Email first so phone digits inside addresses are gone.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails and phone-like digit runs (the minimum-viable PII
+    scrub of a training pipeline): deterministic regex replacement with
+    typed placeholders plus per-document match counts. Map-only.
+
+    Output: id, n_emails, n_phones, redacted.
+    """
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(no_email, F.lit(PII_PHONE_RE))
+    redacted = F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
