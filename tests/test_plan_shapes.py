@@ -77,3 +77,22 @@ def test_sessionize_single_shuffle(spark):
     plan = _plan(df)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}"
+
+
+def test_text_pipeline_queries_are_map_only(spark):
+    """chunk_documents / pii_redact / display_timezone must stay
+    shuffle-free: map-only transforms (the explode is not an Exchange)
+    so at 100 TB they are pure scan-bound passes."""
+    for name in ("chunk_documents", "pii_redact", "display_timezone"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_running_total_single_shuffle(spark):
+    """The rows-frame window needs exactly one shuffle on the
+    partition key."""
+    df = entry_mod.queries()["running_total"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
