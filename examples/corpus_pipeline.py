@@ -1,0 +1,86 @@
+"""End-to-end training-data corpus pipeline (the beyond-reference
+operator set in one run): quality gate → language ID → PII scrub →
+context-window chunking → exact dedup → MinHash-LSH near-dup pairs →
+embedding near-dup pairs.
+
+Run: ``python examples/corpus_pipeline.py [sf_dir]`` (default
+``/root/testdata/sf0.001``). Every stage is a lazy DataFrame transform;
+the single ``collect`` at the end materializes summary counts only.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark import get_spark
+from yandex_tracker_exporter_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_duplicates,
+)
+from yandex_tracker_exporter_spark.operators.similarity import cosine_neardup_pairs
+from yandex_tracker_exporter_spark.operators.text_analysis import (
+    chunk_tokens,
+    detect_language,
+    quality_score,
+    redact_pii,
+)
+from yandex_tracker_exporter_spark.sources.tables import load_table
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark(app_name="corpus-pipeline", master="local[4]")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 1. quality gate (token/stopword heuristics) — map-only
+    scored = quality_score(docs, "text", "doc_id")
+    kept_ids = scored.where(
+        (F.col("n_tokens") >= 16) & (F.col("stopword_ratio") <= 0.5)
+    ).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+
+    # 2. language ID + PII scrub — map-only
+    langs = detect_language(kept, "text", "doc_id")
+    clean = redact_pii(kept, "text", "doc_id").select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+
+    # 3. context-window chunks — map-only explode
+    chunks = chunk_tokens(clean, "text", "doc_id", chunk_size=32, overlap=8)
+
+    # 4. dedup: exact (hash-groupBy) + near-dup (LSH banding, no cross join).
+    # The synthetic embeddings have no natural near-dups, so model a
+    # partially re-encoded corpus (perturbed copies) like the driver
+    # query does — the LSH banding then has something to find.
+    exact = exact_dedup(clean, "text", "doc_id")
+    near = minhash_lsh_duplicates(clean, "text", "doc_id", threshold=0.5)
+    reencoded = emb.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(0.5)),
+            F.transform(F.slice("embedding", 2, 63), lambda x: x.cast("double")),
+        ).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    emb_near = cosine_neardup_pairs(
+        base.unionAll(reencoded), threshold=0.9, num_planes=8, num_bands=4
+    )
+
+    print("docs:", docs.count(), "→ kept after quality gate:", kept.count())
+    print("language histogram:",
+          sorted((r.detected_lang, r.cnt) for r in
+                 langs.groupBy("detected_lang").agg(F.count("*").alias("cnt")).collect()))
+    print("chunks:", chunks.count())
+    print("distinct contents:", exact.count(),
+          "| text near-dup pairs:", near.count(),
+          "| embedding near-dup pairs:", emb_near.count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
