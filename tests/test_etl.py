@@ -212,6 +212,52 @@ def test_compact_rewrites_to_latest(spark, tmp_path):
     assert rows == {"A": "new", "B": "b1"}  # OPTIMIZE FINAL semantics
 
 
+def test_compact_partition_scoped(spark, tmp_path):
+    """months=[...] compacts only the named _month partitions (OPTIMIZE
+    PARTITION semantics): the targeted month collapses to latest-per-key,
+    untouched months keep their duplicate versions on disk, and
+    read_latest stays correct across months either way."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.sources.sinks import (
+        compact,
+        read_latest,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "monthly")
+    rows = [
+        # key A: two versions in Jan (dup within partition) + one in Feb
+        ("A", 1, dt.datetime(2024, 1, 10), "jan-old"),
+        ("A", 2, dt.datetime(2024, 1, 20), "jan-new"),
+        ("A", 3, dt.datetime(2024, 2, 5), "feb"),
+        # key B: two versions in Feb
+        ("B", 1, dt.datetime(2024, 2, 1), "feb-old"),
+        ("B", 2, dt.datetime(2024, 2, 2), "feb-new"),
+    ]
+    df = spark.createDataFrame(
+        rows, "issue_key string, version long, updated_at timestamp, p string"
+    )
+    write_versioned(df, path, ["issue_key"], partition_ts_col="updated_at")
+
+    compact(spark, path, ["issue_key"], months=["202402"])
+
+    feb = spark.read.parquet(f"{path}/_month=202402")
+    assert sorted((r.issue_key, r.p) for r in feb.collect()) == [
+        ("A", "feb"), ("B", "feb-new")
+    ]
+    jan = spark.read.parquet(f"{path}/_month=202401")
+    assert jan.count() == 2  # untouched month keeps both versions
+    assert not os.path.exists(f"{path}/_month=202402.__compact_tmp__")
+
+    # FINAL view is still latest-per-key ACROSS months
+    latest = {r.issue_key: r.p for r in read_latest(spark, path, ["issue_key"]).collect()}
+    assert latest == {"A": "feb", "B": "feb-new"}
+
+
 def test_compact_swap_protocol_is_durable(spark, tmp_path):
     """compact() must never overwrite the directory it reads: it writes
     a temp sibling, swaps, and cleans up — including a stale old-copy

@@ -83,16 +83,26 @@ def compact(
     path: str,
     keys: list[str],
     version_col: str = "version",
+    months: list[str] | None = None,
 ) -> None:
     """``OPTIMIZE FINAL``: rewrite the table to one version per key.
+
+    ``months`` scopes the rewrite to specific ``_month`` partitions
+    (ClickHouse ``OPTIMIZE TABLE … PARTITION`` semantics): at 100 TB a
+    sliding-window upsert only dirties the most recent month(s), so
+    compacting those alone turns a full-table rewrite into a bounded
+    one. Like ClickHouse, a partition-scoped merge collapses versions
+    WITHIN the partition only — a key whose versions span months keeps
+    one row per touched month, and :func:`read_latest` (the FINAL view)
+    remains the cross-partition correctness layer either way.
 
     Durable swap protocol — the rewrite NEVER overwrites the files it is
     reading (a cache-and-overwrite-in-place loses the table if cached
     blocks are evicted mid-write and the plan recomputes from deleted
     source files):
 
-    1. write the deduped table to ``<path>.__compact_tmp__``
-    2. rename the live directory aside to ``<path>.__compact_old__``
+    1. write the deduped data to ``<dir>.__compact_tmp__``
+    2. rename the live directory aside to ``<dir>.__compact_old__``
     3. rename the temp directory into place
     4. delete the old directory
 
@@ -103,17 +113,30 @@ def compact(
     transactional catalog is available.)
     """
     base = path.rstrip("/")
-    tmp, old = base + ".__compact_tmp__", base + ".__compact_old__"
-    read_latest(spark, path, keys, version_col).write.mode("overwrite").parquet(tmp)
+    if months is None:
+        deduped = read_latest(spark, path, keys, version_col)
+        _swap_rewrite(spark, base, deduped)
+        return
+    for month in months:
+        part_dir = f"{base}/_month={month}"
+        deduped = latest_version_dedup(
+            spark.read.parquet(part_dir), keys, version_col
+        )
+        _swap_rewrite(spark, part_dir, deduped)
 
-    fs, hpath = _hadoop_fs(spark, path)
+
+def _swap_rewrite(spark: SparkSession, target: str, df: DataFrame) -> None:
+    """Write ``df`` next to ``target`` and atomically swap it in."""
+    tmp, old = target + ".__compact_tmp__", target + ".__compact_old__"
+    df.write.mode("overwrite").parquet(tmp)
+    fs, hpath = _hadoop_fs(spark, target)
     if fs.exists(hpath(old)):
         fs.delete(hpath(old), True)
-    if not fs.rename(hpath(base), hpath(old)):
-        raise IOError(f"compact: could not move {base} aside to {old}")
-    if not fs.rename(hpath(tmp), hpath(base)):
-        fs.rename(hpath(old), hpath(base))  # restore the live table
-        raise IOError(f"compact: could not move {tmp} into place (restored {base})")
+    if not fs.rename(hpath(target), hpath(old)):
+        raise IOError(f"compact: could not move {target} aside to {old}")
+    if not fs.rename(hpath(tmp), hpath(target)):
+        fs.rename(hpath(old), hpath(target))  # restore the live table
+        raise IOError(f"compact: could not move {tmp} into place (restored {target})")
     fs.delete(hpath(old), True)
 
 
