@@ -933,9 +933,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
 
-# md5-derived 32-bit hash, identical to Spark conv(substr(md5(x),1,8),16,10)
+# polynomial codepoint hash, identical to operators.dedup._hash64:
+# h = fold(chars, 0, (h*131 + codepoint) mod 2^31-1); '' hashes to 0
 def _dd_hash(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, len({expr}) + 1), "
+        f"i -> ascii(substr({expr}, i, 1))::BIGINT)), "
+        f"(h, c) -> (h * 131 + c) % 2147483647)"
+    )
 
 
 # distinct character k-grams as a DuckDB list
@@ -1189,30 +1195,37 @@ _ORACLES: dict[str, str] = {
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
     """,
+    # verification runs over DISTINCT shingle-HASH sets (same 31-bit
+    # polynomial hash as the Spark kernel) — identical set arithmetic on
+    # both engines, and long-array intersects instead of string intersects
     "ngram_jaccard_pairs": f"""
         WITH docs AS (
             SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents
-        ), sigs AS (
-            SELECT doc_id, {_MINHASH_SIG} AS sig FROM docs
+        ), hashed AS (
+            SELECT doc_id,
+                   {_MINHASH_SIG} AS sig,
+                   list_distinct(list_transform(shingles, s -> {_dd_hash('s')}))
+                       AS hset
+            FROM docs
         ), banded AS (
             SELECT doc_id, bi,
                    md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
                        || '_' || sig[4*bi + 3]::VARCHAR || '_'
                        || sig[4*bi + 4]::VARCHAR) AS band_key
-            FROM sigs, unnest(range(0, 4)) AS t(bi)
+            FROM hashed, unnest(range(0, 4)) AS t(bi)
         ), cand AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
             FROM banded a JOIN banded b
               ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ), verified AS (
             SELECT a_id, b_id,
-                   len(list_intersect(da.shingles, db.shingles))::DOUBLE
-                   / (len(da.shingles) + len(db.shingles)
-                      - len(list_intersect(da.shingles, db.shingles)))::DOUBLE
+                   len(list_intersect(da.hset, db.hset))::DOUBLE
+                   / (len(da.hset) + len(db.hset)
+                      - len(list_intersect(da.hset, db.hset)))::DOUBLE
                        AS jaccard
             FROM cand
-            JOIN docs da ON da.doc_id = a_id
-            JOIN docs db ON db.doc_id = b_id
+            JOIN hashed da ON da.doc_id = a_id
+            JOIN hashed db ON db.doc_id = b_id
         )
         SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, jaccard
         FROM verified WHERE jaccard >= 0.6

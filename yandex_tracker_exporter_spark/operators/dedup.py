@@ -10,9 +10,9 @@ Two families:
 
 2. **Content dedup** (the 100 TB training-data-pipeline set): exact
    (hash-groupBy), MinHash+LSH (shingle → signature → band → bucket
-   join), SimHash, n-gram Jaccard. All deterministic (md5-derived
-   hashes, fixed coefficient schedule) so results are reproducible and
-   oracle-checkable.
+   join), SimHash, n-gram Jaccard. All deterministic (polynomial
+   codepoint hashes, fixed coefficient schedule) so results are
+   reproducible and oracle-checkable.
 
 Scale notes:
 - ``latest_version_dedup`` is one shuffle on the dedup key; at the sink
@@ -21,19 +21,30 @@ Scale notes:
   from equi-joins on band keys (shuffle on band hash — uniform by
   construction), never from a cross join. The n-gram Jaccard operator
   also blocks on shared shingles rather than crossing.
-- All signatures are built with built-in expressions (md5/conv/
-  transform/aggregate) — whole-stage codegen, zero Python.
+- All signatures are built with built-in expressions (transform/
+  aggregate/zip_with integer folds) — whole-stage codegen, zero Python.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .partitioning import ensure_parallelism
 
 # Coefficients for the universal-hash family h_i(x) = (a_i*x + b_i) mod P.
 # P is the Mersenne prime 2^31-1; a_i odd, b_i from a fixed schedule —
 # deterministic so DuckDB oracles can reproduce the signatures exactly.
 MINHASH_PRIME = 2147483647
+# Base of the polynomial codepoint hash h = fold(chars, 0, (h*B + cp) mod P).
+# Replaces the round-2 md5-per-shingle hash: md5 digest + hex + base-16
+# string conversion per shingle was the #2 bench tail; the polynomial fold
+# is pure integer arithmetic, portable to any engine with a left fold, and
+# (for shingles) computable from ONE codepoint array per document instead
+# of per-shingle string allocations.
+POLY_BASE = 131
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 
@@ -93,9 +104,153 @@ def _char_shingles(col: Column, k: int) -> Column:
 
 
 def _hash64(col: Column) -> Column:
-    """Deterministic 32-bit integer hash of a string: first 8 hex chars of
-    md5, base-16 → long. Portable to any SQL engine with md5()."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """Deterministic 31-bit integer hash of a string: polynomial fold over
+    codepoints, h = (h*131 + cp) mod (2^31-1). Portable to any SQL engine
+    with a left fold (DuckDB: ``list_reduce`` over ``ascii(substr(...))``).
+    Empty string hashes to 0 on both engines (Spark ``ascii('') = 0``)."""
+    n = F.length(col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.ascii(F.substring(col, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * POLY_BASE + c) % MINHASH_PRIME,
+    )
+
+
+def _codepoints(col: Column) -> Column:
+    """Codepoint array of a string ('' → [0], the codepoint fold identity).
+
+    MUST be materialized as its own projected column before being indexed
+    repeatedly: expression trees are duplicated per reference inside
+    higher-order-function lambdas (no common-subexpression elimination
+    there), so inlining this at every ``get()`` site turns the rolling
+    hash into O(len² · k) per document. As a standalone non-cheap alias
+    referenced many times, CollapseProject keeps the projection boundary.
+    """
+    n = F.length(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.ascii(F.substring(col, i, 1)).cast("long"),
+    )
+
+
+def _rolling_hashes_from_codes(codes: Column, k: int) -> Column:
+    """Per-position polynomial hashes of every character k-gram, from a
+    pre-materialized codepoint array column (see ``_codepoints``).
+
+    Equivalent to ``transform(_char_shingles(col, k), _hash64)`` up to
+    multiplicity (positions vs distinct shingles — min-folds are
+    unaffected) but with no per-shingle string or array allocations: each
+    position's hash is k multiply-add-mods over O(1) ``get()`` lookups.
+
+    The k-term position kernel MUST be straight-line (no per-term bounds
+    ``when``: nesting the accumulator into both branches doubles the tree
+    per term — 2^k expression nodes, catastrophic under interpreted HOF
+    eval). Positions only reach ``len - k + 1`` so in-bounds is guaranteed
+    whenever ``len >= k``; the one short-document case (single truncated
+    shingle) is a whole-array fold behind a single outer ``when``.
+    """
+    n = F.size(codes)
+    positions = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+
+    def hash_at(i: Column) -> Column:
+        # h after first char is just its codepoint (0*B + cp) mod P
+        h = F.get(codes, i - 1)
+        for j in range(1, k):
+            h = (h * POLY_BASE + F.get(codes, i + F.lit(j) - 1)) % MINHASH_PRIME
+        return h
+
+    whole = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * POLY_BASE + c) % MINHASH_PRIME,
+    )
+    return F.when(n >= k, F.transform(positions, hash_at)).otherwise(F.array(whole))
+
+
+def _minhash_sig_kernel(num_hashes: int, shingle_k: int):
+    """Arrow-vectorized MinHash signature column: exact integer math,
+    bit-identical to the pure-expression path (``minhash_signatures_expr``)
+    and the DuckDB oracle.
+
+    Rationale (measured at sf0.1, 5k docs × ~300 chars): the signature is
+    a wide integer kernel over ~1.5M shingle positions; Spark's
+    higher-order functions evaluate lambdas interpreted (boxed longs, no
+    codegen), costing ~4-6 s per pair query, and the round-2
+    md5-per-shingle variant cost ~3-4 s. The numpy rolling hash does the
+    same math vectorized per Arrow batch in <0.5 s. Map-only — scales as a
+    pure projection at 100 TB.
+    """
+    a_coef = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b_coef = np.arange(num_hashes, dtype=np.int64) * 7919 + 12345
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            # utf-32-le == one uint32 codepoint per char, vectorized
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = cp.shape[0]
+            if n >= shingle_k:
+                # rolling: h_i = poly(cp[i : i+k]) mod P, all positions at once
+                h = cp[: n - shingle_k + 1].copy()
+                for j in range(1, shingle_k):
+                    h = (h * POLY_BASE + cp[j : n - shingle_k + 1 + j]) % MINHASH_PRIME
+            else:
+                # single truncated shingle (the whole string; '' folds to 0)
+                acc = 0
+                for c in cp:
+                    acc = (acc * POLY_BASE + int(c)) % MINHASH_PRIME
+                h = np.array([acc], dtype=np.int64)
+            # family min: sig_i = min_h (a_i*h + b_i) mod P  (a_i*h < 2^36, exact)
+            out.append(
+                ((h[:, None] * a_coef[None, :] + b_coef[None, :]) % MINHASH_PRIME).min(
+                    axis=0
+                )
+            )
+        return pd.Series(out)
+
+    return sig
+
+
+def _shingle_hset_kernel(shingle_k: int):
+    """Arrow-vectorized DISTINCT shingle-hash set (sorted longs) per doc —
+    the exact-verification payload for n-gram Jaccard. Intersecting two
+    long arrays is ~an order of magnitude cheaper than intersecting the
+    9-char shingle STRING arrays (no string hashing/equality)."""
+
+    @F.pandas_udf("array<long>")
+    def hset(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = cp.shape[0]
+            if n >= shingle_k:
+                h = cp[: n - shingle_k + 1].copy()
+                for j in range(1, shingle_k):
+                    h = (h * POLY_BASE + cp[j : n - shingle_k + 1 + j]) % MINHASH_PRIME
+            else:
+                acc = 0
+                for c in cp:
+                    acc = (acc * POLY_BASE + int(c)) % MINHASH_PRIME
+                h = np.array([acc], dtype=np.int64)
+            out.append(np.unique(h))
+        return pd.Series(out)
+
+    return hset
 
 
 def minhash_signatures(
@@ -107,14 +262,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (array of ``num_hashes`` longs).
 
-    Single-pass fold: each shingle is md5-hashed ONCE, then the whole
-    hash family updates an array accumulator via ``zip_with(least)`` —
-    a 16× saving over computing each signature component independently
-    (Catalyst's CollapseProject would otherwise inline the shingle
-    hashing per component).
+    Default path is the Arrow-vectorized kernel (``_minhash_sig_kernel``);
+    ``minhash_signatures_expr`` is the pure-JVM-expression equivalent
+    (kept for engines without Python workers, tested bit-identical).
     """
-    shingles = _char_shingles(F.col(content_col), shingle_k)
-    base_hashes = F.transform(shingles, _hash64)
+    kernel = _minhash_sig_kernel(num_hashes, shingle_k)
+    return df.select(
+        F.col(id_col), kernel(F.col(content_col)).alias("minhash_sig")
+    )
+
+
+def minhash_signatures_expr(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 9,
+) -> DataFrame:
+    """Pure-expression MinHash signature (no Python workers).
+
+    Single-pass fold: every shingle position's base hash comes from one
+    rolling pass over the document's codepoint array (no per-shingle
+    strings), then the whole hash family updates an array accumulator via
+    ``zip_with(least)`` — a 16× saving over computing each signature
+    component independently (Catalyst's CollapseProject would otherwise
+    inline the shingle hashing per component). Positions vs distinct
+    shingles is immaterial under the min-fold.
+    """
+    coded = df.select(
+        F.col(id_col), _codepoints(F.col(content_col)).alias("_codes")
+    )
+    base_hashes = _rolling_hashes_from_codes(F.col("_codes"), shingle_k)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
 
@@ -127,7 +305,7 @@ def minhash_signatures(
         return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
 
     signature = F.aggregate(base_hashes, init, fold_step)
-    return df.select(F.col(id_col), signature.alias("minhash_sig"))
+    return coded.select(F.col(id_col), signature.alias("minhash_sig"))
 
 
 def minhash_lsh_duplicates(
@@ -148,7 +326,11 @@ def minhash_lsh_duplicates(
     ``threshold``. Output: (a_id, b_id, est_jaccard), a_id < b_id.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, content_col, id_col, num_hashes, shingle_k)
+    # single-row-group corpora scan as one split; re-split before the
+    # CPU-heavy signature stage (no-op when input is already parallel)
+    sigs = minhash_signatures(
+        ensure_parallelism(df), content_col, id_col, num_hashes, shingle_k
+    )
 
     def band_hash(b: int) -> Column:
         parts = [
@@ -157,9 +339,12 @@ def minhash_lsh_duplicates(
         ]
         return F.md5(F.concat_ws("_", *parts))
 
+    # Band on NARROW rows (id + band key only), collapse duplicate
+    # candidates while rows are tiny, then join signatures back for
+    # scoring (AQE broadcasts the sig relation when small; at scale this
+    # is two linear id-equi-joins — the band exchange never widens).
     banded = sigs.select(
         F.col(id_col),
-        "minhash_sig",
         F.explode(
             F.array(
                 *[
@@ -168,31 +353,23 @@ def minhash_lsh_duplicates(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "minhash_sig", "band.band_idx", "band.band_key")
-    # pre-shuffle on the join key. Known tail: ReuseExchange does not
-    # canonicalize the two self-join sides, so signatures compute twice;
-    # a lazy localCheckpoint here was MEASURED SLOWER (3.02s vs 2.92s at
-    # sf0.1 — block serialization eats the saved recompute), so the
-    # plain repartition stays.
+    ).select(id_col, "band.band_idx", "band.band_key")
     banded = banded.repartition("band_idx", "band_key")
 
-    left = banded.select(
-        F.col(id_col).alias("a_id"),
-        F.col("minhash_sig").alias("a_sig"),
-        "band_idx",
-        "band_key",
-    )
-    right = banded.select(
-        F.col(id_col).alias("b_id"),
-        F.col("minhash_sig").alias("b_sig"),
-        "band_idx",
-        "band_key",
-    )
+    left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
+    right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
     candidates = (
         left.join(right, ["band_idx", "band_key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .distinct()
+    )
+    scored = candidates.join(
+        sigs.select(F.col(id_col).alias("a_id"), F.col("minhash_sig").alias("a_sig")),
+        "a_id",
+    ).join(
+        sigs.select(F.col(id_col).alias("b_id"), F.col("minhash_sig").alias("b_sig")),
+        "b_id",
     )
     matching = F.size(
         F.filter(
@@ -201,7 +378,7 @@ def minhash_lsh_duplicates(
     )
     est_jaccard = matching.cast("double") / F.lit(float(num_hashes))
     return (
-        candidates.withColumn("est_jaccard", est_jaccard)
+        scored.withColumn("est_jaccard", est_jaccard)
         .where(F.col("est_jaccard") >= threshold)
         .select("a_id", "b_id", "est_jaccard")
     )
@@ -260,37 +437,29 @@ def ngram_jaccard_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over MinHash-LSH candidate pairs.
+    """n-gram Jaccard over MinHash-LSH candidate pairs.
 
     A naive shingle self-join blows up quadratically on frequent
     shingles (word-soup corpora share most 9-grams across documents), so
     candidates come from LSH banding and each candidate pair is verified
-    with the EXACT set intersection over the pair's shingle arrays.
+    with the exact set intersection over the pair's DISTINCT shingle-HASH
+    sets (31-bit polynomial hashes — a per-pair collision perturbs the
+    set sizes with probability ~|shingles|²/2³² ≈ 1e-5; deterministic and
+    reproduced exactly by the oracle). Long-array intersection keeps the
+    band exchange 9× narrower than carrying shingle strings and avoids
+    string hashing in the verify stage.
     4 bands × 4 rows: near-dups (jaccard ≳ 0.8) are caught with ≥95%
     probability while near-zero-similarity pairs collide with ~1e-4 —
     the corpus-wide candidate volume stays linear. Output:
     (a_id, b_id, jaccard), a_id < b_id, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col), _char_shingles(F.col(content_col), shingle_k).alias("shingles")
-    )
-    # signature derived from the SAME shingle column in one projection
-    # chain (a separate sigs branch + join-back would re-shingle and
-    # re-scan the table)
-    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-
-    def fold_step(acc: Column, h: Column) -> Column:
-        candidates = F.transform(
-            idx,
-            lambda i: ((2 * i + 1).cast("long") * h + (i * 7919 + 12345).cast("long"))
-            % F.lit(MINHASH_PRIME),
-        )
-        return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
-
-    base = shingled.withColumn(
-        "minhash_sig", F.aggregate(F.transform("shingles", _hash64), init, fold_step)
+    # Re-split first: the signature/hash-set kernels are the CPU-heavy
+    # stage and must not run on a single-row-group scan's one partition.
+    par = ensure_parallelism(df)
+    sig_kernel = _minhash_sig_kernel(num_hashes, shingle_k)
+    sigs = par.select(
+        F.col(id_col), sig_kernel(F.col(content_col)).alias("minhash_sig")
     )
 
     def band_hash(b: int) -> Column:
@@ -300,12 +469,13 @@ def ngram_jaccard_pairs(
         ]
         return F.md5(F.concat_ws("_", *parts))
 
-    # carry the shingle arrays through the band join: no join-backs;
-    # duplicate candidates (pairs sharing several bands) are collapsed
-    # AFTER verification, when rows are tiny (id, id, double)
-    banded = base.select(
+    # Band on NARROW rows (id, band_idx, band_key only — the ~2 KB
+    # hash-set payload does NOT ride the band exchange; carrying it was
+    # measured ~90 MB of shuffle at sf0.1 vs ~3 MB for the keys alone),
+    # collapse duplicate candidates (pairs sharing several bands) while
+    # rows are tiny, and only THEN join the verification payload back.
+    banded = sigs.select(
         F.col(id_col),
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -314,29 +484,40 @@ def ngram_jaccard_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "shingles", "band.band_idx", "band.band_key")
-
-    # pre-shuffle on the join key (the self-join needs exactly this
-    # partitioning). ReuseExchange does not kick in for this self-join
-    # shape, so each side re-shingles — but materializing the banded
-    # relation with a lazy localCheckpoint was MEASURED SLOWER (3.87s vs
-    # 2.95s at sf0.1): serializing the wide shingle arrays to block
-    # storage costs more than recomputing them. Recompute wins.
+    ).select(id_col, "band.band_idx", "band.band_key")
     banded = banded.repartition("band_idx", "band_key")
 
-    left = banded.select(
-        F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"), "band_idx", "band_key"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"), "band_idx", "band_key"
-    )
-    shared = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-    union = (F.size("a_sh") + F.size("b_sh")).cast("double") - shared
-    return (
+    left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
+    right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
+    candidates = (
         left.join(right, ["band_idx", "band_key"])
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("jaccard", shared / union)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    # Verification join-back: candidates are LSH-sparse (linear-ish in the
+    # corpus), the hash-set relation is one kernel pass; AQE broadcasts it
+    # when small, and at 100 TB this degrades to two linear id-equi-joins —
+    # never a widening of the band exchange.
+    hset_kernel = _shingle_hset_kernel(shingle_k)
+    hsets = par.select(
+        F.col(id_col), hset_kernel(F.col(content_col)).alias("hset")
+    )
+    scored = (
+        candidates.join(
+            hsets.select(F.col(id_col).alias("a_id"), F.col("hset").alias("a_h")),
+            "a_id",
+        )
+        .join(
+            hsets.select(F.col(id_col).alias("b_id"), F.col("hset").alias("b_h")),
+            "b_id",
+        )
+    )
+    shared = F.size(F.array_intersect("a_h", "b_h")).cast("double")
+    union = (F.size("a_h") + F.size("b_h")).cast("double") - shared
+    return (
+        scored.withColumn("jaccard", shared / union)
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
-        .distinct()
     )
