@@ -251,7 +251,13 @@ def test_compact_partition_scoped(spark, tmp_path):
     ]
     jan = spark.read.parquet(f"{path}/_month=202401")
     assert jan.count() == 2  # untouched month keeps both versions
-    assert not os.path.exists(f"{path}/_month=202402.__compact_tmp__")
+    # staging lives OUTSIDE the table root (an in-root dir with '=' in its
+    # name would be discovered as a bogus partition) and is cleaned up
+    assert all("__compact" not in e for e in os.listdir(path))
+    assert [e for e in os.listdir(path) if "=" in e] == sorted(
+        ["_month=202401", "_month=202402"]
+    )
+    assert not os.path.exists(path + ".__compact_staging__")
 
     # FINAL view is still latest-per-key ACROSS months
     latest = {r.issue_key: r.p for r in read_latest(spark, path, ["issue_key"]).collect()}
@@ -285,6 +291,61 @@ def test_compact_swap_protocol_is_durable(spark, tmp_path):
     # swap artifacts are gone: live dir only
     assert not os.path.exists(path + ".__compact_tmp__")
     assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_partition_compact_crash_is_invisible_to_readers_and_recovers(
+    spark, tmp_path
+):
+    """The two partition-compaction crash windows:
+
+    1. crash AFTER the staged tmp write — a full-table read must NOT
+       ingest the staged copy as a bogus partition (the round-2 layout
+       put ``_month=202402.__compact_tmp__`` inside the table root,
+       which partition discovery parses as a real ``_month`` value);
+    2. crash BETWEEN rename-aside and rename-into-place — the next
+       compact() run must restore the partition from the old copy.
+    """
+    import datetime as dt
+    import os
+    import shutil
+
+    from yandex_tracker_exporter_spark.sources.sinks import (
+        compact,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "monthly")
+    rows = [
+        ("A", 1, dt.datetime(2024, 1, 10), "jan"),
+        ("B", 1, dt.datetime(2024, 2, 1), "feb-old"),
+        ("B", 2, dt.datetime(2024, 2, 2), "feb-new"),
+    ]
+    df = spark.createDataFrame(
+        rows, "issue_key string, version long, updated_at timestamp, p string"
+    )
+    write_versioned(df, path, ["issue_key"], partition_ts_col="updated_at")
+    staging = path + ".__compact_staging__"
+    live = f"{path}/_month=202402"
+
+    # window 1: staged tmp exists (crash before any rename) — readers of
+    # the table root see exactly the live rows, not a duplicate month
+    os.makedirs(staging, exist_ok=True)
+    shutil.copytree(live, f"{staging}/202402.tmp")
+    assert spark.read.parquet(path).count() == 3
+    # and the next run discards the stale tmp, then compacts normally
+    compact(spark, path, ["issue_key"], months=["202402"])
+    assert sorted(
+        (r.issue_key, r.p) for r in spark.read.parquet(live).collect()
+    ) == [("B", "feb-new")]
+
+    # window 2: live partition renamed aside, then crash — next compact
+    # restores from the old copy before rewriting
+    os.makedirs(staging, exist_ok=True)
+    shutil.move(live, f"{staging}/202402.old")
+    assert not os.path.exists(live)
+    compact(spark, path, ["issue_key"], months=["202402"])
+    assert {r.issue_key for r in spark.read.parquet(live).collect()} == {"B"}
+    assert not os.path.exists(staging)
 
 
 def test_upsert_newer_version_wins(spark, raw_issues, raw_changelog, tmp_path):

@@ -196,6 +196,38 @@ def test_business_seconds(spark, impl):
     assert got == [e for _, _, e in BUSINESS_CASES]
 
 
+def test_business_seconds_four_year_span(spark):
+    """The closed-form expression has no span cap: a 4-year interval
+    (which the round-2 sequence() expansion nulled out) must equal the
+    day-walking reference semantics (businesstimedelta over 09-22
+    Mon-Fri, reference helpers.py:40-73), including interior holidays."""
+    import datetime as dt
+
+    start = dt.datetime(2020, 2, 14, 10, 0, 0)  # Friday
+    end = dt.datetime(2024, 3, 18, 20, 30, 0)  # Monday
+    holidays = ("2022-06-13", "2022-06-12")  # a Monday and a Sunday
+
+    def day_walk(s, e, workdays={0, 1, 2, 3, 4}, hs=9, he=22, hol=()):
+        hol = {dt.date.fromisoformat(h) for h in hol}
+        total = 0
+        day = s.date()
+        while day <= e.date():
+            if day.weekday() in workdays and day not in hol:
+                ws = dt.datetime.combine(day, dt.time(hs))
+                we = dt.datetime.combine(day, dt.time(he))
+                total += max(0, int((min(e, we) - max(s, ws)).total_seconds()))
+            day += dt.timedelta(days=1)
+        return total
+
+    expected = day_walk(start, end, hol=holidays)
+    df = spark.createDataFrame([(start, end)], "start timestamp, end timestamp")
+    got = df.select(
+        business_seconds("start", "end", holiday_dates=holidays)
+    ).collect()[0][0]
+    assert got == expected
+    assert got is not None and got > 3 * 365 * 0.7 * 13 * 3600  # sanity: non-null, plausible
+
+
 def test_business_seconds_holiday(spark):
     # Mon 2023-10-16 marked as holiday → 0
     df = spark.createDataFrame(

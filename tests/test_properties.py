@@ -81,7 +81,10 @@ def test_human_time_expression_matches_python(spark):
     st.datetimes(
         min_value=dt.datetime(2020, 1, 1), max_value=dt.datetime(2025, 12, 31)
     ),
-    st.integers(min_value=0, max_value=14 * 86400),
+    # spans up to ~4.5 years: the closed-form expression must keep
+    # matching the day-expanding pandas UDF far beyond the old ~3-year
+    # expansion cap (which returned null there)
+    st.integers(min_value=0, max_value=1650 * 86400),
 )
 @settings(max_examples=12, deadline=None)
 def _check_business_seconds_impls_agree(start, span_s):

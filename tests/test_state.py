@@ -75,6 +75,42 @@ def test_hadoop_store_unflushed_set_is_not_committed(spark, tmp_path):
     assert HadoopFileStateStore(spark, path).get("issues") == TS
 
 
+def test_hadoop_store_write_never_leaves_zero_state_files(spark, tmp_path):
+    """At every instant of _write, either the live file or the .bak copy
+    exists: the round-2 delete-then-rename protocol had a window with NO
+    state file (a crash there silently reset the watermark to epoch).
+    Simulate the crash-between-rename-aside-and-rename-into-place state
+    on disk and assert a fresh store still reads the old watermark."""
+    import json
+    import os
+
+    live = tmp_path / "wm.json"
+    store = HadoopFileStateStore(spark, f"file://{live}")
+    store.set("issues", TS)
+    store.flush()
+
+    # crash window: live was renamed aside to .bak, tmp not yet in place
+    os.rename(str(live), str(live) + ".bak")
+    with open(str(live) + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump({"issues": "2030-01-01T00:00:00"}, fh)  # uncommitted
+    assert not os.path.exists(live)
+
+    fresh = HadoopFileStateStore(spark, f"file://{live}")
+    assert fresh.get("issues") == TS  # restored from .bak, not epoch-reset
+    assert os.path.exists(live)  # recovery renamed the backup back
+
+    # and a subsequent write cleans up both artifacts
+    fresh.set("issues", TS + dt.timedelta(days=1))
+    fresh.flush()
+    leftovers = [
+        f
+        for f in os.listdir(tmp_path)
+        if not f.startswith(".") and f != "wm.json"
+    ]
+    assert leftovers == [], leftovers
+    assert HadoopFileStateStore(spark, f"file://{live}").get("issues") == TS + dt.timedelta(days=1)
+
+
 def test_redis_store_roundtrip_and_namespacing():
     client = FakeRedis()
     store = RedisStateStore(client=client, namespace="ns1")

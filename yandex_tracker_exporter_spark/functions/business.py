@@ -4,11 +4,14 @@ The reference computes it per-row in Python with ``businesstimedelta`` +
 ``holidays.RU()`` (``helpers.py:40-73``). Two implementations here:
 
 1. ``business_seconds`` — **pure Spark expression** (the default and the
-   100 TB path): expand the interval into its calendar days with
-   ``sequence()``, clip each day to the business window, drop non-work
-   days and holidays, sum. Entirely JVM-side, whole-stage codegen, no
-   shuffle, no Python. Intervals in this domain span days-to-weeks, so
-   the per-row array is tiny; a guard caps pathological spans.
+   100 TB path): closed-form. Only the two boundary days need clipping
+   against the business window; every interior day contributes the full
+   window length iff its weekday is a workday and it is not a holiday,
+   so interior days are COUNTED (one O(1) weekday-count term per
+   configured workday, one containment term per configured holiday)
+   rather than expanded. Entirely JVM-side, whole-stage codegen, no
+   arrays, no shuffle, no Python — and constant cost for any span
+   (the round-2 ``sequence()`` expansion nulled out past ~3 years).
 
 2. ``business_seconds_pandas_udf`` — Arrow-vectorized pandas UDF with
    the same day-clipping arithmetic in numpy, kept as a reference
@@ -33,10 +36,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-#: Safety cap on interval expansion: ~3 years of days per row.
-_MAX_SPAN_DAYS = 1100
-
-
 def business_seconds(
     start: Column | str,
     end: Column | str,
@@ -48,26 +47,26 @@ def business_seconds(
     """Seconds of [start, end) that fall inside business hours.
 
     ``workdays`` uses Python weekday numbering (Mon=0..Sun=6) to match
-    the reference config (``config.py:193``).
+    the reference config (``config.py:193``). Closed-form: O(1) per row
+    for any interval width — no span cap.
     """
+    import datetime as _dt
+
     s0 = F.col(start) if isinstance(start, str) else start
     e0 = F.col(end) if isinstance(end, str) else end
     # abs() semantics: order the endpoints.
     s = F.least(s0, e0)
     e = F.greatest(s0, e0)
 
+    window_len = (hour_end - hour_start) * 3600
+
     # Spark weekday(): Mon=0..Sun=6 — same numbering as the config.
     workdays_arr = F.array(*[F.lit(d) for d in workdays])
     holidays_arr = F.array(*[F.lit(d).cast("date") for d in holiday_dates])
 
-    span_days = F.datediff(F.to_date(e), F.to_date(s))
-    days = F.sequence(
-        F.date_trunc("DAY", s),
-        F.date_trunc("DAY", e),
-        F.expr("interval 1 day"),
-    )
-
     def day_overlap(day: Column) -> Column:
+        """Boundary-day clip: full [s, e) ∩ [day+hs, day+he), gated on
+        workday/holiday — identical to expanding that single day."""
         window_start = day + F.expr(f"interval {hour_start} hours")
         window_end = day + F.expr(f"interval {hour_end} hours")
         overlap = F.unix_timestamp(F.least(e, window_end)) - F.unix_timestamp(
@@ -81,16 +80,45 @@ def business_seconds(
             F.lit(0).cast("long")
         )
 
-    total = F.aggregate(
-        F.transform(days, day_overlap),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    d0, d1 = F.to_date(s), F.to_date(e)
+    # interior days are (d0, d1) EXCLUSIVE: [a .. a+n_int-1]
+    a = F.date_add(d0, 1)
+    n_int = F.datediff(d1, a)  # count of interior days; <= 0 means none
+    wa = F.weekday(a)
+
+    # count of interior days whose weekday == w, closed form:
+    # positions i in [0, n_int) with (wa + i) % 7 == w
+    def weekday_count(w: int) -> Column:
+        r = ((F.lit(w) - wa) % 7 + 7) % 7
+        return F.when(
+            n_int > r, F.floor((n_int - 1 - r) / 7) + 1
+        ).otherwise(F.lit(0)).cast("long")
+
+    interior_workdays = None
+    for w in workdays:
+        term = weekday_count(w)
+        interior_workdays = term if interior_workdays is None else interior_workdays + term
+    if interior_workdays is None:
+        interior_workdays = F.lit(0).cast("long")
+
+    # interior holidays that would otherwise count as workdays: the
+    # holiday list is a config literal, so its weekday is known in Python
+    interior_holidays = F.lit(0).cast("long")
+    for h in holiday_dates:
+        if _dt.date.fromisoformat(h).weekday() not in workdays:
+            continue
+        hd = F.lit(h).cast("date")
+        interior_holidays = interior_holidays + F.when(
+            (hd > d0) & (hd < d1), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long")
+
+    d0t, d1t = F.date_trunc("DAY", s), F.date_trunc("DAY", e)
+    total = (
+        day_overlap(d0t)
+        + F.when(d1 > d0, day_overlap(d1t)).otherwise(F.lit(0).cast("long"))
+        + F.lit(window_len).cast("long") * (interior_workdays - interior_holidays)
     )
-    return (
-        F.when(s.isNull() | e.isNull(), F.lit(None).cast("long"))
-        .when(span_days > _MAX_SPAN_DAYS, F.lit(None).cast("long"))
-        .otherwise(total)
-    )
+    return F.when(s.isNull() | e.isNull(), F.lit(None).cast("long")).otherwise(total)
 
 
 def business_seconds_pandas_udf(

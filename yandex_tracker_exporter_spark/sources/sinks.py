@@ -101,33 +101,69 @@ def compact(
     blocks are evicted mid-write and the plan recomputes from deleted
     source files):
 
-    1. write the deduped data to ``<dir>.__compact_tmp__``
-    2. rename the live directory aside to ``<dir>.__compact_old__``
-    3. rename the temp directory into place
+    1. write the deduped data to a staging location OUTSIDE the table
+       root (full table: sibling ``<dir>.__compact_tmp__``; partition:
+       ``<dir>.__compact_staging__/<month>.tmp``)
+    2. rename the live directory aside (to ``<dir>.__compact_old__`` /
+       ``…staging/<month>.old``)
+    3. rename the staged directory into place
     4. delete the old directory
 
+    Staging must never live INSIDE the table root: Spark's partition
+    discovery treats any directory whose name contains ``=`` as a
+    partition (the hidden-file filter exempts it), so an in-root
+    ``_month=202402.__compact_tmp__`` would be ingested as a bogus
+    ``_month`` value by any concurrent or post-crash full-table read —
+    a complete duplicate copy of the month. The staging names here
+    contain no ``=`` and sit next to the table directory.
+
     A crash between steps leaves either the untouched live table or the
-    complete old copy at ``.__compact_old__`` — recoverable, never torn.
-    (On HDFS the renames are atomic; object stores emulate rename — a
-    Delta/Iceberg ``OPTIMIZE`` replaces this whole protocol when a
-    transactional catalog is available.)
+    complete old copy at the staging location; :func:`compact` recovers
+    it on the next run (restore-if-live-missing, then discard stale
+    staging). (On HDFS the renames are atomic; object stores emulate
+    rename — a Delta/Iceberg ``OPTIMIZE`` replaces this whole protocol
+    when a transactional catalog is available.)
     """
     base = path.rstrip("/")
     if months is None:
+        _recover_swap(spark, base, base + ".__compact_tmp__", base + ".__compact_old__")
         deduped = read_latest(spark, path, keys, version_col)
-        _swap_rewrite(spark, base, deduped)
+        _swap_rewrite(spark, base, deduped, base + ".__compact_tmp__", base + ".__compact_old__")
         return
+    staging = base + ".__compact_staging__"
     for month in months:
         part_dir = f"{base}/_month={month}"
+        tmp, old = f"{staging}/{month}.tmp", f"{staging}/{month}.old"
+        _recover_swap(spark, part_dir, tmp, old)
         deduped = latest_version_dedup(
             spark.read.parquet(part_dir), keys, version_col
         )
-        _swap_rewrite(spark, part_dir, deduped)
+        _swap_rewrite(spark, part_dir, deduped, tmp, old)
+    fs, hpath = _hadoop_fs(spark, staging)
+    if fs.exists(hpath(staging)):
+        try:
+            fs.delete(hpath(staging), False)  # non-recursive: only when empty
+        except Exception:
+            pass  # leftover artifacts from other months' crashes stay put
 
 
-def _swap_rewrite(spark: SparkSession, target: str, df: DataFrame) -> None:
-    """Write ``df`` next to ``target`` and atomically swap it in."""
-    tmp, old = target + ".__compact_tmp__", target + ".__compact_old__"
+def _recover_swap(spark: SparkSession, target: str, tmp: str, old: str) -> None:
+    """Recover from a compaction crash: a live dir missing with a complete
+    old copy present means the previous run died between rename-aside and
+    rename-into-place — restore it. A leftover tmp is always incomplete
+    or unswapped; discard it."""
+    fs, hpath = _hadoop_fs(spark, target)
+    if not fs.exists(hpath(target)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(target)):
+            raise IOError(f"compact: could not restore {target} from {old}")
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
+
+
+def _swap_rewrite(
+    spark: SparkSession, target: str, df: DataFrame, tmp: str, old: str
+) -> None:
+    """Write ``df`` to ``tmp`` (outside the table root) and swap it in."""
     df.write.mode("overwrite").parquet(tmp)
     fs, hpath = _hadoop_fs(spark, target)
     if fs.exists(hpath(old)):

@@ -99,7 +99,17 @@ class HadoopFileStateStore(FileStateStore):
     def _read(self) -> dict[str, str]:
         if self._cache is None:
             fs, hpath, jvm = self._fs()
-            p = hpath(self.path)
+            # crash recovery: a missing live file with a .bak present means
+            # a previous _write died between rename-aside and
+            # rename-into-place; restore the backup so the watermark is
+            # never silently reset to epoch (which would reprocess the
+            # whole history).
+            p, bak = hpath(self.path), hpath(self.path + ".bak")
+            if not fs.exists(p) and fs.exists(bak):
+                if not fs.rename(bak, p):
+                    raise IOError(
+                        f"state store: could not restore {self.path} from backup"
+                    )
             if fs.exists(p):
                 stream = fs.open(p)
                 sink = jvm.java.io.ByteArrayOutputStream()
@@ -110,15 +120,28 @@ class HadoopFileStateStore(FileStateStore):
         return self._cache
 
     def _write(self, data: dict[str, str]) -> None:
+        # tmp + rename-aside + rename-into-place: at every instant either
+        # the live file or the .bak copy exists (the round-2
+        # delete-then-rename had a window with NO state file at all —
+        # weaker than the local store's os.replace and the reference's
+        # atomic S3 put). Hadoop FileSystem.rename has no overwrite
+        # flag portable across backends, hence the explicit aside step.
         fs, hpath, _ = self._fs()
-        tmp = self.path + ".tmp"
+        tmp, bak = self.path + ".tmp", self.path + ".bak"
         out = fs.create(hpath(tmp), True)
         out.write(bytearray(json.dumps(data).encode("utf-8")))
         out.close()
-        if fs.exists(hpath(self.path)):
-            fs.delete(hpath(self.path), False)
-        if not fs.rename(hpath(tmp), hpath(self.path)):
+        live = hpath(self.path)
+        if fs.exists(hpath(bak)):
+            fs.delete(hpath(bak), False)
+        if fs.exists(live) and not fs.rename(live, hpath(bak)):
+            raise IOError(f"state store: rename {self.path} -> {bak} failed")
+        if not fs.rename(hpath(tmp), live):
+            if fs.exists(hpath(bak)):
+                fs.rename(hpath(bak), live)  # restore the previous state
             raise IOError(f"state store: rename {tmp} -> {self.path} failed")
+        if fs.exists(hpath(bak)):
+            fs.delete(hpath(bak), False)
 
 
 class RedisStateStore:
