@@ -348,6 +348,102 @@ def test_partition_compact_crash_is_invisible_to_readers_and_recovers(
     assert not os.path.exists(staging)
 
 
+def test_merge_upsert_equals_append_plus_compact(spark, tmp_path):
+    """merge_upsert == write_versioned(append) + compact(touched months),
+    by definition — and it must not read or rewrite untouched months."""
+    import datetime as dt
+
+    from yandex_tracker_exporter_spark.sources.sinks import (
+        compact,
+        merge_upsert,
+        read_latest,
+        write_versioned,
+    )
+
+    schema = "issue_key string, version long, updated_at timestamp, p string"
+    seed = [
+        ("A", 1, dt.datetime(2024, 1, 10), "jan-a1"),
+        ("B", 1, dt.datetime(2024, 1, 15), "jan-b1"),
+        ("C", 1, dt.datetime(2024, 2, 3), "feb-c1"),
+    ]
+    updates = [
+        ("B", 2, dt.datetime(2024, 2, 20), "feb-b2"),   # key moves month
+        ("C", 2, dt.datetime(2024, 2, 21), "feb-c2"),   # in-month update
+        ("D", 1, dt.datetime(2024, 3, 2), "mar-d1"),    # brand-new month
+        ("C", 0, dt.datetime(2024, 2, 1), "feb-c0"),    # stale version loses
+    ]
+    seed_df = spark.createDataFrame(seed, schema)
+    upd_df = spark.createDataFrame(updates, schema)
+
+    merged_path = str(tmp_path / "merged")
+    baseline_path = str(tmp_path / "baseline")
+    for p in (merged_path, baseline_path):
+        write_versioned(seed_df, p, ["issue_key"], partition_ts_col="updated_at")
+
+    import os
+
+    jan_dir = f"{merged_path}/_month=202401"
+    jan_before = {
+        f: os.path.getmtime(os.path.join(jan_dir, f)) for f in os.listdir(jan_dir)
+    }
+
+    touched = merge_upsert(
+        spark, merged_path, upd_df, ["issue_key"], partition_ts_col="updated_at"
+    )
+    assert touched == ["202402", "202403"]
+
+    # baseline: the append + partition-compact route
+    write_versioned(upd_df, baseline_path, ["issue_key"], partition_ts_col="updated_at")
+    compact(spark, baseline_path, ["issue_key"], months=touched)
+
+    got = sorted(
+        (r.issue_key, r.version, r.p)
+        for r in read_latest(spark, merged_path, ["issue_key"]).collect()
+    )
+    expected = sorted(
+        (r.issue_key, r.version, r.p)
+        for r in read_latest(spark, baseline_path, ["issue_key"]).collect()
+    )
+    assert got == expected
+    assert [k for k, _, _ in got] == ["A", "B", "C", "D"]
+    assert ("C", 2, "feb-c2") in got  # stale v0 lost, v2 won
+
+    # untouched month physically untouched (same files, same mtimes)
+    jan_after = {
+        f: os.path.getmtime(os.path.join(jan_dir, f)) for f in os.listdir(jan_dir)
+    }
+    assert jan_after == jan_before
+    # no staging leftovers, no bogus partitions
+    assert not os.path.exists(merged_path + ".__compact_staging__")
+    assert sorted(e for e in os.listdir(merged_path) if "=" in e) == [
+        "_month=202401", "_month=202402", "_month=202403",
+    ]
+
+
+def test_merge_upsert_unpartitioned_and_fresh_table(spark, tmp_path):
+    from yandex_tracker_exporter_spark.sources.sinks import merge_upsert, read_latest
+
+    schema = "issue_key string, version long, p string"
+    path = str(tmp_path / "flat")
+    # fresh table: merge into nothing == plain write
+    merge_upsert(
+        spark, path, spark.createDataFrame([("A", 1, "a1")], schema), ["issue_key"]
+    )
+    assert spark.read.parquet(path).count() == 1
+    # second merge collapses to latest-per-key in place
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([("A", 2, "a2"), ("B", 1, "b1")], schema),
+        ["issue_key"],
+    )
+    got = {r.issue_key: r.p for r in read_latest(spark, path, ["issue_key"]).collect()}
+    assert got == {"A": "a2", "B": "b1"}
+    assert (
+        spark.read.parquet(path).count() == 2  # physically compacted, not appended
+    )
+
+
 def test_upsert_newer_version_wins(spark, raw_issues, raw_changelog, tmp_path):
     """O2 end-to-end: a re-exported issue with a newer updated_at
     replaces the old row in the latest view (ReplacingMergeTree+FINAL

@@ -92,3 +92,46 @@ def test_statsd_exporter_wire_format(spark):
 
     with _pytest.raises(socket_mod.timeout):
         server.recv(2048)
+
+
+def test_error_shipper_filters_and_ships():
+    """Sentry-filter analogue (reference monitoring.py:80-89): events
+    without an exception are dropped; TrackerError events are
+    fingerprinted; other exceptions ship unmodified."""
+    import pytest
+
+    from yandex_tracker_exporter_spark.observability import (
+        ErrorShipper,
+        TrackerError,
+    )
+
+    shipped = []
+    shipper = ErrorShipper(sink=shipped.append)
+
+    # no exception -> filter drops the event entirely
+    assert shipper.capture(None, {"run": "r1"}) is None
+    assert shipped == []
+
+    # tracker failure -> grouped fingerprint
+    event = shipper.capture(TrackerError("rate limited"), {"run": "r2"})
+    assert event is not None and event["fingerprint"] == ["tracker-error"]
+    assert shipped[-1]["exc_type"] == "TrackerError"
+    assert shipped[-1]["run"] == "r2"
+
+    # ordinary exception -> ships, no fingerprint
+    event = shipper.capture(ValueError("boom"), {"run": "r3"})
+    assert event is not None and "fingerprint" not in event
+    assert shipped[-1]["message"] == "boom"
+    assert "ValueError: boom" in shipped[-1]["traceback"]
+
+    # watch(): captures AND re-raises
+    with pytest.raises(RuntimeError):
+        with shipper.watch(run="r4"):
+            raise RuntimeError("etl died")
+    assert shipped[-1]["exc_type"] == "RuntimeError"
+    assert shipped[-1]["run"] == "r4"
+
+    # custom filter chain: a filter returning None drops the event
+    muted = ErrorShipper(sink=shipped.append, filters=(lambda e, h: None,))
+    assert muted.capture(ValueError("quiet"), {}) is None
+    assert shipped[-1]["run"] == "r4"  # nothing new shipped

@@ -20,6 +20,12 @@ import argparse
 import logging
 import time
 
+import os
+
+from yandex_tracker_exporter_spark.config import (
+    EngineConfig,
+    env_state_store_settings,
+)
 from yandex_tracker_exporter_spark.etl import run_etl
 from yandex_tracker_exporter_spark.plans.search_spec import SearchSpec
 from yandex_tracker_exporter_spark.session import get_spark
@@ -42,12 +48,18 @@ def build_parser() -> argparse.ArgumentParser:
         "local JSON file, hadoop/s3 (any Hadoop FS path incl. s3a://), or "
         "redis (--state becomes the redis URL)",
     )
-    p.add_argument("--queues", default=None, help='queue spec, e.g. "DEV,!TEST"')
+    p.add_argument(
+        "--queues",
+        default=None,
+        help='queue spec, e.g. "DEV,!TEST" (default: '
+        "$EXPORTER_TRACKER__SEARCH__QUEUES)",
+    )
     p.add_argument(
         "--backfill-range",
-        default="1w",
+        default=None,
         help="initial backfill window when no watermark exists "
-        "(reference stateful_initial_range, e.g. '1w', '3mo')",
+        "(reference stateful_initial_range, e.g. '1w', '3mo'; default: "
+        "$EXPORTER_STATEFUL_INITIAL_RANGE or '1w')",
     )
     p.add_argument("--run-once", action="store_true")
     p.add_argument("--interval-minutes", type=int, default=30)
@@ -56,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args: argparse.Namespace) -> list:
+    # reference parity: a container configured with EXPORTER_* env vars
+    # needs no flags — CLI flags override env, env overrides defaults
+    config = EngineConfig.from_env()
+    queues = args.queues or os.environ.get("EXPORTER_TRACKER__SEARCH__QUEUES")
+    backfill = args.backfill_range or config.stateful_initial_range
+
     spark = get_spark(app_name="tracker-exporter-spark")
     state = None
     if args.state:
@@ -65,14 +83,24 @@ def run(args: argparse.Namespace) -> list:
             state = state_store_factory(
                 args.state_backend, path=args.state, spark=spark
             )
+    elif os.environ.get("EXPORTER_STATE__STORAGE") or os.environ.get(
+        "EXPORTER_STATE__JSONFILE_PATH"
+    ):
+        env_state = env_state_store_settings()
+        state = state_store_factory(
+            env_state["strategy"],
+            path=env_state["path"],
+            url=env_state["url"],
+            spark=spark,
+        )
     results = []
     runs = 0
     while True:
         search = SearchSpec(
-            queues=args.queues,
+            queues=queues,
             watermark=state.get("issues") if state else None,
-            stateful_initial_range=args.backfill_range,
-            search_range=args.backfill_range,
+            stateful_initial_range=backfill,
+            search_range=backfill,
         )
         result = run_etl(
             spark.read.parquet(args.issues),
@@ -80,6 +108,7 @@ def run(args: argparse.Namespace) -> list:
             args.output,
             state=state,
             search=search,
+            config=config,
         )
         results.append(result)
         logger.info(

@@ -1,4 +1,5 @@
-"""Run metrics via ``df.observe`` + listeners (U3/A3/A4).
+"""Run metrics via ``df.observe`` + listeners (U3/A3/A4) and error
+shipping (the Sentry analogue).
 
 The reference wraps methods with DogStatsd count/gauge/timing decorators
 (``services/monitoring.py:44-77``) and logs RSS/throughput every N rows
@@ -6,15 +7,33 @@ The reference wraps methods with DogStatsd count/gauge/timing decorators
 named aggregates that are computed DURING the action (no extra pass —
 the reference's counters each cost a python statement per row), and a
 ``QueryExecutionListener`` receives them asynchronously.
+
+Error shipping mirrors ``sentry_sdk.init(before_send=sentry_events_filter)``
+(``services/monitoring.py:80-89`` + ``main.py``): exceptions become event
+dicts, run through a filter chain that can drop or annotate them, and
+survivors go to an injectable sink callable — no sentry dependency.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import socket
 import time
+import traceback
+from typing import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+
+class ExporterError(Exception):
+    """Engine error root (reference ``exceptions.py`` ``ExporterError``)."""
+
+
+class TrackerError(ExporterError):
+    """Tracker-source failure (reference ``exceptions.py`` ``TrackerError``
+    family — client/request/server split collapsed; the transport layer
+    here is the DataSource, which surfaces one error type)."""
 
 
 def with_run_counters(df: DataFrame, name: str = "etl") -> tuple[DataFrame, Observation]:
@@ -127,3 +146,73 @@ class StatsdExporter:
         for key, value in obs.get.items():
             if isinstance(value, (int, float)):
                 self.gauge(f"{run}.{key}", value, tags)
+
+
+def default_events_filter(event: dict, hint: dict) -> dict | None:
+    """The reference's ``sentry_events_filter`` re-expressed
+    (``services/monitoring.py:80-89``): drop every event that carries no
+    exception; group all Tracker-source failures under one fingerprint so
+    rate-limit blips don't fan out into distinct issues."""
+    if "exc_info" not in hint:
+        return None
+    exception = hint["exc_info"][1]
+    if isinstance(exception, TrackerError):
+        event["fingerprint"] = ["tracker-error"]
+    return event
+
+
+class ErrorShipper:
+    """Dependency-free Sentry analogue: ``capture()`` builds an event
+    dict, runs it through the filter chain (each filter may return a
+    modified event or ``None`` to drop), and hands survivors to ``sink``
+    — a plain callable (an HTTP poster, a log shipper, a test list).
+
+    ``watch()`` wraps a code block: exceptions are captured and re-raised,
+    mirroring how the sentry SDK hooks sys.excepthook around the
+    reference's ETL loop.
+    """
+
+    def __init__(
+        self,
+        sink: Callable[[dict], None],
+        filters: tuple[Callable[[dict, dict], dict | None], ...] = (
+            default_events_filter,
+        ),
+    ) -> None:
+        self.sink = sink
+        self.filters = filters
+
+    def capture(
+        self, exc: BaseException | None, context: dict | None = None
+    ) -> dict | None:
+        event: dict | None = {
+            "timestamp": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "message": str(exc) if exc is not None else None,
+            "exc_type": type(exc).__name__ if exc is not None else None,
+            "traceback": (
+                "".join(traceback.format_exception(exc)) if exc is not None else None
+            ),
+            **(context or {}),
+        }
+        hint = {"exc_info": (type(exc), exc, exc.__traceback__)} if exc else {}
+        for events_filter in self.filters:
+            event = events_filter(event, hint)
+            if event is None:
+                return None
+        self.sink(event)
+        return event
+
+    def watch(self, **context):
+        """Context manager: capture-and-reraise for a run scope."""
+        shipper = self
+
+        class _Watch:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, exc_type, exc, tb):
+                if exc is not None:
+                    shipper.capture(exc, context)
+                return False  # never swallow
+
+        return _Watch()

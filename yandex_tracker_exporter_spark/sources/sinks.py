@@ -176,6 +176,89 @@ def _swap_rewrite(
     fs.delete(hpath(old), True)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+    partition_ts_col: str | None = None,
+) -> list[str]:
+    """Transactional-style upsert: ``MERGE INTO`` semantics without a
+    Delta/Iceberg catalog (SURVEY O1/O2's named mapping — the jars are
+    not in this container, so the merge is a deterministic
+    read-modify-swap of ONLY the affected ``_month`` partitions).
+
+    Result is defined to equal the append-then-compact route::
+
+        write_versioned(updates, path, keys, partition_ts_col)
+        compact(spark, path, keys, months=<touched months>)
+
+    i.e. per touched partition, latest-version-per-key over
+    (live ∪ updates); untouched partitions are not read or rewritten.
+    Each partition rewrite goes through the durable staging swap
+    (:func:`_swap_rewrite`), so a crash leaves either the old or the new
+    partition, never a torn one. Returns the list of touched months.
+
+    At 100 TB: the update batch dirties a bounded set of recent months
+    (sliding-window exports), so the rewrite is bounded by month size,
+    not table size; the touched-month list is a tiny driver-side
+    ``collect`` of the updates' distinct months. With Delta/Iceberg on
+    the classpath, replace calls to this with ``MERGE INTO`` — the write
+    amplification drops from month-granular to file-granular.
+    """
+    base = path.rstrip("/")
+    if partition_ts_col is None:
+        _recover_swap(spark, base, base + ".__compact_tmp__", base + ".__compact_old__")
+        fs, hpath = _hadoop_fs(spark, base)
+        if fs.exists(hpath(base)):
+            merged = latest_version_dedup(
+                spark.read.parquet(base).unionByName(updates),
+                keys,
+                version_col,
+            )
+            _swap_rewrite(
+                spark, base, merged,
+                base + ".__compact_tmp__", base + ".__compact_old__",
+            )
+        else:
+            updates.sortWithinPartitions(*keys).write.parquet(base)
+        return []
+
+    monthly = updates.withColumn(
+        "_month", F.date_format(F.col(partition_ts_col), "yyyyMM")
+    )
+    months = sorted(
+        r["_month"] for r in monthly.select("_month").distinct().collect()
+    )
+    staging = base + ".__compact_staging__"
+    fs, hpath = _hadoop_fs(spark, base)
+    fs.mkdirs(hpath(base))  # no-op if the table root already exists
+    for month in months:
+        part_dir = f"{base}/_month={month}"
+        tmp, old = f"{staging}/{month}.tmp", f"{staging}/{month}.old"
+        _recover_swap(spark, part_dir, tmp, old)
+        batch = monthly.where(F.col("_month") == month).drop("_month")
+        if fs.exists(hpath(part_dir)):
+            merged = latest_version_dedup(
+                spark.read.parquet(part_dir).unionByName(batch),
+                keys,
+                version_col,
+            )
+            _swap_rewrite(spark, part_dir, merged, tmp, old)
+        else:
+            # brand-new month: write staged, single rename into place
+            batch.sortWithinPartitions(*keys).write.parquet(tmp)
+            if not fs.rename(hpath(tmp), hpath(part_dir)):
+                raise IOError(f"merge_upsert: could not move {tmp} into {part_dir}")
+    if fs.exists(hpath(staging)):
+        try:
+            fs.delete(hpath(staging), False)  # non-recursive: only when empty
+        except Exception:
+            pass
+    return months
+
+
 def create_latest_view(
     spark: SparkSession,
     table_name: str,
