@@ -70,3 +70,21 @@ def test_frame_sampling_explodes_rows(spark, media):
     ]
     base = _hl.sha256(b"fake-mp4-bytes").hexdigest()
     assert frames[0]["frame_sha256"] == _hl.sha256(f"{base}:0".encode()).hexdigest()
+
+
+def test_frame_sampling_negative_duration_is_skipped(spark, media):
+    """A negative duration_ms yields zero frames for that row (the old
+    per-row `range(n)` semantics) instead of crashing the whole task
+    (np.repeat raises on negative counts)."""
+    from yandex_tracker_exporter_spark.multimodal import sample_frames
+
+    extra = spark.createDataFrame(
+        [
+            (6, "video", "video/mp4", b"negative-duration", None, None, -1500),
+            (7, "video", "video/mp4", b"ok-bytes", None, None, 1500),
+        ],
+        media.schema,
+    )
+    frames = sample_frames(media.union(extra), every_ms=1000).collect()
+    assert {f["media_id"] for f in frames} == {7}
+    assert len(frames) == 2  # 0ms and 1000ms

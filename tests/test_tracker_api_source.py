@@ -211,3 +211,58 @@ def test_streaming_source_incremental_offsets(spark, tmp_path):
     # reprocessing, nothing new appended
     run_stream(6, None)
     assert spark.read.parquet(out).count() == 600
+
+
+def test_conjunctive_pushed_filters_intersect(spark):
+    """Catalyst may push `isin(...) AND ==` unsimplified; claiming both
+    while honoring only the last leaks excluded rows. Pushed queue sets
+    must intersect and updated_at bounds must tighten."""
+    from yandex_tracker_exporter_spark.sources.tracker_api import (
+        TrackerApiReader,
+        TrackerCommentsReader,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan, GreaterThanOrEqual, In
+
+    reader = TrackerApiReader(None, {"total": "100", "page_size": "50"})
+    remaining = reader.pushFilters(
+        [In(("queue",), ("DEV", "OPS")), EqualTo(("queue",), "DEV")]
+    )
+    assert remaining == []
+    assert reader.query.queues == ["DEV"]  # intersection, not last-wins
+
+    # disjoint intersection -> impossible queue, zero rows (never "all")
+    reader2 = TrackerApiReader(None, {"total": "100", "page_size": "50"})
+    reader2.pushFilters([EqualTo(("queue",), "DEV"), EqualTo(("queue",), "OPS")])
+    assert reader2.query.queues and "DEV" not in reader2.query.queues
+    assert reader2.backend.count(reader2.query) == 0
+
+    # updated_at: the STRONGER lower bound wins regardless of order
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 6, 1)
+    reader3 = TrackerApiReader(None, {"total": "100", "page_size": "50"})
+    reader3.pushFilters(
+        [GreaterThan(("updated_at",), t2), GreaterThanOrEqual(("updated_at",), t1)]
+    )
+    assert reader3.query.updated_from == t2 and reader3.query.strict_from
+
+    # comments: key sets intersect
+    creader = TrackerCommentsReader(None, {"total": "100", "page_size": "50"})
+    creader.pushFilters(
+        [In(("issue_key",), ("DEV-1", "DEV-2")), EqualTo(("issue_key",), "DEV-1")]
+    )
+    assert creader.issue_keys == ["DEV-1"]
+    creader2 = TrackerCommentsReader(None, {"total": "100", "page_size": "50"})
+    creader2.pushFilters(
+        [EqualTo(("issue_key",), "DEV-1"), EqualTo(("issue_key",), "DEV-2")]
+    )
+    assert creader2.issue_keys == []  # disjoint -> no keys, zero rows
+
+
+def test_comments_disjoint_pushdown_returns_zero_rows(spark):
+    """End-to-end: two contradictory key predicates -> empty result,
+    not a full unfiltered comments scan."""
+    df = _read(spark, entity="comments", total=50, page_size=25)
+    got = df.where(
+        F.col("issue_key").isin("DEV-1", "DEV-2") & (F.col("issue_key") == "TEST-3")
+    )
+    assert got.count() == 0

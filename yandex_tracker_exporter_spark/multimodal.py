@@ -153,7 +153,12 @@ def sample_frames(
                         columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sha256"]
                     )
                     continue
-                n_frames = (pdf["duration_ms"] // every_ms).astype("int64") + 1
+                # clip: a negative duration yields 0 frames (the row is
+                # skipped), matching the per-row `range(n)` semantics —
+                # np.repeat raises on negative counts otherwise
+                n_frames = (
+                    (pdf["duration_ms"] // every_ms).astype("int64") + 1
+                ).clip(lower=0)
                 media_id = np.repeat(pdf["media_id"].to_numpy(), n_frames.to_numpy())
                 ends = n_frames.to_numpy().cumsum()
                 frame_idx = np.arange(ends[-1]) - np.repeat(

@@ -133,7 +133,9 @@ class FakeTrackerBackend:
         ]
 
     def _comment_hits(self, issue_keys: list[str] | None) -> list[tuple]:
-        wanted = set(issue_keys) if issue_keys else None
+        # None = unfiltered; an EMPTY list means a disjoint pushed-filter
+        # intersection — zero rows, never a full scan
+        wanted = set(issue_keys) if issue_keys is not None else None
         hits: list[tuple] = []
         for i in range(self.total):
             rows = self._comments_for(i)
@@ -187,8 +189,15 @@ class TrackerApiReader(DataSourceReader):
         self.requests_per_second = float(options.get("requests_per_second", "0"))
         # wall clock, not monotonic: the reader is pickled to executors
         # and the schedule must be comparable across machines (NTP-level
-        # skew is fine at API-politeness granularity)
+        # skew is fine at API-politeness granularity). The epoch taken at
+        # construction is only a LOWER bound — read() re-anchors to
+        # max(epoch, first-read now) per worker process, so planning /
+        # scheduling delay (or a task retry) never leaves every deadline
+        # already in the past and the scan bursting unthrottled.
+        # Best-effort semantics: workers anchor independently, so spacing
+        # holds within each worker and approximately across them.
         self._scan_epoch = time.time()
+        self._anchor: float | None = None  # set at first read() per process
         self.query = SearchQuery()
         self.pushed: list[Filter] = []
 
@@ -200,24 +209,46 @@ class TrackerApiReader(DataSourceReader):
             return value.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return value
 
+    def _intersect_queues(self, values: list[str]) -> None:
+        """Conjunctive pushed predicates must INTERSECT, not overwrite:
+        Catalyst may push e.g. ``isin('A','B') AND == 'A'`` unsimplified,
+        and claiming both while honoring only the last would return rows
+        the query excluded."""
+        if not self.query.queues:  # empty == unfiltered scan so far
+            self.query.queues = sorted(values)
+        else:
+            inter = sorted(set(self.query.queues) & set(values))
+            # an empty intersection means NO queue matches — not "no
+            # filter"; keep an impossible key so the scan returns 0 rows
+            self.query.queues = inter or ["\x00__no_queue_matches__"]
+
+    def _tighten_updated_from(self, value: dt.datetime, strict: bool) -> None:
+        """Keep the strongest conjunctive lower bound on updated_at."""
+        cur = self.query.updated_from
+        if cur is None or value > cur:
+            self.query.updated_from = value
+            self.query.strict_from = strict
+        elif value == cur:
+            self.query.strict_from = self.query.strict_from or strict
+
     def pushFilters(self, filters: list[Filter]):
         """Compile supported predicates into the remote query (F1);
-        everything unsupported is returned for Spark to evaluate."""
+        everything unsupported is returned for Spark to evaluate.
+        Multiple pushed predicates on one attribute are conjunctive —
+        queue sets intersect, updated_at bounds tighten."""
         remaining: list[Filter] = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("queue",):
-                self.query.queues = [f.value]
+                self._intersect_queues([f.value])
                 self.pushed.append(f)
             elif isinstance(f, In) and f.attribute == ("queue",):
-                self.query.queues = list(f.value)
+                self._intersect_queues(list(f.value))
                 self.pushed.append(f)
             elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("updated_at",):
-                self.query.updated_from = self._naive_utc(f.value)
-                self.query.strict_from = False
+                self._tighten_updated_from(self._naive_utc(f.value), False)
                 self.pushed.append(f)
             elif isinstance(f, GreaterThan) and f.attribute == ("updated_at",):
-                self.query.updated_from = self._naive_utc(f.value)
-                self.query.strict_from = True
+                self._tighten_updated_from(self._naive_utc(f.value), True)
                 self.pushed.append(f)
             else:
                 remaining.append(f)
@@ -231,7 +262,9 @@ class TrackerApiReader(DataSourceReader):
 
     def read(self, partition: _PagePartition):
         if self.requests_per_second > 0:
-            not_before = self._scan_epoch + partition.page / self.requests_per_second
+            if self._anchor is None:
+                self._anchor = max(self._scan_epoch, time.time())
+            not_before = self._anchor + partition.page / self.requests_per_second
             delay = not_before - time.time()
             if delay > 0:
                 time.sleep(delay)
@@ -253,14 +286,23 @@ class TrackerCommentsReader(DataSourceReader):
         self.issue_keys: list[str] | None = None
         self.pushed: list[Filter] = []
 
+    def _intersect_keys(self, values: list[str]) -> None:
+        """Conjunctive pushed predicates intersect (Catalyst may push
+        e.g. ``isin('A','B') AND == 'A'`` unsimplified; honoring only
+        the last one would leak rows the query excluded)."""
+        if self.issue_keys is None:
+            self.issue_keys = sorted(values)
+        else:
+            self.issue_keys = sorted(set(self.issue_keys) & set(values))
+
     def pushFilters(self, filters: list[Filter]):
         remaining: list[Filter] = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("issue_key",):
-                self.issue_keys = [f.value]
+                self._intersect_keys([f.value])
                 self.pushed.append(f)
             elif isinstance(f, In) and f.attribute == ("issue_key",):
-                self.issue_keys = list(f.value)
+                self._intersect_keys(list(f.value))
                 self.pushed.append(f)
             else:
                 remaining.append(f)
