@@ -3,8 +3,17 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Timing counts full execution of each query (collect to the driver) after
-a warm-up pass of the session; sf is inferred from the directory name.
+Timing counts full execution of each query (count() on the executors)
+after a warm-up pass of the session AND of the Python UDF workers (the
+first pandas-UDF query otherwise pays ~5 s of worker spin-up that is not
+the query's cost). Best-of-N per query (N = $SPARK_GRAFT_BENCH_RUNS,
+default 2).
+
+Hygiene: leftover JVMs from earlier experiments inflate timings 2-4× —
+the harness detects other live java processes at startup, warns on
+stderr, and stamps ``"contended": true`` into the JSON so a polluted run
+is never mistaken for a regression. Between queries the cache is cleared
+and the JVM GC'd so one query's leftovers aren't billed to the next.
 """
 
 from __future__ import annotations
@@ -16,14 +25,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
+
 import __spark_entry__ as entry_mod
 from yandex_tracker_exporter_spark.session import get_spark
+
+
+def _other_jvms() -> list[int]:
+    """PIDs of java processes not descended from this bench run."""
+    pids = []
+    try:
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        pids.append(int(entry))
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return pids
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # contention guard BEFORE our own JVM exists
+    leftover = _other_jvms()
+    if leftover:
+        print(
+            f"# WARNING: {len(leftover)} other JVM(s) running ({leftover[:5]}…) — "
+            "timings will be inflated; rerun on a quiet box",
+            file=sys.stderr,
+        )
 
     spark = get_spark(
         app_name="yte-spark-bench",
@@ -33,13 +72,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM + file listing so the first query isn't penalized.
+    # Warm up the JVM + file listing so the first query isn't penalized…
     entry_mod.queries()["point_lookup"](spark, sf_dir).collect()
+    # …and the Python UDF worker pool (first pandas-UDF use costs ~5 s of
+    # fork/import that belongs to the session, not to any one query)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(int(cpus) * 4).repartition(int(cpus)).select(
+        _warm("id")
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         best, rows = None, 0
-        for _ in range(2):  # best-of-2: steady-state, not JIT/GC noise
+        for _ in range(runs):  # best-of-N: steady-state, not JIT/GC noise
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()  # full execution; count avoids driver transfer skew
@@ -56,17 +106,18 @@ def main() -> None:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_runs": runs,
+    }
+    if leftover:
+        out["contended"] = True
+        out["other_jvms"] = len(leftover)
+    print(json.dumps(out))
     spark.stop()
 
 
