@@ -220,3 +220,67 @@ def test_cosine_topk_exact_neighbors(spark, corpus):
     for (eid, ecos), r in zip(expected, got):
         assert r.neighbor_id == eid
         assert r.cosine_sim == pytest.approx(ecos, rel=1e-9)
+
+
+def test_neardup_kernels_match_expression_path(spark):
+    """The Arrow prep/scoring kernels must be BIT-identical to the JVM
+    expression path (norm / multiband_projections /
+    band_key_from_projections / dot): same left-fold order, exact casts.
+    This is what licenses swapping them under the same DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        _neardup_prep_kernel,
+        _pair_cosine_kernel,
+        band_key_from_projections,
+        dot,
+        multiband_projections,
+        norm,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(100)
+        .repartition(4)
+    )
+    prep = _neardup_prep_kernel(10, 8, 64)
+    got = {
+        r.vec_id: (r.p.nrm, list(r.p.buckets))
+        for r in emb.select("vec_id", prep("embedding").alias("p")).collect()
+    }
+    expr = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_nrm", norm(F.col("_v")))
+        .withColumn("_proj", multiband_projections(F.col("_v"), 10, 8, 64))
+        .select(
+            "vec_id",
+            "_nrm",
+            F.array(
+                *[band_key_from_projections(F.col("_proj"), b, 10) for b in range(8)]
+            ).alias("_buckets"),
+        )
+    )
+    want = {r.vec_id: (r._nrm, list(r._buckets)) for r in expr.collect()}
+    assert got == want  # exact float equality — bit-identical folds
+
+    # pair scorer vs expression cosine on a sample of pairs
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+    ).withColumn("an", norm(F.transform("av", lambda x: x.cast("double"))))
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv")
+    ).withColumn("bn", norm(F.transform("bv", lambda x: x.cast("double"))))
+    pairs = a.join(b, F.col("a_id") + 1 == F.col("b_id"))
+    score = _pair_cosine_kernel()
+    both = pairs.select(
+        "a_id",
+        score("av", "bv", "an", "bn").alias("k"),
+        (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias("e"),
+    ).collect()
+    assert len(both) > 50
+    for r in both:
+        assert r.k == r.e, (r.a_id, r.k, r.e)  # exact, not approx

@@ -23,6 +23,10 @@ pre-bucketed at rest so the bucket join prunes file groups.)
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -341,6 +345,72 @@ def band_key_from_projections(
     return key.cast("int")
 
 
+def _neardup_prep_kernel(num_planes: int, num_bands: int, dim: int):
+    """Arrow-vectorized per-vector prep for :func:`cosine_neardup_pairs`:
+    norm + one bucket id per band, bit-identical to the expression path
+    (``norm`` / ``multiband_projections`` / ``band_key_from_projections``)
+    and therefore to the DuckDB oracle.
+
+    Exactness argument: float32→float64 casts are exact; per-element
+    products are IEEE-identical regardless of vectorization; and
+    ``np.add.accumulate`` is a strict sequential left fold, the same
+    reduction order as ``F.aggregate`` / DuckDB ``list_reduce`` (a plain
+    ``np.sum`` would pairwise-sum and diverge in the last ulp). Measured:
+    the 80-projection interpreted HOF fold costs ~2 s per pass at sf0.1
+    and the pair plan needs it on several branches; the kernel does the
+    same math in <0.1 s."""
+    n_total = num_planes * num_bands
+    planes = np.array(
+        [[_plane_component(j, d) for d in range(dim)] for j in range(n_total)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("struct<nrm: double, buckets: array<int>>")
+    def prep(vecs: pd.Series) -> pd.DataFrame:
+        nrms, buckets = [], []
+        bits = (1 << np.arange(num_planes, dtype=np.int64))
+        for v in vecs:
+            if v is None:
+                nrms.append(None)
+                buckets.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            nrms.append(math.sqrt(np.add.accumulate(x * x)[-1]))
+            proj = np.add.accumulate(planes * x[None, :], axis=1)[:, -1]
+            signs = (proj >= 0).reshape(num_bands, num_planes)
+            buckets.append((signs * bits[None, :]).sum(axis=1).astype(np.int32))
+        return pd.DataFrame({"nrm": nrms, "buckets": buckets})
+
+    # the kernel IS pure, but posexplode makes Catalyst infer
+    # size(buckets)>0 / isnotnull constraints and push them below the
+    # union as EXTRA ArrowEvalPython evaluations (measured: the kernel
+    # ran 3× per join side). asNondeterministic() forbids duplicating
+    # the call, keeping exactly one evaluation per branch.
+    return prep.asNondeterministic()
+
+
+def _pair_cosine_kernel():
+    """Arrow-vectorized pair scorer: cosine over two fixed-dim float
+    arrays + precomputed norms. Bit-identical to
+    ``dot(a, b) / (anrm * bnrm)`` — float32→float64 casts and products
+    are exact, and the fold over dimensions is ``np.add.accumulate``
+    (strict sequential left fold, same order as ``F.aggregate`` and the
+    DuckDB oracle's ``list_reduce``)."""
+
+    @F.pandas_udf("double")
+    def score(
+        a: pd.Series, b: pd.Series, anrm: pd.Series, bnrm: pd.Series
+    ) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        bv = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.add.accumulate(av * bv, axis=1)[:, -1]
+        return pd.Series(dots / (anrm.to_numpy() * bnrm.to_numpy()))
+
+    return score
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -362,43 +432,43 @@ def cosine_neardup_pairs(
     10×8 family recalls ≳ 99%; sub-0.7-cosine pairs almost never
     collide, which is what keeps candidate volume linear-ish.
 
-    Plan shape: explode to (band, bucket), one ``repartition`` on the
-    band key, bucketed self-equi-join (NO cross join / nested-loop),
-    candidate-pair dedup BEFORE cosine scoring. At rest the corpus
-    would be pre-bucketed on band 0 so the join prunes file groups.
-    Norms are computed once per vector before the pair join.
+    Plan shape: Arrow-kernel prep (norm + per-band buckets, bit-identical
+    to the expression fold — see ``_neardup_prep_kernel``), explode to
+    (band, bucket), one ``repartition`` on the band key, bucketed
+    self-equi-join (NO cross join / nested-loop), score-then-distinct on
+    narrow rows. At rest the corpus would be pre-bucketed on band 0 so
+    the join prunes file groups.
     """
+    from .partitioning import ensure_parallelism
+
+    prep = _neardup_prep_kernel(num_planes, num_bands, dim)
     e = (
-        embeddings.select(
+        ensure_parallelism(embeddings)
+        .select(
             F.col(id_col).alias("_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vec"),
+            F.col(vec_col).alias("_vec"),
+            prep(F.col(vec_col)).alias("_p"),
         )
-        .withColumn("_nrm", norm(F.col("_vec")))
-        # separate projection step: the wide fold is expensive, and
-        # Catalyst's CollapseProject leaves multiply-referenced
-        # non-cheap expressions in their own projection, so the fold
-        # runs once per row, not once per band reference
-        .withColumn(
-            "_proj", multiband_projections(F.col("_vec"), num_planes, num_bands, dim)
+        .select(
+            "_id",
+            "_vec",
+            F.col("_p.nrm").alias("_nrm"),
+            F.col("_p.buckets").alias("_buckets"),
         )
     )
-    # (A localCheckpoint here to share the projection between the two
-    # self-join sides was measured slightly SLOWER than recomputing —
-    # the block-serialization overhead eats the saved fold work.)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                band_key_from_projections(F.col("_proj"), b, num_planes).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(num_bands)
-        ]
-    )
+    # carry (vec, nrm) through the band exchange and score candidates
+    # IMMEDIATELY: a candidates-distinct-then-vector-join-back variant
+    # was MEASURED SLOWER here (4.8s vs 2.8s at sf0.1 under the isolated
+    # bench protocol) — it adds two more corpus branches (kernel evals +
+    # broadcasts) that cost more than the ~2× duplicate fold-scoring it
+    # saves. The deterministic fold gives bit-identical cosines, so
+    # distinct() on the narrow scored rows is exact, and the dedup
+    # shuffle moves 24-byte rows instead of two 64-double vectors.
     banded = (
-        e.select("_id", "_vec", "_nrm", F.explode(bands).alias("band"))
-        .select("_id", "_vec", "_nrm", "band.band_idx", "band.bucket")
+        e.select(
+            "_id", "_vec", "_nrm",
+            F.posexplode("_buckets").alias("band_idx", "bucket"),
+        )
         .repartition("band_idx", "bucket")
     )
     a = banded.select(
@@ -415,20 +485,15 @@ def cosine_neardup_pairs(
         "band_idx",
         "bucket",
     )
-    # Score candidates IMMEDIATELY and filter before the pair dedup: a
-    # pair colliding in several bands is scored more than once, but the
-    # deterministic fold gives bit-identical cosines, so distinct() on
-    # the narrow (a_id, b_id, cosine_sim) rows is exact — and the dedup
-    # shuffle moves 24-byte rows instead of two 64-double vectors.
+    score = _pair_cosine_kernel()
     return (
         a.join(b, ["band_idx", "bucket"])
         .where(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
-            (
-                dot(F.col("_avec"), F.col("_bvec"))
-                / (F.col("_anrm") * F.col("_bnrm"))
+            score(
+                F.col("_avec"), F.col("_bvec"), F.col("_anrm"), F.col("_bnrm")
             ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
