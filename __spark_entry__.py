@@ -750,6 +750,55 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: every 20th document plays the held-out
+    benchmark; corpus documents sharing ANY 20-gram shingle hash with it
+    are dropped (the word-soup corpus shares most 9-grams, so k=20 keeps
+    the check discriminating: ~44% contaminated at sf0.01). Corpus side
+    is map-only + broadcast semi-join — the corpus never shuffles (the
+    benchmark hash set broadcasts)."""
+    from yandex_tracker_exporter_spark.operators.decontaminate import decontaminate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    out = decontaminate(corpus, benchmark, "text", "doc_id", shingle_k=20)
+    return out.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+
+def q_pack_token_budget(spark, sf_dir):
+    """Sequence packing: documents into 512-token training bins, 8
+    deterministic shards (doc_id % 8), streaming first-fit per shard —
+    exactly one shuffle (the per-shard window)."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        pack_token_budget,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = pack_token_budget(docs, "text", "doc_id", budget=512, num_shards=8)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("shard").cast("long"),
+        "bin_idx",
+        "n_tokens",
+    )
+
+
+def q_bytes_human(spark, sf_dir):
+    """P14 bytes_to_human (reference helpers.py:301-320): greedy binary
+    prefix decomposition of synthetic byte sizes derived from order
+    totals. Map-only."""
+    from yandex_tracker_exporter_spark.functions.datetimes import bytes_to_human
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    size_bytes = F.floor(F.col("o_totalprice") * 17).cast("long")
+    return orders.select(
+        F.col("o_orderkey").cast("long"),
+        size_bytes.alias("size_bytes"),
+        bytes_to_human(size_bytes, granularity=2).alias("human_size"),
+    )
+
+
 def q_running_total(spark, sf_dir):
     """Window-frame coverage: per-customer running order total in date
     order (rows between unbounded preceding and current row), with a
@@ -917,6 +966,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "chunk_documents": q_chunk_documents,
     "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "pack_token_budget": q_pack_token_budget,
+    "bytes_human": q_bytes_human,
 }
 
 
@@ -976,6 +1028,27 @@ def _dd_human_time(seconds_expr: str, verbosity: int = 2) -> str:
         f"WHEN {seconds_expr} < 0 THEN '-' || {joined} "
         f"ELSE {joined} END"
     )
+
+
+def _dd_bytes_human(bytes_expr: str, granularity: int = 2) -> str:
+    """DuckDB replica of bytes_to_human's binary-prefix decomposition
+    (reference helpers.py:301-320; 0 → '0', parts joined with ', ')."""
+    units = [("TB", 1024**4), ("GB", 1024**3), ("MB", 1024**2),
+             ("KB", 1024), ("B", 1)]
+    parts = []
+    for name, count in units:
+        rem = f"({bytes_expr})"
+        for _, bigger in units:
+            if bigger > count:
+                rem = f"({rem} % {bigger})"
+        parts.append(f"{{'v': ({rem} // {count}), 'n': '{name}'}}")
+    arr = "[" + ", ".join(parts) + "]"
+    joined = (
+        f"array_to_string(list_transform(list_slice("
+        f"list_filter({arr}, x -> x.v > 0), 1, {granularity}), "
+        f"x -> x.v::VARCHAR || x.n), ', ')"
+    )
+    return f"CASE WHEN {bytes_expr} = 0 THEN '0' ELSE {joined} END"
 
 
 # left-fold double dot product — same reduction order as the Spark side
@@ -1413,6 +1486,49 @@ _ORACLES: dict[str, str] = {
         FROM c, unnest(range(0, n_chunks)) AS u(i)
     """,
     "pii_redact": None,  # generated below (shared regex constants)
+    # eval-set decontamination: same polynomial shingle hashes on both
+    # engines; any shared 20-gram hash with the benchmark drops the doc
+    "decontaminate": f"""
+        WITH corp_h AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(shingles,
+                       s -> {_dd_hash('s')}))) AS h
+            FROM (SELECT doc_id, {_dd_shingles('text', 20)} AS shingles
+                  FROM documents WHERE doc_id % 20 != 0)
+        ), bench_h AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(shingles,
+                       s -> {_dd_hash('s')}))) AS h
+            FROM (SELECT doc_id, {_dd_shingles('text', 20)} AS shingles
+                  FROM documents WHERE doc_id % 20 = 0)
+        ), bad AS (
+            SELECT DISTINCT doc_id FROM corp_h JOIN bench_h USING (h)
+        )
+        SELECT doc_id::BIGINT AS doc_id
+        FROM documents
+        WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id
+    """,
+    "pack_token_budget": """
+        WITH toks AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id::BIGINT AS doc_id, shard::BIGINT AS shard,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 512.0) AS BIGINT) AS bin_idx,
+               n_tokens
+        FROM toks
+    """,
+    "bytes_human": f"""
+        SELECT o_orderkey::BIGINT AS o_orderkey,
+               CAST(floor(o_totalprice * 17) AS BIGINT) AS size_bytes,
+               {_dd_bytes_human('CAST(floor(o_totalprice * 17) AS BIGINT)')}
+                   AS human_size
+        FROM orders WHERE o_orderkey < 2000
+    """,
     "running_total": """
         SELECT o_custkey::BIGINT AS o_custkey,
                o_orderkey::BIGINT AS o_orderkey,

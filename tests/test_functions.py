@@ -342,3 +342,31 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert got[1].redacted == "mail <EMAIL> and <EMAIL>, call <PHONE> now"
     assert got[2].n_emails == 0 and got[2].n_phones == 0
     assert got[2].redacted == "no pii here"
+
+
+# --- P14 bytes_to_human (reference helpers.py:301-320)
+def test_bytes_to_human(spark):
+    from yandex_tracker_exporter_spark.functions.datetimes import bytes_to_human
+
+    def reference_impl(data, granularity=2):
+        # verbatim re-derivation of the reference's python (helpers.py:301-320)
+        _bytes = int(data)
+        result = []
+        sizes = (("TB", 1024**4), ("GB", 1024**3), ("MB", 1024**2),
+                 ("KB", 1024), ("B", 1))
+        if _bytes == 0:
+            return "0"  # reference returns int 0; string form here
+        for name, count in sizes:
+            value = _bytes // count
+            if value:
+                _bytes -= value * count
+                result.append(f"{value}{name}")
+        return ", ".join(result[:granularity])
+
+    samples = [0, 1, 999, 1024, 1536, 10**6, 1024**2, 5 * 1024**3 + 3 * 1024,
+               1024**4 + 1024**3 + 7]
+    df = spark.createDataFrame([(s,) for s in samples], "b long")
+    got = [r[0] for r in df.select(bytes_to_human("b")).collect()]
+    assert got == [reference_impl(s) for s in samples]
+    got3 = [r[0] for r in df.select(bytes_to_human("b", granularity=3)).collect()]
+    assert got3 == [reference_impl(s, 3) for s in samples]

@@ -16,6 +16,7 @@ from yandex_tracker_exporter_spark.functions.datetimes import (
     timedelta_seconds,
     to_human_time,
     from_human_time,
+    bytes_to_human,
 )
 from yandex_tracker_exporter_spark.functions.business import (
     business_seconds,
@@ -32,6 +33,7 @@ __all__ = [
     "timedelta_seconds",
     "to_human_time",
     "from_human_time",
+    "bytes_to_human",
     "business_seconds",
     "business_seconds_pandas_udf",
     "extract_changelog_value",

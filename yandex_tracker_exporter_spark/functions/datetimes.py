@@ -110,6 +110,39 @@ def to_human_time(col: Column | str, verbosity: int = 2) -> Column:
     )
 
 
+#: Binary-prefix units of ``bytes_to_human`` (``helpers.py:301-320``).
+BYTE_UNITS: tuple[tuple[str, int], ...] = (
+    ("TB", 1024**4),
+    ("GB", 1024**3),
+    ("MB", 1024**2),
+    ("KB", 1024),
+    ("B", 1),
+)
+
+
+def bytes_to_human(col: Column | str, granularity: int = 2) -> Column:
+    """Bytes → ``"1MB, 24KB"`` (P14, reference ``helpers.py:301-320``):
+    greedy binary-prefix decomposition, top ``granularity`` non-zero
+    units joined with ``", "``. 0 bytes → ``"0"`` (the reference returns
+    the int 0 there; this is its string form). Same construction as
+    :func:`to_human_time`; exact for values below 2^53 (≈ 8 PB — the
+    float division in ``floor`` is the only non-integer step).
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    parts = []
+    remainder = c
+    for name, count in BYTE_UNITS:
+        value = F.floor(remainder / F.lit(count)).cast("long")
+        parts.append(F.struct(value.alias("v"), F.lit(name).alias("n")))
+        remainder = remainder % F.lit(count)
+    decomposed = F.filter(F.array(*parts), lambda x: x["v"] > 0)
+    top = F.slice(decomposed, 1, granularity)
+    joined = F.array_join(
+        F.transform(top, lambda x: F.concat(x["v"].cast("string"), x["n"])), ", "
+    )
+    return F.when(c == 0, F.lit("0")).otherwise(joined)
+
+
 _HUMAN_TIME_PATTERNS: tuple[tuple[str, int], ...] = (
     (r"(\d+)y", 365 * 86400),
     (r"(\d+)mo", 30 * 86400),

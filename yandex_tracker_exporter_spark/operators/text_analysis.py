@@ -182,6 +182,56 @@ def chunk_tokens(
     )
 
 
+def pack_token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    bins — the batch-construction step between chunking and the trainer.
+
+    Deterministic streaming first-fit within shards: documents go to
+    shard ``doc_id % num_shards``; inside a shard they are laid out in
+    ``doc_id`` order and a running token total assigns
+    ``bin = floor((cumsum - n_tokens) / budget)`` — i.e. each document's
+    bin is decided by the tokens packed before it. (Bins can overflow by
+    at most one document, the standard streaming-packing trade-off;
+    oversized documents should be chunked first via ``chunk_tokens``.)
+
+    Scale shape: ONE shuffle (the per-shard window). A single global
+    window would serialize the corpus through one partition; sharding
+    keeps ``num_shards`` independent windows — size shards so a shard's
+    rows fit an executor (at 100 TB: thousands of shards keyed by e.g.
+    ``crc32(doc_id)``), and determinism survives because the shard
+    assignment and intra-shard order are pure functions of the id.
+
+    Output: id, shard, bin_idx, n_tokens.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(_tokens(F.col(text_col))).cast("long")
+    shard = (F.col(id_col) % num_shards).cast("int")
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        F.floor((running - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("bin_idx"),
+        "n_tokens",
+    )
+
+
 #: PII patterns shared by engine and oracle (RE2/Java-compatible: no
 #: lookarounds). Email first so phone digits inside addresses are gone.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
