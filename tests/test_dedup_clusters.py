@@ -1,0 +1,67 @@
+"""Connected-components dedup clustering: pairwise LSH output → cluster
+labels → canonical representatives. Verified against a driver-side
+union-find reimplementation (exact expected components), both on a
+synthetic graph with multi-hop chains and on the real minhash pair
+output of the sf0.001 corpus."""
+
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.operators.dedup import (
+    canonical_representatives,
+    duplicate_clusters,
+    minhash_lsh_duplicates,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_clusters_match_union_find_on_chain_graph(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    edges = [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == _union_find(edges)
+    assert got[4] == 1  # transitive: 4 reaches 1 through the chain
+
+
+def test_canonical_representatives_collapse_corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in (1, 2, 3, 4, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (20, 21)], "a_id long, b_id long"
+    )
+    kept = sorted(
+        r.doc_id for r in canonical_representatives(docs, pairs).collect()
+    )
+    # chain {1,2,3,4} -> 1; {20,21} -> 20; unpaired 99 survives
+    assert kept == [1, 20, 99]
+    out = canonical_representatives(docs, pairs)
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_clusters_on_real_minhash_pairs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    edge_list = [(r.a_id, r.b_id) for r in pairs.collect()]
+    if not edge_list:
+        return  # corpus without near-dups: nothing to cluster
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == _union_find(edge_list)

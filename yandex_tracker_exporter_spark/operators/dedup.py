@@ -384,6 +384,86 @@ def minhash_lsh_duplicates(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → cluster
+    labels — the step that turns pairwise LSH output into dedup groups
+    (each cluster keeps one representative; see
+    :func:`canonical_representatives`).
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round joins labels across edges (both directions) and takes the
+    min; stops when no label changes. Deterministic — the final label of
+    a component is its minimum id regardless of iteration order. Rounds
+    needed = graph diameter in label-halving steps (≤ O(log n) for
+    near-dup graphs, whose components are small and dense); each round
+    is one join + one min-aggregate, all shuffles on the id key. The
+    driver-side loop holds only a convergence flag (one count per round)
+    — at 100 TB this is GraphX/GraphFrames connected-components shape
+    without the dependency; cap ``max_iterations`` as a safety rail.
+
+    Input: distinct undirected pairs (a, b). Output: (id, cluster_id)
+    for every id that appears in any pair.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        )
+        # localCheckpoint: truncate the lineage so each round's plan stays
+        # O(1) instead of O(rounds) deep (iterative plans otherwise grow
+        # until analysis time dominates)
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Collapse a corpus along near-duplicate clusters: every document
+    in a cluster maps to the cluster's minimum id; unpaired documents
+    represent themselves. Returns the deduplicated corpus (all columns,
+    one row per cluster — the cluster-min representative)."""
+    clusters = duplicate_clusters(pairs, a_col, b_col)
+    labeled = df.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    return (
+        labeled.where(F.col(id_col) == F.col("cluster_id")).drop("cluster_id")
+    )
+
+
 def simhash(
     df: DataFrame,
     content_col: str = "text",
