@@ -1,11 +1,12 @@
 """End-to-end training-data corpus pipeline (the beyond-reference
 operator set in one run): quality gate → language ID → PII scrub →
-context-window chunking → exact dedup → MinHash-LSH near-dup pairs →
-embedding near-dup pairs.
+eval-set decontamination → context-window chunking → exact dedup →
+MinHash-LSH near-dup pairs → duplicate-cluster collapse → token-budget
+packing → embedding near-dup pairs.
 
 Run: ``python examples/corpus_pipeline.py [sf_dir]`` (default
 ``/root/testdata/sf0.001``). Every stage is a lazy DataFrame transform;
-the single ``collect`` at the end materializes summary counts only.
+the ``collect``s at the end materialize summary counts only.
 """
 
 import os
@@ -16,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from yandex_tracker_exporter_spark import get_spark
+from yandex_tracker_exporter_spark.operators.decontaminate import decontaminate
 from yandex_tracker_exporter_spark.operators.dedup import (
+    canonical_representatives,
     exact_dedup,
     minhash_lsh_duplicates,
 )
@@ -24,6 +27,7 @@ from yandex_tracker_exporter_spark.operators.similarity import cosine_neardup_pa
 from yandex_tracker_exporter_spark.operators.text_analysis import (
     chunk_tokens,
     detect_language,
+    pack_token_budget,
     quality_score,
     redact_pii,
 )
@@ -48,15 +52,23 @@ def main(sf_dir: str) -> None:
         "doc_id", F.col("redacted").alias("text")
     )
 
+    # 2b. eval-set decontamination: every 20th doc stands in for a
+    # held-out benchmark; survivors share no 20-gram with it
+    benchmark = clean.where(F.col("doc_id") % 20 == 0)
+    train_pool = clean.where(F.col("doc_id") % 20 != 0)
+    decontaminated = decontaminate(train_pool, benchmark, shingle_k=20)
+
     # 3. context-window chunks — map-only explode
-    chunks = chunk_tokens(clean, "text", "doc_id", chunk_size=32, overlap=8)
+    chunks = chunk_tokens(decontaminated, "text", "doc_id", chunk_size=32, overlap=8)
 
     # 4. dedup: exact (hash-groupBy) + near-dup (LSH banding, no cross join).
     # The synthetic embeddings have no natural near-dups, so model a
     # partially re-encoded corpus (perturbed copies) like the driver
     # query does — the LSH banding then has something to find.
-    exact = exact_dedup(clean, "text", "doc_id")
-    near = minhash_lsh_duplicates(clean, "text", "doc_id", threshold=0.5)
+    # (pairs are found on the decontaminated pool so cluster minima are
+    # guaranteed to exist in the corpus being collapsed)
+    exact = exact_dedup(decontaminated, "text", "doc_id")
+    near = minhash_lsh_duplicates(decontaminated, "text", "doc_id", threshold=0.5)
     reencoded = emb.select(
         (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
         F.concat(
@@ -71,7 +83,13 @@ def main(sf_dir: str) -> None:
         base.unionAll(reencoded), threshold=0.9, num_planes=8, num_bands=4
     )
 
-    print("docs:", docs.count(), "→ kept after quality gate:", kept.count())
+    # 5. collapse near-dup clusters to their canonical representative,
+    # then pack survivors into fixed token-budget training bins
+    deduped = canonical_representatives(decontaminated, near)
+    packed = pack_token_budget(deduped, "text", "doc_id", budget=512, num_shards=8)
+
+    print("docs:", docs.count(), "→ kept after quality gate:", kept.count(),
+          "→ decontaminated:", decontaminated.count())
     print("language histogram:",
           sorted((r.detected_lang, r.cnt) for r in
                  langs.groupBy("detected_lang").agg(F.count("*").alias("cnt")).collect()))
@@ -79,6 +97,9 @@ def main(sf_dir: str) -> None:
     print("distinct contents:", exact.count(),
           "| text near-dup pairs:", near.count(),
           "| embedding near-dup pairs:", emb_near.count())
+    print("after cluster collapse:", deduped.count(),
+          "docs in", packed.agg(F.count_distinct("shard", "bin_idx")).collect()[0][0],
+          "training bins")
     spark.stop()
 
 
