@@ -43,8 +43,15 @@ def test_decontaminate_plan_is_broadcast_no_corpus_shuffle(spark):
         decontaminate(corpus, bench)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # both the semi (contamination probe) and anti (survivor) joins must
+    # be broadcast hash joins — the corpus side never shuffles on a key
+    assert "BroadcastHashJoin LeftSemi".lower() in plan.lower().replace("[", " ").replace(
+        "]", " "
+    ) or "LeftSemi, BuildRight" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_pack_token_budget_semantics(spark):
