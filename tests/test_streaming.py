@@ -96,3 +96,76 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     got_rows = {tuple(r) for r in got.collect()}
     assert got_rows <= batch_rows
     assert len(got_rows) >= len(batch_rows) - 5 * 2  # ≤2 open windows/type held back
+
+
+def test_stream_corpus_dedup_across_batches(spark, tmp_path):
+    """Streaming exact dedup: duplicate content arriving in LATER
+    micro-batches (within the watermark) is dropped; distinct content
+    passes; the quality gate filters map-side. State is bounded by the
+    watermark (dropDuplicatesWithinWatermark, not dropDuplicates)."""
+    import datetime as dt
+    import time as time_mod
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.streaming.pipeline import (
+        stream_corpus_dedup,
+    )
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    schema = "doc_id long, text string, event_time timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", t0),
+            (2, "unique second document here", t0),
+            (3, "tiny", t0),  # gated out by min_tokens
+        ],
+        schema,
+    )
+    batch1.write.parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 100
+    ).parquet(src)
+    deduped = stream_corpus_dedup(stream, min_tokens=2)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # second wave: one exact duplicate of doc 1, one new doc
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta", t0 + dt.timedelta(minutes=1)),
+            (11, "a genuinely new third document", t0 + dt.timedelta(minutes=1)),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    q2 = (
+        stream_corpus_dedup(
+            spark.readStream.schema(batch1.schema).parquet(src), min_tokens=2
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    ids = sorted(r.doc_id for r in got.collect())
+    assert 3 not in ids  # quality gate
+    assert 11 in ids and 1 in ids and 2 in ids
+    # the duplicate content arrived in a later batch but within the
+    # watermark -> exactly one of {1, 10} survives
+    texts = [r.text for r in got.collect()]
+    assert texts.count("alpha beta gamma delta") == 1

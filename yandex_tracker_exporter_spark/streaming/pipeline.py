@@ -102,3 +102,34 @@ def run_micro_batch_upsert(
         query.awaitTermination()
     else:
         writer.trigger(processingTime=processing_time).start()
+
+
+def stream_corpus_dedup(
+    stream: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "event_time",
+    late_threshold: str = "10 minutes",
+    min_tokens: int = 0,
+) -> DataFrame:
+    """Streaming ingestion dedup for a document feed (the training-data
+    counterpart of ST4/ST7): exact content dedup ACROSS micro-batches
+    with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` on the content hash keeps one row
+    per distinct content while the engine is allowed to expire dedup
+    state once the watermark passes — the streaming-native form of
+    ``exact_dedup`` (a plain ``dropDuplicates`` on an unbounded stream
+    grows state forever; at 100 TB/day that is the difference between a
+    working pipeline and an OOM). An optional token-count gate runs
+    map-side before any state is touched.
+
+    Emits the surviving rows with their content hash (append mode).
+    """
+    out = stream.withColumn("content_md5", F.md5(F.col(content_col)))
+    if min_tokens > 0:
+        out = out.where(
+            F.size(F.split(F.trim(F.col(content_col)), r"\s+")) >= min_tokens
+        )
+    return out.withWatermark(ts_col, late_threshold).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )
