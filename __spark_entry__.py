@@ -373,8 +373,13 @@ def q_cosine_topk(spark, sf_dir):
 #: 98.7% recall at cosine ≥ 0.95 on this corpus, candidate volume ~6%
 #: of all-pairs; measured 2× faster than 10×8 for ~1% recall loss) and
 #: the id offset of the planted perturbed copies.
-NEARDUP_PLANES = 8
-NEARDUP_BANDS = 4
+# 12 planes × 8 bands: vs the round-2 8×4 family, random-pair band
+# collisions drop 8× (0.5^12·8 ≈ 0.2% vs 0.5^8·4 ≈ 1.6%) while planted
+# near-dups (cos ≥ 0.98, p_plane ≈ 0.936) keep ≥99% recall
+# (1-(1-0.936^12)^8). The DuckDB oracle is generated from these same
+# constants, so recall changes identically on both engines.
+NEARDUP_PLANES = 12
+NEARDUP_BANDS = 8
 NEARDUP_ID_OFFSET = 100000
 
 
