@@ -804,6 +804,76 @@ def q_bytes_human(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition metrics (duplicate-token
+    and top-unigram/bigram mass) — the boilerplate filter of a training
+    pipeline. Map-only array arithmetic, no shuffle."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", "doc_id").select(
+        F.col("doc_id").cast("long"),
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_count",
+        "top_bigram_count",
+        "dup_token_ratio",
+        "top_bigram_ratio",
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic reproducible ~10% sample: portable polynomial hash
+    of 'sample:'||doc_id into 100 buckets, keep buckets < 10. The
+    100 TB sampling primitive: pure map-side predicate, no RNG state,
+    same rows on every engine and rerun."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", buckets=100, keep=10).select(
+        F.col("doc_id").cast("long"), "lang", "sample_bucket"
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Most-distinctive terms per document (integer-ranked TF-IDF core):
+    doc×term counts → vocabulary-sized document-frequency table →
+    broadcast join back → top-3 window per document. Two
+    partial-aggregable shuffles; the corpus side never reshuffles for
+    the join."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", top_k=3).select(
+        F.col("doc_id").cast("long"), "term", "tf", "df", "rank"
+    )
+
+
+def q_global_rank(spark, sf_dir):
+    """Global row numbering (ORDER BY n_chars, doc_id) without a
+    single-partition sort: bucket by floor(n_chars/64), per-bucket
+    counts → prefix-sum offsets (tiny table) broadcast back, rank =
+    offset + within-bucket row_number. The zipWithIndex equivalent that
+    survives 100 TB."""
+    from yandex_tracker_exporter_spark.operators.partitioning import (
+        global_row_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+    out = global_row_number(
+        docs,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        F.floor(F.col("n_chars") / F.lit(64)),
+    )
+    return out.select("doc_id", "n_chars", "global_rank")
+
+
 def q_running_total(spark, sf_dir):
     """Window-frame coverage: per-customer running order total in date
     order (rows between unbounded preceding and current row), with a
@@ -974,6 +1044,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "pack_token_budget": q_pack_token_budget,
     "bytes_human": q_bytes_human,
+    "repetition_signals": q_repetition_signals,
+    "hash_sample": q_hash_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "global_rank": q_global_rank,
 }
 
 
@@ -1856,6 +1930,76 @@ def _build_pii_redact_sql() -> str:
         FROM r
     """
 
+
+_ORACLES["repetition_signals"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id, t,
+               list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1]) AS bg
+        FROM toks
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           len(t)::BIGINT AS n_tokens,
+           len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+           list_max(list_transform(list_distinct(t),
+               u -> len(list_filter(t, x -> x = u))))::BIGINT
+               AS top_token_count,
+           CASE WHEN len(bg) > 0 THEN
+               list_max(list_transform(list_distinct(bg),
+                   u -> len(list_filter(bg, x -> x = u))))
+           ELSE 0 END::BIGINT AS top_bigram_count,
+           (len(t) - len(list_distinct(t)))::DOUBLE / len(t)::DOUBLE
+               AS dup_token_ratio,
+           CASE WHEN len(bg) > 0 THEN
+               list_max(list_transform(list_distinct(bg),
+                   u -> len(list_filter(bg, x -> x = u))))::DOUBLE
+               / len(bg)::DOUBLE
+           ELSE 0.0 END AS top_bigram_ratio
+    FROM bi
+"""
+
+_ORACLES["hash_sample"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               ({_dd_hash("'sample:' || doc_id::VARCHAR")}) % 100
+                   AS sample_bucket
+        FROM documents
+    )
+    SELECT doc_id::BIGINT AS doc_id, lang, sample_bucket::BIGINT AS sample_bucket
+    FROM hashed WHERE sample_bucket < 10
+"""
+
+_ORACLES["tfidf_top_terms"] = """
+    WITH terms AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ), dt AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY term
+    ), ranked AS (
+        SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+               row_number() OVER (PARTITION BY dt.doc_id
+                   ORDER BY dt.tf DESC, dfreq.df ASC, dt.term ASC)::BIGINT
+                   AS rank
+        FROM dt JOIN dfreq USING (term)
+    )
+    SELECT doc_id::BIGINT AS doc_id, term, tf, df, rank
+    FROM ranked WHERE rank <= 3
+"""
+
+_ORACLES["global_rank"] = """
+    SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+           row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)::BIGINT
+               AS global_rank
+    FROM documents
+"""
 
 _ORACLES["pii_redact"] = _build_pii_redact_sql()
 _ORACLES["embedding_neardup"] = _build_embedding_neardup_sql()

@@ -32,6 +32,14 @@ def spark():
     session.stop()
 
 
+@pytest.fixture(scope="session")
+def documents_df(spark):
+    """The harness documents table at the test scale factor."""
+    from yandex_tracker_exporter_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
 def _ref(key=None, email=None, name=None):
     if email is not None or (name is not None and key is None):
         return {"email": email, "name": name}

@@ -90,6 +90,38 @@ def test_text_pipeline_queries_are_map_only(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_repetition_and_sampling_are_map_only(spark):
+    """repetition_signals / hash_sample must stay pure map passes — no
+    hash shuffle, no Python eval — so at 100 TB they are scan-bound."""
+    for name in ("repetition_signals", "hash_sample"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_tfidf_join_is_broadcast(spark):
+    """The document-frequency table is vocabulary-sized: it must
+    broadcast back onto the doc×term side, never sort-merge the
+    corpus."""
+    df = entry_mod.queries()["tfidf_top_terms"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_rank_avoids_single_partition_sort(spark):
+    """Distributed row numbering: the corpus-side window partitions by
+    the range bucket; the only single-partition exchange allowed is the
+    prefix-sum over the TINY per-bucket counts table. The offsets come
+    back via broadcast."""
+    df = entry_mod.queries()["global_rank"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning(_grn_bucket" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_running_total_single_shuffle(spark):
     """The rows-frame window needs exactly one shuffle on the
     partition key."""

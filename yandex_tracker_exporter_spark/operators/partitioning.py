@@ -16,7 +16,56 @@ that follows it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket: Column,
+    out_col: str = "global_rank",
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY ...)`` without a
+    single-partition sort — the DataFrame equivalent of zipWithIndex.
+
+    A bare global window funnels the whole corpus through ONE reducer
+    (Spark plans an un-partitioned window as a single partition); at
+    100 TB that is the job. Instead the classic two-pass scheme:
+
+    1. ``bucket`` — a caller-supplied expression MONOTONE in the leading
+       sort key (e.g. ``floor(key / width)``) — splits the order into
+       contiguous ranges. Ties in the leading key must share a bucket
+       (monotonicity guarantees this); the remaining ``order_cols``
+       break them inside the bucket.
+    2. Per-bucket counts (one partial-aggregable shuffle of ~#buckets
+       rows) give each bucket its global offset via a prefix sum over
+       the TINY counts table; the offsets broadcast back.
+    3. rank = offset + row_number within the bucket — a window whose
+       partitions are the buckets, so the big table shuffles once, by
+       bucket, never through a single task.
+
+    Output: input columns + ``out_col`` (1-based global rank).
+    """
+    b = df.withColumn("_grn_bucket", bucket)
+    counts = b.groupBy("_grn_bucket").agg(F.count(F.lit(1)).alias("_grn_n"))
+    # prefix sum over the bucket-count table: #buckets rows, driver-small
+    w_off = (
+        Window.orderBy(F.col("_grn_bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_grn_bucket",
+        F.coalesce(F.sum("_grn_n").over(w_off), F.lit(0)).alias("_grn_off"),
+    )
+    w_in = Window.partitionBy("_grn_bucket").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "_grn_bucket")
+        .withColumn(
+            out_col, (F.col("_grn_off") + F.row_number().over(w_in)).cast("long")
+        )
+        .drop("_grn_bucket", "_grn_off")
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:

@@ -232,6 +232,149 @@ def pack_token_budget(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    §A1.1 of the Gopher paper): fraction of duplicate tokens and the
+    mass of the most-repeated unigram/bigram. Training pipelines drop
+    documents whose text is dominated by repeated boilerplate.
+
+    Map-only: every metric is per-row array arithmetic (O(n·d) in
+    tokens × distinct tokens, bounded by document size), so the operator
+    is scan-bound at 100 TB — no shuffle, no UDF.
+
+    Output: id, n_tokens, n_distinct_tokens, top_token_count,
+    top_bigram_count, dup_token_ratio, top_bigram_ratio.
+    """
+    tokens = _tokens(F.col(text_col))
+    base = df.select(F.col(id_col), tokens.alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    distinct = F.array_distinct(toks)
+    n_distinct = F.size(distinct)
+    top_token = F.array_max(
+        F.transform(distinct, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_bigrams = base.select(F.col(id_col), toks, bigrams.alias("_bg"))
+    bg = F.col("_bg")
+    top_bigram = F.when(
+        F.size(bg) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda t: F.size(F.filter(bg, lambda x: x == t)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return with_bigrams.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        top_token.cast("long").alias("top_token_count"),
+        top_bigram.cast("long").alias("top_bigram_count"),
+        ((n - n_distinct).cast("double") / n.cast("double")).alias(
+            "dup_token_ratio"
+        ),
+        F.when(F.size(bg) > 0, top_bigram.cast("double") / F.size(bg).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+    )
+
+
+#: Modulus/base of the portable sampling hash (same family as the dedup
+#: polynomial hash — see operators.dedup._hash64).
+SAMPLE_HASH_PRIME = 2147483647
+SAMPLE_HASH_BASE = 131
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    buckets: int = 100,
+    keep: int = 10,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Deterministic reproducible sampling: keep rows whose portable
+    polynomial hash of ``salt || key`` lands in the first ``keep`` of
+    ``buckets`` buckets (≈ keep/buckets sampling rate).
+
+    This is how a 100 TB corpus is sampled in practice: a pure map-side
+    predicate — no shuffle, no RNG state, no ``sample()``
+    nondeterminism — the same rows are selected on every engine and
+    every rerun, and the salt gives independent sample families. The
+    filter sits directly above the scan so column pruning and partition
+    pruning still apply.
+
+    Output: the input rows (all columns) + ``sample_bucket``.
+    """
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    n = F.length(key)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.ascii(F.substring(key, i, 1)).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SAMPLE_HASH_BASE + c) % SAMPLE_HASH_PRIME,
+    )
+    bucket = (h % buckets).cast("long")
+    return df.withColumn("sample_bucket", bucket).where(
+        F.col("sample_bucket") < keep
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Most-distinctive terms per document: rank a document's terms by
+    (term frequency DESC, document frequency ASC, term ASC) and keep the
+    top ``top_k`` — the integer-only core of TF-IDF (the float
+    ``tf·log(N/df)`` score orders identically for fixed tf, and integer
+    ranking keeps the result bit-reproducible on any engine).
+
+    Scale shape: two partial-aggregable shuffles (doc×term counts, then
+    term document frequencies) and ONE broadcast join — the document
+    frequency table is vocabulary-sized (≪ corpus; a few million rows
+    at web scale), so the corpus-sized doc×term side never reshuffles
+    for the join. The final top-k window partitions by document id,
+    reusing the doc×term aggregation's clustering.
+
+    Output: id, term, tf, df, rank.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    doc_term = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    doc_freq = doc_term.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    joined = doc_term.join(F.broadcast(doc_freq), "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
 #: PII patterns shared by engine and oracle (RE2/Java-compatible: no
 #: lookarounds). Email first so phone digits inside addresses are gone.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
