@@ -874,6 +874,28 @@ def q_global_rank(spark, sf_dir):
     return out.select("doc_id", "n_chars", "global_rank")
 
 
+#: Mixture rates for the stratified_sample driver query: downsample en,
+#: two epochs of de, quarter of zh, everything else untouched.
+MIXTURE_RATES = {"en": 0.5, "de": 2.0, "zh": 0.25}
+MIXTURE_BUCKETS = 1000
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic mixture resampling (language rebalancing): rate<1
+    drops a salted-hash-selected fraction, rate>1 emits extra epochs.
+    Map-only — hash + rate lookup + explode, no shuffle, no RNG."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", MIXTURE_RATES, default_rate=1.0, key_col="doc_id",
+        buckets=MIXTURE_BUCKETS,
+    )
+    return out.select(F.col("doc_id").cast("long"), "lang", "copy_idx")
+
+
 def q_running_total(spark, sf_dir):
     """Window-frame coverage: per-customer running order total in date
     order (rows between unbounded preceding and current row), with a
@@ -1048,6 +1070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "global_rank": q_global_rank,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -2000,6 +2023,35 @@ _ORACLES["global_rank"] = """
                AS global_rank
     FROM documents
 """
+
+def _build_stratified_sample_sql() -> str:
+    """Generated from MIXTURE_RATES so engine and oracle share the
+    mixture constants (whole copies + fractional hash-bucket cutoff)."""
+    whole_cases = " ".join(
+        f"WHEN lang = '{g}' THEN {int(r)}" for g, r in sorted(MIXTURE_RATES.items())
+    )
+    frac_cases = " ".join(
+        f"WHEN lang = '{g}' THEN {round((r - int(r)) * MIXTURE_BUCKETS)}"
+        for g, r in sorted(MIXTURE_RATES.items())
+    )
+    key_expr = "'mix:' || doc_id::VARCHAR"
+    bucket = f"(({_dd_hash(key_expr)}) % {MIXTURE_BUCKETS})"
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   (CASE {whole_cases} ELSE 1 END)
+                   + (CASE WHEN {bucket} <
+                        (CASE {frac_cases} ELSE 0 END)
+                      THEN 1 ELSE 0 END) AS n_copies
+            FROM documents
+        )
+        SELECT doc_id::BIGINT AS doc_id, lang,
+               unnest(range(0, n_copies))::BIGINT AS copy_idx
+        FROM sized
+    """
+
+
+_ORACLES["stratified_sample"] = _build_stratified_sample_sql()
 
 _ORACLES["pii_redact"] = _build_pii_redact_sql()
 _ORACLES["embedding_neardup"] = _build_embedding_neardup_sql()

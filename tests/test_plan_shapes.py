@@ -93,7 +93,7 @@ def test_text_pipeline_queries_are_map_only(spark):
 def test_repetition_and_sampling_are_map_only(spark):
     """repetition_signals / hash_sample must stay pure map passes — no
     hash shuffle, no Python eval — so at 100 TB they are scan-bound."""
-    for name in ("repetition_signals", "hash_sample"):
+    for name in ("repetition_signals", "hash_sample", "stratified_sample"):
         df = entry_mod.queries()[name](spark, SF_DIR)
         plan = _plan(df)
         assert "Exchange hashpartitioning" not in plan, name

@@ -70,6 +70,60 @@ class TestHashSample:
         assert set(documents_df.columns) | {"sample_bucket"} == set(out.columns)
 
 
+class TestStratifiedSample:
+    def test_rate_two_duplicates_every_row(self, spark, documents_df):
+        from yandex_tracker_exporter_spark.operators.text_analysis import (
+            stratified_sample,
+        )
+
+        de = documents_df.where(F.col("lang") == "de")
+        out = stratified_sample(de, "lang", {"de": 2.0})
+        assert out.count() == 2 * de.count()
+        assert set(
+            r.copy_idx for r in out.select("copy_idx").distinct().collect()
+        ) == {0, 1}
+
+    def test_fractional_rate_downsamples_deterministically(
+        self, spark, documents_df
+    ):
+        from yandex_tracker_exporter_spark.operators.text_analysis import (
+            stratified_sample,
+        )
+
+        out = stratified_sample(documents_df, "lang", {}, default_rate=0.5)
+        total = documents_df.count()
+        kept = out.count()
+        assert 0.3 * total < kept < 0.7 * total
+        again = stratified_sample(documents_df, "lang", {}, default_rate=0.5)
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_rate_zero_drops_group(self, spark, documents_df):
+        from yandex_tracker_exporter_spark.operators.text_analysis import (
+            stratified_sample,
+        )
+
+        out = stratified_sample(documents_df, "lang", {"en": 0.0})
+        assert out.where(F.col("lang") == "en").count() == 0
+        # other groups untouched (default rate 1.0, one copy each)
+        others = documents_df.where(F.col("lang") != "en").count()
+        assert out.count() == others
+
+    def test_mixed_rates_expected_multiplicity(self, spark, documents_df):
+        from yandex_tracker_exporter_spark.operators.text_analysis import (
+            stratified_sample,
+        )
+
+        out = stratified_sample(
+            documents_df, "lang", {"de": 1.5}, default_rate=1.0
+        )
+        de_in = documents_df.where(F.col("lang") == "de").count()
+        de_out = out.where(F.col("lang") == "de").count()
+        assert de_in <= de_out <= 2 * de_in
+        assert de_out / de_in == pytest.approx(1.5, abs=0.35)
+
+
 class TestTfidfTopTerms:
     def test_tiny_corpus(self, spark):
         df = _docs(spark, ["x x y", "y z z"])

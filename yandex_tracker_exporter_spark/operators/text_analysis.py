@@ -315,21 +315,68 @@ def hash_sample(
 
     Output: the input rows (all columns) + ``sample_bucket``.
     """
-    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
-    n = F.length(key)
+    bucket = _sample_bucket(F.col(key_col), buckets, salt).cast("long")
+    return df.withColumn("sample_bucket", bucket).where(
+        F.col("sample_bucket") < keep
+    )
+
+
+def _sample_bucket(key: Column, buckets: int, salt: str) -> Column:
+    """Portable polynomial hash of ``salt || key`` into ``buckets``."""
+    skey = F.concat(F.lit(salt), key.cast("string"))
+    n = F.length(skey)
     codes = F.transform(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.ascii(F.substring(key, i, 1)).cast("long"),
+        lambda i: F.ascii(F.substring(skey, i, 1)).cast("long"),
     )
     h = F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * SAMPLE_HASH_BASE + c) % SAMPLE_HASH_PRIME,
     )
-    bucket = (h % buckets).cast("long")
-    return df.withColumn("sample_bucket", bucket).where(
-        F.col("sample_bucket") < keep
-    )
+    return h % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    key_col: str = "doc_id",
+    buckets: int = 1000,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministic mixture resampling: repeat or drop rows so each
+    group's expected multiplicity equals its rate — the
+    language/domain mixture-weighting step of a training pipeline
+    (rate 0.25 = keep a quarter, rate 2.0 = two epochs of the group).
+
+    Every row gets ``floor(rate)`` guaranteed copies plus one more iff
+    its salted hash bucket falls below ``frac(rate) * buckets`` — so
+    the SAME rows are up/downsampled on every engine and rerun (no RNG),
+    and a different ``salt`` draws an independent mixture. Map-only:
+    a hash, a per-group rate lookup, and an explode — no shuffle.
+
+    Output: input columns + ``copy_idx`` (0-based copy number).
+    """
+    whole = {g: int(r) for g, r in rates.items()}
+    frac_buckets = {g: round((r - int(r)) * buckets) for g, r in rates.items()}
+    dflt_whole = int(default_rate)
+    dflt_frac = round((default_rate - dflt_whole) * buckets)
+
+    bucket = _sample_bucket(F.col(key_col), buckets, salt)
+    group = F.col(group_col)
+    n_whole: Column = F.lit(dflt_whole)
+    n_frac: Column = F.lit(dflt_frac)
+    for g in sorted(rates):
+        n_whole = F.when(group == g, F.lit(whole[g])).otherwise(n_whole)
+        n_frac = F.when(group == g, F.lit(frac_buckets[g])).otherwise(n_frac)
+    n_copies = n_whole + F.when(bucket < n_frac, F.lit(1)).otherwise(F.lit(0))
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.withColumn("copy_idx", F.explode(copies))
+    return exploded.withColumn("copy_idx", F.col("copy_idx").cast("long"))
 
 
 def tfidf_top_terms(
