@@ -103,11 +103,15 @@ def test_repetition_and_sampling_are_map_only(spark):
 def test_tfidf_join_is_broadcast(spark):
     """The document-frequency table is vocabulary-sized: it must
     broadcast back onto the doc×term side, never sort-merge the
-    corpus."""
+    corpus. And because doc×term counts are run-length encoded
+    map-side, the ONLY hash exchanges are over the aggregated doc×term
+    relation (term DF agg + per-doc window) — a naive explode→groupBy
+    would add a corpus-scale token-row shuffle as a third."""
     df = entry_mod.queries()["tfidf_top_terms"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_global_rank_avoids_single_partition_sort(spark):

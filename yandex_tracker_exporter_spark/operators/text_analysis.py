@@ -391,23 +391,46 @@ def tfidf_top_terms(
     ``tf·log(N/df)`` score orders identically for fixed tf, and integer
     ranking keeps the result bit-reproducible on any engine).
 
-    Scale shape: two partial-aggregable shuffles (doc×term counts, then
-    term document frequencies) and ONE broadcast join — the document
-    frequency table is vocabulary-sized (≪ corpus; a few million rows
-    at web scale), so the corpus-sized doc×term side never reshuffles
-    for the join. The final top-k window partitions by document id,
-    reusing the doc×term aggregation's clustering.
+    Scale shape: the doc×term counts are computed MAP-SIDE — sort the
+    token array per row and run-length encode it (O(n log n) per doc,
+    no corpus-scale token-row shuffle at all; a naive
+    explode→groupBy(doc, term) shuffles one row per token). The only
+    exchanges are over the aggregated doc×term relation: one
+    partial-aggregable shuffle for the vocabulary-sized document
+    frequencies (which then broadcast back) and one for the per-doc
+    top-k window.
 
     Output: id, term, tf, df, rank.
     """
     from pyspark.sql import Window
 
-    terms = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    # run-length encode the sorted token array: run starts are positions
+    # whose token differs from the previous one; tf = next start - start.
+    # Materialize each intermediate array as its own projected column —
+    # HOF lambdas duplicate referenced subtrees per use (see NOTES).
+    sorted_toks = df.select(
+        F.col(id_col), F.array_sort(_tokens(F.col(text_col))).alias("_st")
     )
-    doc_term = terms.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    st = F.col("_st")
+    n = F.size(st)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.get(st, i - 1) != F.get(st, i - 2)),
     )
+    with_bounds = sorted_toks.select(
+        F.col(id_col), st, F.concat(starts, F.array(n + 1)).alias("_bounds")
+    )
+    bounds = F.col("_bounds")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            F.get(st, F.get(bounds, j - 1) - 1).alias("term"),
+            (F.get(bounds, j) - F.get(bounds, j - 1)).cast("long").alias("tf"),
+        ),
+    )
+    doc_term = with_bounds.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(F.col(id_col), F.col("_p.term").alias("term"), F.col("_p.tf").alias("tf"))
     doc_freq = doc_term.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
