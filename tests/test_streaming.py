@@ -169,3 +169,51 @@ def test_stream_corpus_dedup_across_batches(spark, tmp_path):
     # watermark -> exactly one of {1, 10} survives
     texts = [r.text for r in got.collect()]
     assert texts.count("alpha beta gamma delta") == 1
+
+
+def test_map_only_pipeline_ops_run_on_streams(spark, tmp_path):
+    """The map-only training-pipeline operators (repetition signals,
+    hash sampling, mixture resampling) must run UNCHANGED on a
+    streaming DataFrame — no shuffle/state means Structured Streaming
+    accepts them as stateless transforms, so the incremental ingestion
+    path gets them for free. Results must equal the batch run."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        hash_sample,
+        repetition_signals,
+        stratified_sample,
+    )
+
+    src = str(tmp_path / "stream_src")
+    batch = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 3} other word", ["en", "de"][i % 2])
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    for op, kwargs in (
+        (repetition_signals, {}),
+        (hash_sample, {"buckets": 10, "keep": 5}),
+        (stratified_sample, {"group_col": "lang", "rates": {"de": 2.0}}),
+    ):
+        if op is repetition_signals:
+            out_stream = op(stream)
+            out_batch = op(batch)
+        elif op is hash_sample:
+            out_stream = op(stream, **kwargs)
+            out_batch = op(batch, **kwargs)
+        else:
+            out_stream = op(stream, kwargs["group_col"], kwargs["rates"])
+            out_batch = op(batch, kwargs["group_col"], kwargs["rates"])
+        name = f"mem_{op.__name__}"
+        q = (
+            out_stream.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        want = {tuple(r) for r in out_batch.collect()}
+        assert got == want, op.__name__
