@@ -30,6 +30,9 @@ from yandex_tracker_exporter_spark.operators.text_analysis import (
     pack_token_budget,
     quality_score,
     redact_pii,
+    repetition_signals,
+    stratified_sample,
+    tfidf_top_terms,
 )
 from yandex_tracker_exporter_spark.sources.tables import load_table
 
@@ -39,11 +42,20 @@ def main(sf_dir: str) -> None:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # 1. quality gate (token/stopword heuristics) — map-only
+    # 1. quality + repetition gates (token/stopword heuristics and the
+    # Gopher top-bigram filter) — both map-only signal passes over the
+    # raw corpus, combined into ONE keep-set so downstream plans see a
+    # single semi-join, not a cascade
     scored = quality_score(docs, "text", "doc_id")
-    kept_ids = scored.where(
-        (F.col("n_tokens") >= 16) & (F.col("stopword_ratio") <= 0.5)
-    ).select("doc_id")
+    rep = repetition_signals(docs, "text", "doc_id")
+    kept_ids = (
+        scored.where((F.col("n_tokens") >= 16) & (F.col("stopword_ratio") <= 0.5))
+        .select("doc_id")
+        .join(
+            rep.where(F.col("top_bigram_ratio") <= 0.5).select("doc_id"),
+            "doc_id",
+        )
+    )
     kept = docs.join(kept_ids, "doc_id")
 
     # 2. language ID + PII scrub — map-only
@@ -56,7 +68,9 @@ def main(sf_dir: str) -> None:
     # held-out benchmark; survivors share no 20-gram with it
     benchmark = clean.where(F.col("doc_id") % 20 == 0)
     train_pool = clean.where(F.col("doc_id") % 20 != 0)
-    decontaminated = decontaminate(train_pool, benchmark, shingle_k=20)
+    # persist: five downstream consumers (chunks, exact/near dedup,
+    # cluster collapse, packing) re-drive this plan independently
+    decontaminated = decontaminate(train_pool, benchmark, shingle_k=20).persist()
 
     # 3. context-window chunks — map-only explode
     chunks = chunk_tokens(decontaminated, "text", "doc_id", chunk_size=32, overlap=8)
@@ -84,9 +98,20 @@ def main(sf_dir: str) -> None:
     )
 
     # 5. collapse near-dup clusters to their canonical representative,
-    # then pack survivors into fixed token-budget training bins
-    deduped = canonical_representatives(decontaminated, near)
-    packed = pack_token_budget(deduped, "text", "doc_id", budget=512, num_shards=8)
+    # then rebalance the language mixture (deterministic hash-based
+    # up/downsampling) and pack into fixed token-budget training bins
+    # persist: the collapse sits on an iterative clustering plan and the
+    # summary below drives several independent actions over it
+    deduped = canonical_representatives(decontaminated, near).persist()
+    with_lang = deduped.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = stratified_sample(
+        with_lang, "lang", {"zh": 0.5, "de": 2.0}, default_rate=1.0
+    )
+    # copies need unique ids for deterministic packing order
+    mixed_ids = mixed.select(
+        (F.col("doc_id") * 10 + F.col("copy_idx")).alias("doc_id"), "text"
+    )
+    packed = pack_token_budget(mixed_ids, "text", "doc_id", budget=512, num_shards=8)
 
     print("docs:", docs.count(), "→ kept after quality gate:", kept.count(),
           "→ decontaminated:", decontaminated.count())
@@ -98,8 +123,16 @@ def main(sf_dir: str) -> None:
           "| text near-dup pairs:", near.count(),
           "| embedding near-dup pairs:", emb_near.count())
     print("after cluster collapse:", deduped.count(),
+          "→ after mixture resampling:", mixed.count(),
           "docs in", packed.agg(F.count_distinct("shard", "bin_idx")).collect()[0][0],
           "training bins")
+    top_terms = (
+        tfidf_top_terms(deduped, "text", "doc_id", top_k=1)
+        .groupBy("term").agg(F.count("*").alias("docs_led"))
+        .orderBy(F.col("docs_led").desc(), "term").limit(5)
+    )
+    print("most-distinctive corpus terms:",
+          [(r.term, r.docs_led) for r in top_terms.collect()])
     spark.stop()
 
 
