@@ -896,6 +896,31 @@ def q_stratified_sample(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long"), "lang", "copy_idx")
 
 
+HISTOGRAM_BUCKETS = 1000
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Sketch-path percentiles: fixed-state equal-width histogram
+    quantiles per event type (vs value_percentiles' exact per-group
+    sort, which doesn't survive unbounded groups at 100 TB). The
+    [lo, hi] domain comes from a cheap global min/max agg; both engines
+    then run identical double arithmetic, so estimates are
+    bit-reproducible."""
+    from yandex_tracker_exporter_spark.operators.grouped import (
+        histogram_quantiles,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(F.col("value").cast("double")), F.max(F.col("value").cast("double"))
+    ).collect()[0]
+    out = histogram_quantiles(
+        events, "value", "event_type", lo=lo, hi=hi,
+        quantiles=(0.5, 0.95, 0.99), num_buckets=HISTOGRAM_BUCKETS,
+    )
+    return out.select("event_type", "n", "p50", "p95", "p99")
+
+
 def q_running_total(spark, sf_dir):
     """Window-frame coverage: per-customer running order total in date
     order (rows between unbounded preceding and current row), with a
@@ -1071,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "global_rank": q_global_rank,
     "stratified_sample": q_stratified_sample,
+    "histogram_quantiles": q_histogram_quantiles,
 }
 
 
@@ -2052,6 +2078,41 @@ def _build_stratified_sample_sql() -> str:
 
 
 _ORACLES["stratified_sample"] = _build_stratified_sample_sql()
+
+_ORACLES["histogram_quantiles"] = f"""
+    WITH dom AS (
+        SELECT min(value::DOUBLE) AS lo,
+               ((max(value::DOUBLE) - min(value::DOUBLE)) / {HISTOGRAM_BUCKETS})
+                   AS width
+        FROM events
+    ), bucketed AS (
+        SELECT event_type,
+               least({HISTOGRAM_BUCKETS - 1}, greatest(0,
+                   floor((value::DOUBLE - dom.lo) / dom.width)))::BIGINT
+                   AS bucket
+        FROM events, dom
+    ), counts AS (
+        SELECT event_type, bucket, count(*)::BIGINT AS n
+        FROM bucketed GROUP BY event_type, bucket
+    ), cum AS (
+        SELECT event_type, bucket,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM counts
+    )
+    SELECT event_type,
+           max(total)::BIGINT AS n,
+           dom.lo + min(CASE WHEN c >= ceil(0.5 * total) THEN bucket END)
+               * dom.width AS p50,
+           dom.lo + min(CASE WHEN c >= ceil(0.95 * total) THEN bucket END)
+               * dom.width AS p95,
+           dom.lo + min(CASE WHEN c >= ceil(0.99 * total) THEN bucket END)
+               * dom.width AS p99
+    FROM cum, dom
+    GROUP BY event_type, dom.lo, dom.width
+"""
 
 _ORACLES["pii_redact"] = _build_pii_redact_sql()
 _ORACLES["embedding_neardup"] = _build_embedding_neardup_sql()

@@ -66,3 +66,52 @@ def test_single_entity_edge_cases(spark):
         assert set(got) == {2, 3}, op.__name__
         assert got[2] == (3, 20.0), op.__name__
         assert got[3] == (2, 20.0), op.__name__
+
+
+class TestHistogramQuantiles:
+    def test_estimates_within_one_bucket_of_exact(self, spark):
+        from yandex_tracker_exporter_spark.operators.grouped import (
+            histogram_quantiles,
+        )
+
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        vals = rng.uniform(0.0, 100.0, size=2000)
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "g string, value double"
+        )
+        out = histogram_quantiles(
+            df, "value", "g", lo=0.0, hi=100.0, num_buckets=1000
+        ).collect()[0]
+        width = 100.0 / 1000
+        assert out.n == 2000
+        for q, est in ((0.5, out.p50), (0.95, out.p95), (0.99, out.p99)):
+            exact = float(np.quantile(vals, q, method="inverted_cdf"))
+            assert abs(est - exact) <= 2 * width, (q, est, exact)
+
+    def test_out_of_domain_values_clamp_to_edge_buckets(self, spark):
+        from yandex_tracker_exporter_spark.operators.grouped import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("g", -50.0), ("g", 0.5), ("g", 999.0)], "g string, value double"
+        )
+        out = histogram_quantiles(
+            df, "value", "g", lo=0.0, hi=1.0, num_buckets=10
+        ).collect()[0]
+        assert out.n == 3
+        # p99 lands in the clamped top bucket: lower edge 0.9
+        assert out.p99 == 0.9
+
+    def test_rejects_empty_domain(self, spark):
+        import pytest as _pytest
+
+        from yandex_tracker_exporter_spark.operators.grouped import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, value double")
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "value", "g", lo=1.0, hi=1.0)

@@ -132,3 +132,13 @@ def test_running_total_single_shuffle(spark):
     df = entry_mod.queries()["running_total"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_quantiles_partial_agg_then_tiny_window(spark):
+    """The sketch path: one partial-aggregable corpus shuffle on
+    (group, bucket); everything after runs on the groups-by-buckets
+    relation. Two hash exchanges total, map-side combine on the first."""
+    df = entry_mod.queries()["histogram_quantiles"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 2

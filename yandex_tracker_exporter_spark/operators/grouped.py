@@ -90,3 +90,69 @@ def median_gap_native(
         F.count("gap").alias("n_gaps"),
         F.median("gap").alias("median_gap_s"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    num_buckets: int = 1000,
+) -> DataFrame:
+    """Histogram-sketch quantiles — the 100 TB path for percentiles.
+
+    Exact per-group percentiles (``value_percentiles``) materialize
+    every group's values for a sort: fine for bounded entities, a
+    non-starter for unbounded groups. This operator keeps FIXED state —
+    ``num_buckets`` counters per group — like production quantile
+    sketches, but with deterministic equal-width bucketing over the
+    caller-supplied ``[lo, hi]`` domain so any engine reproduces it
+    bit-for-bit (t-digest/KLL sketches are implementation-defined; an
+    equal-width histogram is arithmetic).
+
+    Estimate = the LOWER EDGE of the first bucket whose cumulative
+    count reaches ``ceil(q * total)`` — error bounded by one bucket
+    width. Scale shape: ONE partial-aggregable shuffle on
+    (group, bucket); the quantile selection then runs on the tiny
+    (groups × buckets) relation (a per-group window + conditional
+    min-aggregates).
+
+    ``lo``/``hi`` come from the caller (a prior cheap min/max agg or
+    domain knowledge); values outside clamp into the edge buckets.
+
+    Output: group, n, then one ``p<q>`` column per requested quantile.
+    """
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    width = (hi - lo) / num_buckets
+    v = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("long")
+    counts = (
+        df.select(F.col(group_col), bucket.alias("_hq_bucket"))
+        .groupBy(group_col, "_hq_bucket")
+        .agg(F.count(F.lit(1)).alias("_hq_n"))
+    )
+    w_grp = Window.partitionBy(group_col)
+    w_cum = w_grp.orderBy(F.col("_hq_bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.col(group_col),
+        "_hq_bucket",
+        F.sum("_hq_n").over(w_cum).alias("_hq_cum"),
+        F.sum("_hq_n").over(w_grp).alias("_hq_total"),
+    )
+    aggs = [F.max("_hq_total").cast("long").alias("n")]
+    for q in quantiles:
+        hit = F.when(
+            F.col("_hq_cum") >= F.ceil(F.lit(q) * F.col("_hq_total")),
+            F.col("_hq_bucket"),
+        )
+        est = F.lit(lo) + F.min(hit) * F.lit(width)
+        aggs.append(est.alias(f"p{int(q * 100)}"))
+    return cum.groupBy(group_col).agg(*aggs)
