@@ -471,3 +471,40 @@ def test_upsert_newer_version_wins(spark, raw_issues, raw_changelog, tmp_path):
     t1 = latest.where(F.col("issue_key") == "TEST-1").first()
     assert t1["title"] == "Retitled"
     assert t1["updated_at"] == dt.datetime(2023, 6, 1, 12, 0)
+
+
+def test_read_latest_month_scope_prunes_partitions(spark, tmp_path):
+    """read_latest(months=[...]) must reach the scan as a PARTITION
+    filter (directory-level pruning, the 100 TB path for month-scoped
+    reads) and apply ClickHouse-FINAL-on-partition semantics: latest
+    version among the scoped months only."""
+    import datetime as dt
+
+    from yandex_tracker_exporter_spark.sources.sinks import (
+        read_latest,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "monthly_scoped")
+    rows = [
+        ("A", 1, dt.datetime(2024, 1, 10), "jan-old"),
+        ("A", 2, dt.datetime(2024, 1, 20), "jan-new"),
+        ("A", 3, dt.datetime(2024, 2, 5), "feb"),
+        ("B", 1, dt.datetime(2024, 1, 3), "jan"),
+    ]
+    df = spark.createDataFrame(
+        rows, "issue_key string, version long, updated_at timestamp, p string"
+    )
+    write_versioned(df, path, ["issue_key"], partition_ts_col="updated_at")
+
+    scoped = read_latest(spark, path, ["issue_key"], months=["202401"])
+    # latest WITHIN January: A's Feb version is out of scope
+    assert {(r.issue_key, r.p) for r in scoped.collect()} == {
+        ("A", "jan-new"), ("B", "jan")
+    }
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    filters = plan.split("PartitionFilters")[1][:200]
+    assert "_month" in filters
+    # only the scoped month's files are listed into the scan
+    assert "_month=202402" not in plan

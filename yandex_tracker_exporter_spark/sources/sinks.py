@@ -60,9 +60,21 @@ def read_latest(
     path: str,
     keys: list[str],
     version_col: str = "version",
+    months: list[str] | None = None,
 ) -> DataFrame:
-    """The ``FINAL`` view: latest version per dedup key."""
+    """The ``FINAL`` view: latest version per dedup key.
+
+    ``months`` scopes the read to specific ``_month`` partitions — the
+    filter lands in the scan's PartitionFilters, so only those
+    directories are listed and read (at 100 TB the difference between
+    touching one month and the whole table). Semantics mirror
+    ClickHouse ``FINAL`` over a partition subset: latest version AMONG
+    THE SCOPED MONTHS — a newer version living in an out-of-scope month
+    is not consulted.
+    """
     df = spark.read.parquet(path)
+    if months is not None and "_month" in df.columns:
+        df = df.where(F.col("_month").isin([str(m) for m in months]))
     if "_month" in df.columns:
         df = df.drop("_month")
     return latest_version_dedup(df, keys, version_col)
