@@ -896,6 +896,27 @@ def q_stratified_sample(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long"), "lang", "copy_idx")
 
 
+#: Funnel steps + completion window for the window_funnel driver query.
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 86400
+
+
+def q_window_funnel(spark, sf_dir):
+    """ClickHouse windowFunnel parity: deepest prefix of
+    view→click→purchase completed per user with strictly increasing
+    timestamps within one day of the first view. One shuffle; the
+    per-user chain folds with O(1) accumulator state."""
+    from yandex_tracker_exporter_spark.operators.funnel import window_funnel
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = window_funnel(
+        events, list(FUNNEL_STEPS), FUNNEL_WINDOW_S, "user_id", "ts", "event_type"
+    )
+    return out.select(F.col("user_id").cast("long"), "funnel_level")
+
+
 HISTOGRAM_BUCKETS = 1000
 
 
@@ -1097,6 +1118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_rank": q_global_rank,
     "stratified_sample": q_stratified_sample,
     "histogram_quantiles": q_histogram_quantiles,
+    "window_funnel": q_window_funnel,
 }
 
 
@@ -2078,6 +2100,46 @@ def _build_stratified_sample_sql() -> str:
 
 
 _ORACLES["stratified_sample"] = _build_stratified_sample_sql()
+
+def _build_window_funnel_sql() -> str:
+    """Cascaded conditional-min CTEs — relationally identical to the
+    greedy fold: each step's timestamp is the MIN qualifying event
+    (first of its type strictly after the previous step, within the
+    window of the anchor), which is exactly what the sorted fold
+    matches."""
+    s0, s1, s2 = FUNNEL_STEPS
+    w = FUNNEL_WINDOW_S
+    return f"""
+        WITH e AS (
+            SELECT user_id, floor(epoch(ts))::BIGINT AS t, event_type AS y
+            FROM events
+        ), s1 AS (
+            SELECT user_id, min(t) AS t1 FROM e WHERE y = '{s0}'
+            GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(t) AS t2
+            FROM e JOIN s1 USING (user_id)
+            WHERE y = '{s1}' AND t > t1 AND t <= t1 + {w}
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(t) AS t3
+            FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+            WHERE y = '{s2}' AND t > t2 AND t <= t1 + {w}
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id::BIGINT AS user_id,
+               (CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END)::BIGINT AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """
+
+
+_ORACLES["window_funnel"] = _build_window_funnel_sql()
 
 _ORACLES["histogram_quantiles"] = f"""
     WITH dom AS (

@@ -1,0 +1,85 @@
+"""window_funnel unit tests — crafted chains covering anchor, window
+expiry, ordering, and greedy semantics."""
+
+import datetime as dt
+
+import pytest
+
+from yandex_tracker_exporter_spark.operators.funnel import window_funnel
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(seconds=s), y) for u, s, y in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _levels(spark, rows, window=3600):
+    df = _events(spark, rows)
+    return {
+        r.user_id: r.funnel_level
+        for r in window_funnel(df, STEPS, window).collect()
+    }
+
+
+def test_full_chain_within_window(spark):
+    rows = [(1, 0, "view"), (1, 10, "click"), (1, 20, "purchase")]
+    assert _levels(spark, rows) == {1: 3}
+
+
+def test_chain_broken_by_window_expiry(spark):
+    # purchase lands after the window anchored at the first view
+    rows = [(1, 0, "view"), (1, 10, "click"), (1, 4000, "purchase")]
+    assert _levels(spark, rows) == {1: 2}
+
+
+def test_out_of_order_types_do_not_count(spark):
+    # click before any view: no anchor yet
+    rows = [(1, 0, "click"), (1, 10, "purchase"), (1, 20, "view")]
+    assert _levels(spark, rows) == {1: 1}
+
+
+def test_strictly_increasing_timestamps_required(spark):
+    # click at the same second as the view does not advance
+    rows = [(1, 0, "view"), (1, 0, "click"), (1, 20, "purchase")]
+    assert _levels(spark, rows) == {1: 1}
+
+
+def test_anchor_is_first_view_greedy(spark):
+    # first view at t=0 expires; a later view at t=3500 would complete,
+    # but greedy semantics anchor at the first occurrence (the window is
+    # inclusive at t0+window, so the chain must start strictly past it)
+    rows = [
+        (1, 0, "view"),
+        (1, 3500, "view"),
+        (1, 3601, "click"),
+        (1, 3700, "purchase"),
+    ]
+    assert _levels(spark, rows) == {1: 1}
+
+
+def test_unrelated_events_are_ignored(spark):
+    rows = [
+        (1, 0, "view"),
+        (1, 5, "error"),
+        (1, 10, "click"),
+        (1, 11, "signup"),
+        (1, 20, "purchase"),
+    ]
+    assert _levels(spark, rows) == {1: 3}
+
+
+def test_user_with_no_steps_reports_level_zero(spark):
+    rows = [(1, 0, "error"), (2, 0, "view")]
+    assert _levels(spark, rows) == {1: 0, 2: 1}
+
+
+def test_empty_steps_rejected(spark):
+    with pytest.raises(ValueError):
+        window_funnel(_events(spark, [(1, 0, "view")]), [], 10)

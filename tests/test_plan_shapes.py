@@ -142,3 +142,12 @@ def test_histogram_quantiles_partial_agg_then_tiny_window(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("HashAggregate") >= 2
+
+
+def test_window_funnel_single_shuffle(spark):
+    """The funnel folds each user's sorted chain with O(1) accumulator
+    state after ONE groupBy shuffle — no per-step joins, no Python."""
+    df = entry_mod.queries()["window_funnel"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
