@@ -917,6 +917,21 @@ def q_window_funnel(spark, sf_dir):
     return out.select(F.col("user_id").cast("long"), "funnel_level")
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: one corpus shuffle (per-user
+    min + collect_set of active weeks in a single partial-aggregable
+    groupBy), then explode + count on the per-user relation."""
+    from yandex_tracker_exporter_spark.operators.funnel import cohort_retention
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = cohort_retention(events, "user_id", "ts")
+    return out.select(
+        "cohort_week", "week_offset", F.col("n_users").cast("long")
+    )
+
+
 HISTOGRAM_BUCKETS = 1000
 
 
@@ -1119,6 +1134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "histogram_quantiles": q_histogram_quantiles,
     "window_funnel": q_window_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 
@@ -2140,6 +2156,20 @@ def _build_window_funnel_sql() -> str:
 
 
 _ORACLES["window_funnel"] = _build_window_funnel_sql()
+
+_ORACLES["cohort_retention"] = """
+    WITH wk AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w
+        FROM events
+    ), c AS (
+        SELECT user_id, min(w) AS cohort FROM wk GROUP BY user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           ((w - cohort) / 7)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM wk JOIN c USING (user_id)
+    GROUP BY cohort, week_offset
+"""
 
 _ORACLES["histogram_quantiles"] = f"""
     WITH dom AS (

@@ -83,3 +83,42 @@ def test_user_with_no_steps_reports_level_zero(spark):
 def test_empty_steps_rejected(spark):
     with pytest.raises(ValueError):
         window_funnel(_events(spark, [(1, 0, "view")]), [], 10)
+
+
+class TestCohortRetention:
+    def test_triangle_counts(self, spark):
+        from yandex_tracker_exporter_spark.operators.funnel import (
+            cohort_retention,
+        )
+
+        # week of 2024-01-01 (Mon) and 2024-01-08
+        w0 = dt.datetime(2024, 1, 3, 10, 0)   # cohort week 0
+        w1 = dt.datetime(2024, 1, 10, 10, 0)  # week 1
+        w2 = dt.datetime(2024, 1, 17, 10, 0)  # week 2
+        rows = [
+            (1, w0), (1, w1), (1, w2),   # active all three weeks
+            (2, w0), (2, w2),            # skips week 1
+            (3, w1),                     # later cohort
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r.cohort_week, r.week_offset): r.n_users
+            for r in cohort_retention(df).collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 2): 2,
+            ("2024-01-08", 0): 1,
+        }
+
+    def test_duplicate_events_in_week_count_once(self, spark):
+        from yandex_tracker_exporter_spark.operators.funnel import (
+            cohort_retention,
+        )
+
+        w0 = dt.datetime(2024, 1, 3, 10, 0)
+        rows = [(1, w0), (1, w0 + dt.timedelta(hours=5)), (1, w0 + dt.timedelta(days=1))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = cohort_retention(df).collect()
+        assert len(got) == 1 and got[0].n_users == 1 and got[0].week_offset == 0

@@ -151,3 +151,14 @@ def test_window_funnel_single_shuffle(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_retention_two_aggregation_shuffles(spark):
+    """Retention: the per-user groupBy (min + collect_set, partially
+    aggregable) is the only corpus-scale exchange; the cohort/offset
+    count runs on the per-user relation. Two hash exchanges, no
+    Python."""
+    df = entry_mod.queries()["cohort_retention"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -87,3 +87,43 @@ def window_funnel(
     return grouped.select(
         F.col(user_col), level.cast("long").alias("funnel_level")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort, week offset), how many of that cohort were
+    active — the classic retention triangle next to ``window_funnel``
+    and sessionization in an event-analytics suite.
+
+    Scale shape: ONE corpus-scale shuffle — ``groupBy(user)`` collects
+    each user's distinct active weeks AND their cohort week in the same
+    aggregation (``min`` + ``collect_set``, both partial-aggregable);
+    the explode to (cohort, offset) pairs and the final count then run
+    on the per-user relation (second, much smaller shuffle). Weeks per
+    user is bounded (|weeks| ≤ corpus time span), so collect_set state
+    is O(span), not O(events).
+
+    Output: cohort_week (yyyy-MM-dd), week_offset, n_users.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    per_user = events.groupBy(user_col).agg(
+        F.min(wk).alias("_cohort"),
+        F.collect_set(wk).alias("_weeks"),
+    )
+    pairs = per_user.select(
+        F.col("_cohort"),
+        F.explode("_weeks").alias("_wk"),
+    )
+    return (
+        pairs.groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("_wk"), F.col("_cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
