@@ -115,3 +115,16 @@ class TestHistogramQuantiles:
         df = spark.createDataFrame([("g", 1.0)], "g string, value double")
         with _pytest.raises(ValueError):
             histogram_quantiles(df, "value", "g", lo=1.0, hi=1.0)
+
+
+def test_histogram_quantiles_ignores_null_and_nan(spark):
+    from yandex_tracker_exporter_spark.operators.grouped import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", float("nan")), ("g", None), ("g", 3.0)],
+        "g string, value double",
+    )
+    out = histogram_quantiles(df, "value", "g", lo=0.0, hi=4.0).collect()[0]
+    assert out.n == 2  # only the two real values counted

@@ -176,3 +176,14 @@ class TestGlobalRowNumber:
         ranks = {r.doc_id: r.global_rank for r in got.collect()}
         for i, doc_id in enumerate(sorted(ranks), start=1):
             assert ranks[doc_id] == i
+
+
+def test_stratified_sample_rejects_negative_rates(spark, documents_df):
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    with pytest.raises(ValueError):
+        stratified_sample(documents_df, "lang", {"en": -0.5})
+    with pytest.raises(ValueError):
+        stratified_sample(documents_df, "lang", {}, default_rate=-1.0)

@@ -133,7 +133,10 @@ def histogram_quantiles(
         F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
     ).cast("long")
     counts = (
-        df.select(F.col(group_col), bucket.alias("_hq_bucket"))
+        # null/NaN values carry no rank information and would otherwise
+        # land in a bogus bucket that skews every cumulative count
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .select(F.col(group_col), bucket.alias("_hq_bucket"))
         .groupBy(group_col, "_hq_bucket")
         .agg(F.count(F.lit(1)).alias("_hq_n"))
     )

@@ -359,6 +359,8 @@ def stratified_sample(
 
     Output: input columns + ``copy_idx`` (0-based copy number).
     """
+    if default_rate < 0 or any(r < 0 for r in rates.values()):
+        raise ValueError("sampling rates must be >= 0")
     whole = {g: int(r) for g, r in rates.items()}
     frac_buckets = {g: round((r - int(r)) * buckets) for g, r in rates.items()}
     dflt_whole = int(default_rate)
