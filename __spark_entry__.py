@@ -932,6 +932,18 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_gap_fill(spark, sf_dir):
+    """Dense hourly (hour, type) counts with zero-filled gaps: the
+    grid is GENERATED (sequence over a two-scalar span agg × distinct
+    types) and broadcast; the aggregated fact side never reshuffles."""
+    from yandex_tracker_exporter_spark.operators.funnel import gap_fill_hourly
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return gap_fill_hourly(events, "ts", "event_type")
+
+
 HISTOGRAM_BUCKETS = 1000
 
 
@@ -1135,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles": q_histogram_quantiles,
     "window_funnel": q_window_funnel,
     "cohort_retention": q_cohort_retention,
+    "gap_fill_hourly": q_gap_fill,
 }
 
 
@@ -2156,6 +2169,23 @@ def _build_window_funnel_sql() -> str:
 
 
 _ORACLES["window_funnel"] = _build_window_funnel_sql()
+
+_ORACLES["gap_fill_hourly"] = """
+    WITH c AS (
+        SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
+               event_type AS type, count(*)::BIGINT AS n
+        FROM events GROUP BY hour_epoch, type
+    ), grid AS (
+        SELECT h.hour_epoch, t.type
+        FROM (SELECT unnest(range((SELECT min(hour_epoch) FROM c),
+                                  (SELECT max(hour_epoch) FROM c) + 1,
+                                  3600)) AS hour_epoch) h
+        CROSS JOIN (SELECT DISTINCT type FROM c) t
+    )
+    SELECT grid.hour_epoch, grid.type,
+           coalesce(c.n, 0)::BIGINT AS n_events
+    FROM grid LEFT JOIN c USING (hour_epoch, type)
+"""
 
 _ORACLES["cohort_retention"] = """
     WITH wk AS (

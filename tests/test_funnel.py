@@ -122,3 +122,32 @@ class TestCohortRetention:
         df = spark.createDataFrame(rows, "user_id long, ts timestamp")
         got = cohort_retention(df).collect()
         assert len(got) == 1 and got[0].n_users == 1 and got[0].week_offset == 0
+
+
+class TestGapFillHourly:
+    def test_zero_fills_missing_slots(self, spark):
+        from yandex_tracker_exporter_spark.operators.funnel import (
+            gap_fill_hourly,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        rows = [
+            (1, t0, "a"),
+            (2, t0, "a"),
+            (3, t0 + dt.timedelta(hours=2), "a"),   # hour 11 missing
+            (4, t0, "b"),                            # b only in hour 10
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        got = {
+            (r.hour_epoch, r.type): r.n_events
+            for r in gap_fill_hourly(df).collect()
+        }
+        h0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+        # dense grid: 3 hours x 2 types = 6 slots
+        assert len(got) == 6
+        assert got[(h0, "a")] == 2
+        assert got[(h0 + 3600, "a")] == 0
+        assert got[(h0 + 7200, "a")] == 1
+        assert got[(h0, "b")] == 1
+        assert got[(h0 + 3600, "b")] == 0
+        assert got[(h0 + 7200, "b")] == 0

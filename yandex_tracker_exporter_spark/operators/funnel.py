@@ -127,3 +127,47 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Dense hourly counts: every (hour, type) slot in the observed
+    span, zero-filled where no events landed — the densification step
+    reporting layers need (a missing row and a zero row are different
+    answers).
+
+    Scale shape: the fact side is one partial-aggregable groupBy; the
+    dense grid is generated, not scanned — hours come from a two-scalar
+    min/max agg exploded via ``sequence`` and types from a distinct over
+    the (tiny) type dimension, cross-joined broadcast-side. The left
+    join back to the counts broadcasts the GRID (span × types rows),
+    so the aggregated fact relation never reshuffles.
+
+    Output: hour_epoch, type, n_events.
+    """
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).cast("long")
+    counts = events.groupBy(
+        hour.alias("hour_epoch"), F.col(type_col).alias("type")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+
+    span = counts.agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    ).collect()[0]
+    hours = events.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(F.lit(span.lo), F.lit(span.hi), F.lit(3600))
+        ).alias("hour_epoch")
+    )
+    types = counts.select("type").distinct()
+    grid = hours.crossJoin(types)
+    return (
+        counts.join(F.broadcast(grid), ["hour_epoch", "type"], "right")
+        .select(
+            "hour_epoch",
+            "type",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
