@@ -162,3 +162,28 @@ def test_cohort_retention_two_aggregation_shuffles(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+#: Queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+#: each is a broadcast of a TINY build side, never a corpus expansion:
+#: - cosine_topk: the labeled exact brute-force baseline (all-pairs by
+#:   design; the scale paths are lsh_bucket_topk / ivf_topk)
+#: - ivf_topk: attaches the broadcast single-row centroid-array relation
+#:   to scan rows (the map-only cluster assignment — corpus never
+#:   shuffles, asserted by tests/test_similarity.py)
+#: - gap_fill_hourly: the generated dense grid (span-hours × type dim,
+#:   both tiny) cross-joined before broadcasting onto aggregated facts
+_NESTED_LOOP_ALLOWED = {"cosine_topk", "ivf_topk", "gap_fill_hourly"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_no_cartesian_or_nested_loop_anywhere(spark, name):
+    """Blanket guard over the whole contract: no query may plan a
+    CartesianProduct, and only the labeled brute-force baseline may
+    plan a BroadcastNestedLoopJoin. Any new operator that accidentally
+    degrades to an all-pairs join fails here before it ships."""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, name
+    if name not in _NESTED_LOOP_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, name
