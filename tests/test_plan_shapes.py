@@ -187,3 +187,25 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
     assert "CartesianProduct" not in plan, name
     if name not in _NESTED_LOOP_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+#: Queries whose plans legitimately funnel through one partition —
+#: both over aggregated, driver-small relations:
+#: - incremental_watermark: the final merge of a global max() (partials
+#:   combine map-side; the single partition sees one row per task)
+#: - global_rank: the prefix sum over per-bucket COUNTS (#buckets rows)
+_SINGLE_PARTITION_ALLOWED = {"incremental_watermark", "global_rank"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_no_accidental_single_partition_funnel(spark, name):
+    """Blanket guard: an un-partitioned window or global sort silently
+    plans as Exchange SinglePartition — the classic scale killer. Only
+    whitelisted tiny-relation funnels may appear."""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    plan = _plan(df)
+    n = plan.count("Exchange SinglePartition")
+    if name in _SINGLE_PARTITION_ALLOWED:
+        assert n <= 1, name
+    else:
+        assert n == 0, name
