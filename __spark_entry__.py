@@ -932,6 +932,26 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 embedding quantization (4x storage for a 100 TB vector
+    corpus), exploded to (vec_id, dim, q) scalars for the oracle
+    compare. Map-only; floor(x*scale+0.5) so rounding is
+    engine-universal."""
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "embedding", "vec_id")
+    return out.select(
+        F.col("vec_id").cast("long"),
+        "scale",
+        F.posexplode("qvec").alias("dim", "q"),
+    ).select(
+        "vec_id", "scale", F.col("dim").cast("long"), F.col("q").cast("long")
+    )
+
+
 def q_gap_fill(spark, sf_dir):
     """Dense hourly (hour, type) counts with zero-filled gaps: the
     grid is GENERATED (sequence over a two-scalar span agg × distinct
@@ -1148,6 +1168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funnel": q_window_funnel,
     "cohort_retention": q_cohort_retention,
     "gap_fill_hourly": q_gap_fill,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 
@@ -2169,6 +2190,25 @@ def _build_window_funnel_sql() -> str:
 
 
 _ORACLES["window_funnel"] = _build_window_funnel_sql()
+
+_ORACLES["quantize_embeddings"] = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   AS max_abs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, emb,
+               CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
+                    ELSE 0.0 END AS scale
+        FROM v
+    )
+    SELECT vec_id::BIGINT AS vec_id, scale,
+           (i - 1)::BIGINT AS dim,
+           floor(emb[i] * scale + 0.5)::BIGINT AS q
+    FROM s, unnest(range(1, len(emb) + 1)) AS t(i)
+"""
 
 _ORACLES["gap_fill_hourly"] = """
     WITH c AS (

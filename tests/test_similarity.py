@@ -284,3 +284,39 @@ def test_neardup_kernels_match_expression_path(spark):
     assert len(both) > 50
     for r in both:
         assert r.k == r.e, (r.a_id, r.k, r.e)  # exact, not approx
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_bounded_and_reconstruction_close(self, spark):
+        import numpy as np
+
+        from yandex_tracker_exporter_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+        from yandex_tracker_exporter_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        out = quantize_embeddings(emb).collect()
+        raw = {r.vec_id: r.embedding for r in emb.collect()}
+        assert len(out) == len(raw)
+        for r in out:
+            q = np.array(r.qvec)
+            assert q.min() >= -127 and q.max() <= 127
+            v = np.array(raw[r.vec_id], dtype=np.float64)
+            if r.scale > 0:
+                # dequantized error bounded by half a quantization step
+                err = np.abs(q / r.scale - v).max()
+                assert err <= 0.5 / r.scale + 1e-12
+
+    def test_zero_vector_gets_zero_codes(self, spark):
+        from yandex_tracker_exporter_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert got[1].scale == 0.0 and got[1].qvec == [0, 0, 0]
+        assert got[2].qvec[1] == -127  # max-magnitude dim saturates

@@ -499,3 +499,39 @@ def cosine_neardup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .distinct()
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4×
+    storage/bandwidth compression step for a 100 TB vector corpus
+    (scan-bound ANN probes read a quarter of the bytes; dot products
+    run on int8 SIMD downstream).
+
+    Per vector: ``scale = 127 / max(|v|)`` and
+    ``q_i = floor(v_i * scale + 0.5)`` — floor(+0.5) instead of
+    round() because engines disagree on round-half ties while floor is
+    universal. All-zero vectors get scale 0 and all-zero codes.
+    Map-only; deterministic double arithmetic, so any engine
+    reproduces the codes bit-for-bit.
+
+    Output: id, scale, qvec (array<int> in [-127, 127]).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"))
+    max_abs = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    with_scale = base.select(
+        F.col(id_col),
+        "_v",
+        F.when(max_abs > 0.0, F.lit(127.0) / max_abs)
+        .otherwise(F.lit(0.0))
+        .alias("scale"),
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    return with_scale.select(F.col(id_col), "scale", q.alias("qvec"))
