@@ -932,6 +932,35 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_canonicalize_text(spark, sf_dir):
+    """Dedup-grade canonicalization (lowercase + explicit accent fold +
+    whitespace collapse) with before/after md5 — map-only. The corpus
+    is plain ASCII, so the query plants case/spacing/accent variants
+    deterministically (every 3rd doc uppercased, every 5th
+    double-spaced, every 7th é-substituted) to exercise each rule."""
+    from yandex_tracker_exporter_spark.functions.text import canonicalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    variant = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text")))
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.regexp_replace(F.col("text"), " ", "  "),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.regexp_replace(F.col("text"), "e", "é"),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = docs.select(F.col("doc_id").cast("long"), variant.alias("_v"))
+    return base.select(
+        "doc_id",
+        F.md5(F.col("_v")).alias("raw_md5"),
+        F.md5(canonicalize_text(F.col("_v"))).alias("canon_md5"),
+    )
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 embedding quantization (4x storage for a 100 TB vector
     corpus), exploded to (vec_id, dim, q) scalars for the oracle
@@ -1169,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "gap_fill_hourly": q_gap_fill,
     "quantize_embeddings": q_quantize_embeddings,
+    "canonicalize_text": q_canonicalize_text,
 }
 
 
@@ -2190,6 +2220,34 @@ def _build_window_funnel_sql() -> str:
 
 
 _ORACLES["window_funnel"] = _build_window_funnel_sql()
+
+def _build_canonicalize_sql() -> str:
+    from yandex_tracker_exporter_spark.functions.text import (
+        ACCENT_DST,
+        ACCENT_SRC,
+    )
+
+    return f"""
+        WITH v AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                        WHEN doc_id % 5 = 0
+                             THEN regexp_replace(text, ' ', '  ', 'g')
+                        WHEN doc_id % 7 = 0
+                             THEN regexp_replace(text, 'e', 'é', 'g')
+                        ELSE text END AS t
+            FROM documents
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               md5(t) AS raw_md5,
+               md5(trim(regexp_replace(
+                   translate(lower(t), '{ACCENT_SRC}', '{ACCENT_DST}'),
+                   '\\s+', ' ', 'g'))) AS canon_md5
+        FROM v
+    """
+
+
+_ORACLES["canonicalize_text"] = _build_canonicalize_sql()
 
 _ORACLES["quantize_embeddings"] = """
     WITH v AS (

@@ -370,3 +370,38 @@ def test_bytes_to_human(spark):
     assert got == [reference_impl(s) for s in samples]
     got3 = [r[0] for r in df.select(bytes_to_human("b", granularity=3)).collect()]
     assert got3 == [reference_impl(s, 3) for s in samples]
+
+
+class TestCanonicalizeText:
+    def test_rules(self, spark):
+        from yandex_tracker_exporter_spark.functions.text import (
+            canonicalize_text,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "  Hello   WORLD  "),
+            (2, "Café crème à Zürich"),
+            (3, "tabs\tand\nnewlines"),
+            (4, "already clean"),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {r.id: r.c for r in df.select(
+            "id", canonicalize_text("t").alias("c")
+        ).collect()}
+        assert got[1] == "hello world"
+        assert got[2] == "cafe creme a zurich"
+        assert got[3] == "tabs and newlines"
+        assert got[4] == "already clean"
+
+    def test_case_accent_spacing_variants_converge(self, spark):
+        from yandex_tracker_exporter_spark.functions.text import (
+            canonicalize_text,
+        )
+
+        variants = ["résumé  review", "RESUME REVIEW", " resume\treview "]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(variants)], "id long, t string"
+        )
+        canon = {r[0] for r in df.select(canonicalize_text("t")).collect()}
+        assert canon == {"resume review"}

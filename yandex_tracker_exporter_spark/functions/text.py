@@ -59,3 +59,23 @@ def string_normalize(col: Column | str) -> Column:
     """Strip emoji ranges from a string (P3, used on issue titles)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, EMOJI_PATTERN, "")
+
+
+#: Latin-1 / Latin Extended-A accent fold table shared by engine and
+#: oracle — an EXPLICIT mapping (not locale/ICU NFKD, which differs
+#: across engines) so canonicalization is bit-reproducible anywhere.
+ACCENT_SRC = "àáâãäåāçćčèéêëēėęìíîïīįñńòóôõöōøśšùúûüūýÿžźż"
+ACCENT_DST = "aaaaaaaccceeeeeeeiiiiiinnooooooossuuuuuyyzzz"
+
+
+def canonicalize_text(col: Column | str) -> Column:
+    """Dedup-grade text canonicalization: lowercase, fold accents via
+    the explicit table, collapse all whitespace runs to single spaces,
+    and trim. The standard pre-hashing normalization of a cleaning
+    pipeline — two near-identical documents differing only in case,
+    diacritics, or spacing canonicalize to the same bytes. Map-only.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    folded = F.translate(lowered, ACCENT_SRC, ACCENT_DST)
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
