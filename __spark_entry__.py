@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from yandex_tracker_exporter_spark.functions.datetimes import to_human_time
 from yandex_tracker_exporter_spark.functions.text import to_snake_case
 from yandex_tracker_exporter_spark.operators.dedup import (
+    duplicate_clusters,
     exact_dedup,
     minhash_lsh_duplicates,
     ngram_jaccard_pairs,
@@ -1139,6 +1140,25 @@ def q_session_gaps(spark, sf_dir):
     ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pipeline closure (SemDeDup collapse step): MinHash+LSH
+    pairs → connected-component cluster labels → representative flag.
+
+    The component label is the cluster's minimum doc_id — deterministic
+    regardless of join/iteration order, which is what lets a recursive
+    DuckDB CTE reproduce the iterative Spark min-label propagation
+    bit-for-bit (operators/dedup.py:duplicate_clusters).
+    """
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    labels = duplicate_clusters(pairs, "a_id", "b_id")
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1199,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_hourly": q_gap_fill,
     "quantize_embeddings": q_quantize_embeddings,
     "canonicalize_text": q_canonicalize_text,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -1497,6 +1518,43 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
+    """,
+    # same candidate/threshold CTEs as minhash_lsh_pairs, then transitive
+    # closure: component label = min doc_id over the reachable set, which
+    # is exactly what the Spark min-label propagation converges to
+    "dedup_clusters": f"""
+        WITH RECURSIVE sigs AS (
+            SELECT doc_id, {_MINHASH_SIG} AS sig
+            FROM (SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents)
+        ), banded AS (
+            SELECT doc_id, sig, bi,
+                   md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
+                       || '_' || sig[4*bi + 3]::VARCHAR || '_'
+                       || sig[4*bi + 4]::VARCHAR) AS band_key
+            FROM sigs, unnest(range(0, 4)) AS t(bi)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                            a.sig AS a_sig, b.sig AS b_sig
+            FROM banded a JOIN banded b
+              ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), pairs AS (
+            SELECT a_id, b_id FROM cand
+            WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
+                   / 16.0) >= 0.5
+        ), edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM pairs
+        ), walk AS (
+            SELECT DISTINCT src AS id, src AS reach FROM edges
+            UNION
+            SELECT w.id, e.dst AS reach
+            FROM walk w JOIN edges e ON e.src = w.reach
+        )
+        SELECT id::BIGINT AS doc_id,
+               min(reach)::BIGINT AS cluster_id,
+               (id = min(reach)) AS is_representative
+        FROM walk GROUP BY id
     """,
     # verification runs over DISTINCT shingle-HASH sets (same 31-bit
     # polynomial hash as the Spark kernel) — identical set arithmetic on
