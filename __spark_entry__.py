@@ -1140,6 +1140,55 @@ def q_session_gaps(spark, sf_dir):
     ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
 
 
+def q_media_decode_features(spark, sf_dir):
+    """Multimodal real-decode path, oracle-checked: documents →
+    deterministic WAV/PPM payloads (multimodal.media_fixture_from_documents)
+    → pure-Python decode (multimodal.decode_media) → header fields +
+    content checksums. Encode→decode round-trips the parameters, so the
+    DuckDB oracle computes the same features straight from text."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_media,
+        media_fixture_from_documents,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    feats = decode_media(media_fixture_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "format",
+        "width",
+        "sample_rate",
+        "n_elements",
+        "duration_ms",
+        "content_checksum",
+    )
+
+
+def q_media_metadata_stats(spark, sf_dir):
+    """Multimodal metadata-only aggregate (payload column never read):
+    media metadata derived deterministically from events, grouped by
+    kind with an exact sum-then-divide mean."""
+    from yandex_tracker_exporter_spark.multimodal import metadata_stats
+
+    ev = _t(spark, sf_dir, "events")
+    media = ev.select(
+        F.col("event_id").cast("long").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        ((F.col("user_id") % 1920) + 1).cast("int").alias("width"),
+        ((F.col("event_id") * 37) % 600000).cast("long").alias("duration_ms"),
+    )
+    return metadata_stats(media).select(
+        "kind",
+        F.col("n_media").cast("long"),
+        "avg_duration_ms",
+        F.col("max_width").cast("long"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pipeline closure (SemDeDup collapse step): MinHash+LSH
     pairs → connected-component cluster labels → representative flag.
@@ -1220,6 +1269,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "canonicalize_text": q_canonicalize_text,
     "dedup_clusters": q_dedup_clusters,
+    "media_decode_features": q_media_decode_features,
+    "media_metadata_stats": q_media_metadata_stats,
 }
 
 
@@ -1518,6 +1569,52 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
+    """,
+    # media fixture is encode→decode symmetric: WAV PCM samples are
+    # (cp*131) % 65536 - 32768 per text codepoint, PPM pixels are
+    # (cp*7) % 256 cycled to 48 bytes — so the oracle computes the
+    # decoded features straight from the text, proving the pure-Python
+    # WAV/PPM parsers recover the exact encoded content
+    "media_decode_features": """
+        WITH base AS (
+            SELECT doc_id, text, len(text) AS n FROM documents
+        )
+        SELECT doc_id::BIGINT AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS format,
+               (CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 4 END)::BIGINT AS width,
+               (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE NULL END)::BIGINT
+                   AS sample_rate,
+               (CASE WHEN doc_id % 2 = 0 THEN n ELSE 48 END)::BIGINT
+                   AS n_elements,
+               (CASE WHEN doc_id % 2 = 0 THEN (n * 1000) // 8000 ELSE NULL END)::BIGINT
+                   AS duration_ms,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(range(1, n + 1),
+                           i -> (ascii(substr(text, i, 1))::BIGINT * 131) % 65536
+                                - 32768)),
+                       (a, x) -> a + x)
+               ELSE
+                   list_reduce(list_prepend(0::BIGINT,
+                       list_transform(range(0, 48),
+                           i -> (ascii(substr(text, (i % n)::INT + 1, 1))::BIGINT * 7)
+                                % 256)),
+                       (a, x) -> a + x)
+               END AS content_checksum
+        FROM base
+    """,
+    "media_metadata_stats": """
+        WITH media AS (
+            SELECT ['image', 'audio', 'video'][(event_id % 3)::INT + 1] AS kind,
+                   ((user_id % 1920) + 1)::BIGINT AS width,
+                   ((event_id * 37) % 600000)::BIGINT AS duration_ms
+            FROM events
+        )
+        SELECT kind,
+               count(*)::BIGINT AS n_media,
+               sum(duration_ms)::DOUBLE / count(duration_ms) AS avg_duration_ms,
+               max(width)::BIGINT AS max_width
+        FROM media GROUP BY kind
     """,
     # same candidate/threshold CTEs as minhash_lsh_pairs, then transitive
     # closure: component label = min doc_id over the reachable set, which

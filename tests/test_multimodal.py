@@ -35,9 +35,111 @@ def test_extract_media_features_fake_decode(spark, media):
     assert feats[4]["payload_bytes"] == 0
 
 
-def test_real_decode_is_marked_stub(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        extract_media_features(media, decode="real").collect()
+def test_real_decode_wav_ppm_end_to_end(spark):
+    """decode="real" executes in-sandbox: pure-Python WAV/PPM parsers
+    recover the exact encoded content (n_elements + checksum)."""
+    from yandex_tracker_exporter_spark.multimodal import encode_ppm, encode_wav
+
+    samples = [100, -200, 300, -400, 32767, -32768]
+    pix = bytes(range(48))
+    rows = [
+        (1, "audio", "audio/wav", encode_wav(samples, 8000), None, None, None),
+        (2, "image", "image/ppm", encode_ppm(4, 4, pix), 4, 4, None),
+        (3, "image", "image/png", b"\x89PNG-not-parseable", None, None, None),
+        (4, "video", "video/mp4", None, None, None, 1000),
+    ]
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), decode="real"
+        ).collect()
+    }
+    assert feats[1]["feature_dim"] == len(samples)
+    assert feats[1]["feature_checksum"] == sum(samples)
+    assert feats[2]["feature_dim"] == 48
+    assert feats[2]["feature_checksum"] == sum(pix)
+    # unparseable / null payloads are quarantined (null features), not errors
+    assert feats[3]["feature_checksum"] is None
+    assert feats[4]["feature_checksum"] is None
+
+
+def test_decode_media_full_surface(spark):
+    """decode_media emits format-specific header fields from real parses."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_media,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    frames = [bytes([i] * 27) for i in range(10)]
+    rows = [
+        (1, "audio", None, encode_wav([5, 6, 7, 8] * 2000, 16000), None, None, None),
+        (2, "image", None, encode_ppm(3, 3, bytes(27)), None, None, None),
+        (3, "video", None, encode_y4m(3, 3, frames, (25, 1)), None, None, None),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert got[1]["format"] == "wav" and got[1]["sample_rate"] == 16000
+    assert got[1]["n_elements"] == 8000 and got[1]["duration_ms"] == 500
+    assert got[1]["content_checksum"] == (5 + 6 + 7 + 8) * 2000
+    assert got[2]["format"] == "ppm" and got[2]["width"] == 3
+    assert got[2]["content_checksum"] == 0 and got[2]["sample_rate"] is None
+    assert got[3]["format"] == "y4m" and got[3]["n_frames"] == 10
+    assert got[3]["duration_ms"] == 400  # 10 frames at 25 fps
+    assert got[3]["content_checksum"] == sum(sum(f) for f in frames)
+
+
+def test_sample_frames_real_y4m(spark):
+    """Real frame sampling: Y4M parse → every-Nth-frame → hash of the
+    actual raw frame bytes."""
+    import hashlib as _hl
+
+    from yandex_tracker_exporter_spark.multimodal import encode_y4m, sample_frames
+
+    frames = [bytes([i] * 12) for i in range(50)]  # 2x2 C444, 50 frames @ 25fps
+    rows = [
+        (1, "video", "video/y4m", encode_y4m(2, 2, frames, (25, 1)), None, None, 2000),
+        (2, "video", "video/mp4", b"not-a-y4m", None, None, 1000),
+    ]
+    got = sample_frames(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), every_ms=1000, decode="real"
+    ).collect()
+    # 1000ms at 25fps → every 25th frame: indices 0 and 25; id 2 quarantined
+    assert {r["media_id"] for r in got} == {1}
+    by_idx = sorted(got, key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in by_idx] == [0, 25]
+    assert [r["frame_ts_ms"] for r in by_idx] == [0, 1000]
+    assert by_idx[1]["frame_sha256"] == _hl.sha256(frames[25]).hexdigest()
+
+
+def test_codec_roundtrips():
+    """Pure-Python codec invariants, no Spark involved."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    d = decode_wav(encode_wav([1, -1, 1000], 8000, n_channels=1))
+    assert (d["n_elements"], d["sample_rate"], d["bits_per_sample"]) == (3, 8000, 16)
+    # stereo: n_frames halves the duration relative to sample count
+    d2 = decode_wav(encode_wav([0] * 16000, 8000, n_channels=2))
+    assert d2["duration_ms"] == 1000
+    # comment-tolerant PPM header
+    pix = bytes(range(48))
+    assert decode_ppm(b"P6\n# comment\n4 4\n255\n" + pix)["content_checksum"] == sum(pix)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\nnot-p6")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    y = decode_y4m(encode_y4m(2, 2, [bytes(12)] * 4, (30, 1)))
+    assert y["n_frames"] == 4 and y["duration_ms"] == 133
 
 
 def test_metadata_stats_prunes_payload(spark, media, tmp_path):
