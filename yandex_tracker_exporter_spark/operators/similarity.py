@@ -133,31 +133,89 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     dim: int = 64,
+    num_bands: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
     Equi-join on the bucket key replaces the broadcast-cross of
     ``cosine_topk`` — the scale path when queries are many.
+
+    **Regime note (measured, see tests/test_ann_recall.py):** sign-LSH
+    retrieves *high-similarity* neighbors. A ``cos θ`` pair shares one
+    ``p``-plane bucket with probability ``(1 - θ/π)^p`` — ≈59% at
+    cosine 0.98 but ≈3% at cosine 0.45, so on a corpus whose true
+    top-k neighbors sit at mid cosine (e.g. random embeddings), bucket
+    recall is inherently low regardless of tuning; use :func:`ivf_topk`
+    or :func:`cosine_topk` there. ``num_bands > 1`` ORs independent
+    plane families (band ``b`` hashes with planes ``offset=b*p``): a
+    pair is a candidate if ANY band matches, lifting recall to
+    ``1-(1-(1-θ/π)^p)^B`` — ≥97% at cosine 0.98 with 8 planes × 4
+    bands — while random pairs stay pruned (``1-(1-2^-p)^B`` ≈ 1.6%).
+    Multi-band keeps the corpus shuffle-free: band keys join against
+    the broadcast query bands, and candidate ids broadcast back onto
+    the corpus scan for scoring.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
-    )
-    scored = (
-        c.join(q, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    if num_bands == 1:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
         )
-    )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+        )
+        scored = (
+            c.join(q, "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+            )
+        )
+    else:
+
+        def banded(df: DataFrame, out_id: str) -> DataFrame:
+            proj = multiband_projections(
+                F.col(vec_col), num_planes, num_bands, dim
+            )
+            with_proj = df.select(
+                F.col(id_col).alias(out_id), proj.alias("_proj")
+            )
+            keys = F.array(
+                *[
+                    band_key_from_projections(F.col("_proj"), b, num_planes)
+                    for b in range(num_bands)
+                ]
+            )
+            return with_proj.select(
+                out_id, F.posexplode(keys).alias("band", "bucket")
+            )
+
+        cand = (
+            banded(corpus, "neighbor_id")
+            .join(F.broadcast(banded(queries, "query_id")), ["band", "bucket"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+        scored = (
+            cv.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
