@@ -54,10 +54,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load + spread across cores: the harness tables are single small
     parquet files (= one input partition), which serializes CPU-heavy
-    per-row operators (hashing, shingling, dot products). At real scale
-    the file count provides this parallelism for free."""
-    df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    per-row operators (hashing, shingling, dot products). Conditional —
+    ``ensure_parallelism`` is a no-op when the scan already yields
+    ≥ defaultParallelism splits, so at real scale (file count provides
+    the parallelism for free) these plans carry NO extra exchange."""
+    from yandex_tracker_exporter_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    return ensure_parallelism(load_table(spark, sf_dir, name))
 
 
 def _epoch(col) -> F.Column:

@@ -197,6 +197,28 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
 _SINGLE_PARTITION_ALLOWED = {"incremental_watermark", "global_rank"}
 
 
+def test_t_wide_no_exchange_when_splits_suffice(spark, tmp_path):
+    """VERDICT r3 #6: the contract's wide loader must be conditional —
+    when the scan already yields >= defaultParallelism input splits
+    (always true at scale), ensure_parallelism is a no-op and the plan
+    carries NO Exchange. Only the single-row-group harness fixtures get
+    the re-split."""
+    from yandex_tracker_exporter_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    many = str(tmp_path / "many_files")
+    load_table(spark, SF_DIR, "documents").repartition(8).write.parquet(many)
+    wide_scan = spark.read.parquet(many)
+    assert wide_scan.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert "Exchange" not in _plan(ensure_parallelism(wide_scan))
+
+    # the harness single-file fixture DOES need the re-split
+    narrow_scan = load_table(spark, SF_DIR, "documents")
+    assert narrow_scan.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert "Exchange RoundRobinPartitioning" in _plan(ensure_parallelism(narrow_scan))
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
 def test_no_accidental_single_partition_funnel(spark, name):
     """Blanket guard: an un-partitioned window or global sort silently

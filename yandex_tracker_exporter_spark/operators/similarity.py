@@ -529,6 +529,18 @@ def cosine_neardup_pairs(
         )
         .repartition("band_idx", "bucket")
     )
+    # Materialize the prep ONCE for both self-join sides. The two
+    # branches cannot share the exchange via ReuseExchange: the prep
+    # kernel is (deliberately) nondeterministic — see
+    # _neardup_prep_kernel — and nondeterministic expressions never
+    # canonicalize equal, so Spark plans two full scan+kernel+exchange
+    # subtrees (measured: the kernel ran twice, ~0.7 s of the query at
+    # sf0.1). A lazy localCheckpoint truncates both branches onto one
+    # shared RDD: one scan, one kernel pass, one shuffle write —
+    # executor-local blocks, the same durability class as the shuffle
+    # files the exchange writes anyway (recompute-on-loss applies to
+    # both).
+    banded = banded.localCheckpoint(eager=False)
     a = banded.select(
         F.col("_id").alias("a_id"),
         F.col("_vec").alias("_avec"),
