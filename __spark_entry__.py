@@ -1145,6 +1145,28 @@ def q_session_gaps(spark, sf_dir):
     ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
 
 
+def q_salted_join_agg(spark, sf_dir):
+    """Skew-mitigated dimension join (operators/skew.py): the events fact
+    joins a per-type dimension through salted_join — large side salted
+    by a deterministic row hash, small side replicated across the salt
+    space — then aggregates. Salting is semantics-preserving, so the
+    oracle is the plain join + aggregate."""
+    from yandex_tracker_exporter_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(ev, dim, "event_type", num_salts=8)
+    return (
+        joined.groupBy("event_type", "type_weight")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("n_events").cast("long"), "type_weight")
+    )
+
+
 def q_media_decode_features(spark, sf_dir):
     """Multimodal real-decode path, oracle-checked: documents →
     deterministic WAV/PPM payloads (multimodal.media_fixture_from_documents)
@@ -1276,6 +1298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "media_decode_features": q_media_decode_features,
     "media_metadata_stats": q_media_metadata_stats,
+    "salted_join_agg": q_salted_join_agg,
 }
 
 
@@ -1574,6 +1597,18 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
+    """,
+    # the salt never leaves the operator: plain join + aggregate
+    "salted_join_agg": """
+        WITH dim AS (
+            SELECT DISTINCT event_type, len(event_type)::BIGINT AS type_weight
+            FROM events
+        )
+        SELECT e.event_type,
+               count(*)::BIGINT AS n_events,
+               d.type_weight
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY e.event_type, d.type_weight
     """,
     # media fixture is encode→decode symmetric: WAV PCM samples are
     # (cp*131) % 65536 - 32768 per text codepoint, PPM pixels are

@@ -25,7 +25,11 @@ def _batch_closed_sessions(events):
     # a session closes at event e when the next event is >30min away
     closes = flagged.where(
         F.col("next_ts").isNotNull()
-        & (F.col("next_ts").cast("double") - F.col("ts").cast("double") > 1800)
+        & (
+            F.unix_timestamp(F.col("next_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("ts").cast("timestamp"))
+            > 1800
+        )
     )
     return closes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_closed"))
 

@@ -34,6 +34,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Harness parquet has shipped timestamps as ns-int64 in some rounds
+    # and as TIMESTAMP_NTZ in others. Normalize NTZ → TIMESTAMP (ltz):
+    # with the session timezone pinned to UTC above, the instant is
+    # unchanged, and consumers keep the documented contract (a plain
+    # TimestampType column; NTZ forbids e.g. double casts in Spark 4).
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
