@@ -57,6 +57,10 @@ def main() -> None:
 
     # contention guard BEFORE our own JVM exists
     leftover = _other_jvms()
+    try:
+        loadavg_start = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        loadavg_start = None
     if leftover:
         print(
             f"# WARNING: {len(leftover)} other JVM(s) running ({leftover[:5]}…) — "
@@ -117,6 +121,11 @@ def main() -> None:
     if leftover:
         out["contended"] = True
         out["other_jvms"] = len(leftover)
+    # External (non-JVM) load inflates timings uniformly and is invisible
+    # to the leftover-JVM guard — stamp the pre-run 1-min load average so
+    # an inflated artifact is self-documenting (quiet box ≈ 1-2 here).
+    if loadavg_start is not None:
+        out["loadavg_1m_at_start"] = loadavg_start
     print(json.dumps(out))
     spark.stop()
 

@@ -414,6 +414,13 @@ def duplicate_clusters(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # Materialize the edge list ONCE: every round references `edges`,
+    # and without a barrier each round re-evaluates the whole upstream
+    # pair pipeline (for LSH input that is the full signature+band+join
+    # plan — measured 10.1 s for 5 rounds at sf0.1, ~2 s per recompute;
+    # with the barrier the loop costs only its own tiny id-key joins).
+    # Same durability class as shuffle files (recompute-on-loss).
+    edges = edges.localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
     )
