@@ -1145,6 +1145,42 @@ def q_session_gaps(spark, sf_dir):
     ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
 
 
+def q_vocab_oov(spark, sf_dir):
+    """Vocabulary pruning + OOV scoring (training-data pipeline): build
+    the corpus vocabulary as the top-20 words by frequency (count desc,
+    word asc — deterministic tie-break), then score every document's
+    out-of-vocabulary token count against it. Scale shape: the vocab is
+    an aggregated, tiny relation → broadcast back onto the exploded
+    corpus; the only corpus shuffle is the per-doc re-aggregation."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(20)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_tokens").cast("long"),
+            F.col("oov_tokens").cast("long"),
+        )
+    )
+
+
 def q_salted_join_agg(spark, sf_dir):
     """Skew-mitigated dimension join (operators/skew.py): the events fact
     joins a per-type dimension through salted_join — large side salted
@@ -1299,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_features": q_media_decode_features,
     "media_metadata_stats": q_media_metadata_stats,
     "salted_join_agg": q_salted_join_agg,
+    "vocab_oov_stats": q_vocab_oov,
 }
 
 
@@ -1597,6 +1634,23 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
+    """,
+    "vocab_oov_stats": """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ), vocab AS (
+            SELECT w FROM (
+                SELECT w, count(*) AS cnt FROM words
+                GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 20
+            )
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)::BIGINT
+                   AS oov_tokens
+        FROM words GROUP BY doc_id
     """,
     # the salt never leaves the operator: plain join + aggregate
     "salted_join_agg": """
