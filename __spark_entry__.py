@@ -51,18 +51,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: split-count probe results per (sf_dir, table): the probe
+#: (``df.rdd.getNumPartitions``) costs a plan→RDD conversion — ~0.1-0.5 s
+#: of driver work per FRESH DataFrame — and a static file's split count
+#: never changes within a process, so pay it once per table, not once
+#: per query (measured: the uncached probe added 0.3-0.5 s to every
+#: trivial map-only contract query in bench context).
+_WIDE_PROBE_CACHE: dict[tuple[str, str], bool] = {}
+
+
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load + spread across cores: the harness tables are single small
     parquet files (= one input partition), which serializes CPU-heavy
     per-row operators (hashing, shingling, dot products). Conditional —
-    ``ensure_parallelism`` is a no-op when the scan already yields
-    ≥ defaultParallelism splits, so at real scale (file count provides
-    the parallelism for free) these plans carry NO extra exchange."""
-    from yandex_tracker_exporter_spark.operators.partitioning import (
-        ensure_parallelism,
-    )
-
-    return ensure_parallelism(load_table(spark, sf_dir, name))
+    a no-op when the scan already yields ≥ defaultParallelism splits, so
+    at real scale (file count provides the parallelism for free) these
+    plans carry NO extra exchange."""
+    df = load_table(spark, sf_dir, name)
+    key = (sf_dir, name)
+    if key not in _WIDE_PROBE_CACHE:
+        _WIDE_PROBE_CACHE[key] = (
+            df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        )
+    if _WIDE_PROBE_CACHE[key]:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _epoch(col) -> F.Column:

@@ -72,9 +72,19 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     """Repartition ``df`` to the default parallelism iff its current plan
     yields fewer partitions (small/single-row-group inputs). Values are
     unaffected; this is a pure physical re-split.
+
+    The split-count probe (``df.rdd.getNumPartitions``) costs a
+    plan→RDD conversion (~0.5 s of driver work on a non-trivial plan),
+    so plans that already contain an explicit ``Repartition`` short-
+    circuit on the (already-computed) analyzed plan instead — the
+    caller has spread the data deliberately; re-probing it would buy
+    nothing and re-splitting it would be wrong anyway.
     """
     sc = df.sparkSession.sparkContext
     target = max(1, int(sc.defaultParallelism * min_factor))
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if "Repartition" in analyzed:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
