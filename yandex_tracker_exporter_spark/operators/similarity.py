@@ -514,6 +514,14 @@ def cosine_neardup_pairs(
             F.col("_p.buckets").alias("_buckets"),
         )
     )
+    # Materialize the kernel prep ONCE for both self-join sides. The
+    # nondeterministic kernel (see above) never canonicalizes equal, so
+    # without a barrier Spark plans two full scan+kernel subtrees
+    # (measured: kernel ran twice). The barrier sits BEFORE the band
+    # explode on purpose: this relation is 1 row/vector (~1/8 the bytes
+    # of the exploded one), so the stored blocks stay small; the cheap
+    # explode replays per side. Same durability class as shuffle files.
+    e = e.localCheckpoint(eager=False)
     # carry (vec, nrm) through the band exchange and score candidates
     # IMMEDIATELY: a candidates-distinct-then-vector-join-back variant
     # was MEASURED SLOWER here (4.8s vs 2.8s at sf0.1 under the isolated
@@ -529,18 +537,6 @@ def cosine_neardup_pairs(
         )
         .repartition("band_idx", "bucket")
     )
-    # Materialize the prep ONCE for both self-join sides. The two
-    # branches cannot share the exchange via ReuseExchange: the prep
-    # kernel is (deliberately) nondeterministic — see
-    # _neardup_prep_kernel — and nondeterministic expressions never
-    # canonicalize equal, so Spark plans two full scan+kernel+exchange
-    # subtrees (measured: the kernel ran twice, ~0.7 s of the query at
-    # sf0.1). A lazy localCheckpoint truncates both branches onto one
-    # shared RDD: one scan, one kernel pass, one shuffle write —
-    # executor-local blocks, the same durability class as the shuffle
-    # files the exchange writes anyway (recompute-on-loss applies to
-    # both).
-    banded = banded.localCheckpoint(eager=False)
     a = banded.select(
         F.col("_id").alias("a_id"),
         F.col("_vec").alias("_avec"),
