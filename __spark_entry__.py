@@ -1158,6 +1158,27 @@ def q_session_gaps(spark, sf_dir):
     ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
 
 
+def q_winnow_span_pairs(spark, sf_dir):
+    """Span-level near-dup pairs via winnowing fingerprints (Schleimer
+    et al. 2003; operators/dedup.winnow_duplicate_pairs): any shared
+    substring of length ≥ k+w-1 = 12 chars is guaranteed to yield a
+    shared fingerprint; stop-fingerprints (doc frequency > 10) are
+    dropped, which also bounds the self-join fan-out."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        winnow_duplicate_pairs,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = winnow_duplicate_pairs(
+        docs, "text", "doc_id", shingle_k=9, window=4, max_df=10, min_shared=3
+    )
+    return out.select(
+        F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"),
+        F.col("shared_fps").cast("long"),
+    )
+
+
 def q_vocab_oov(spark, sf_dir):
     """Vocabulary pruning + OOV scoring (training-data pipeline): build
     the corpus vocabulary as the top-20 words by frequency (count desc,
@@ -1349,6 +1370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata_stats": q_media_metadata_stats,
     "salted_join_agg": q_salted_join_agg,
     "vocab_oov_stats": q_vocab_oov,
+    "winnow_span_pairs": q_winnow_span_pairs,
 }
 
 
@@ -1647,6 +1669,37 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
+    """,
+    # winnowing: positional 9-gram rolling hashes → window-4 minima →
+    # distinct fingerprints; stop-fp cap df<=10; pairs sharing >=3
+    "winnow_span_pairs": f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(range(1, greatest(len(text) - 8, 1) + 1),
+                                      i -> substr(text, i, 9)),
+                       s -> {_dd_hash('s')}) AS h
+            FROM documents
+        ), fp AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(h) - 3, 1) + 1),
+                       j -> list_min(h[j:j+3]))) AS fps
+            FROM hs
+        ), x AS (
+            SELECT doc_id, unnest(fps) AS fp FROM fp
+        ), dfreq AS (
+            SELECT fp, count(*) AS df FROM x GROUP BY fp
+        ), rare AS (
+            SELECT doc_id, fp FROM x JOIN dfreq USING (fp) WHERE df <= 10
+        ), pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_fps
+            FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+               shared_fps::BIGINT AS shared_fps
+        FROM pairs WHERE shared_fps >= 3
     """,
     "vocab_oov_stats": """
         WITH words AS (

@@ -608,3 +608,132 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def _winnow_kernel(shingle_k: int, window: int):
+    """Arrow-vectorized winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): positional rolling k-gram
+    hashes; each sliding window of ``window`` consecutive hashes
+    contributes its minimum; the distinct selected values (sorted) are
+    the document's fingerprints. Winnowing guarantees any shared
+    substring of length ≥ k + window - 1 yields at least one shared
+    fingerprint — the span-level dedup property the whole-document
+    MinHash path cannot give.
+
+    Bit-identical to :func:`winnow_fingerprints_expr` (tested) and the
+    DuckDB oracle: same polynomial hash, same window mins, sorted-
+    distinct output."""
+
+    @F.pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = cp.shape[0]
+            if n >= shingle_k:
+                h = cp[: n - shingle_k + 1].copy()
+                for j in range(1, shingle_k):
+                    h = (h * POLY_BASE + cp[j : n - shingle_k + 1 + j]) % MINHASH_PRIME
+            else:
+                acc = 0
+                for c in cp:
+                    acc = (acc * POLY_BASE + int(c)) % MINHASH_PRIME
+                h = np.array([acc], dtype=np.int64)
+            if h.shape[0] >= window:
+                mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            else:
+                mins = h.min(keepdims=True)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    # pure, but asNondeterministic forbids Catalyst from duplicating the
+    # call into inferred constraints (same guard as the neardup prep)
+    return fps.asNondeterministic()
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint sets (Arrow kernel path)."""
+    kern = _winnow_kernel(shingle_k, window)
+    return df.select(
+        F.col(id_col), kern(F.col(content_col)).alias("fingerprints")
+    )
+
+
+def winnow_fingerprints_expr(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    window: int = 4,
+) -> DataFrame:
+    """Pure-expression twin of :func:`winnow_fingerprints` (tested
+    equal): rolling hashes from the materialized codepoint array, then
+    per-window ``array_min`` over slices, sorted-distinct."""
+    hashed = df.select(
+        F.col(id_col), _codepoints(F.col(content_col)).alias("_codes")
+    ).select(
+        F.col(id_col),
+        _rolling_hashes_from_codes(F.col("_codes"), shingle_k).alias("_h"),
+    )
+    n = F.size("_h")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice("_h", j, window)),
+    )
+    return hashed.select(
+        F.col(id_col), F.array_sort(F.array_distinct(wins)).alias("fingerprints")
+    )
+
+
+def winnow_duplicate_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    window: int = 4,
+    max_df: int = 10,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Span-level near-duplicate pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints, ignoring fingerprints that occur in more
+    than ``max_df`` documents.
+
+    The ``max_df`` cap is doing double duty: stop-fingerprints (common
+    boilerplate spans) carry no dedup signal, and the cap is the skew
+    bound — any one fingerprint contributes at most ``max_df²`` joined
+    rows, so the self-join can never go quadratic in the corpus.
+
+    Scale shape: one kernel pass materialized once (the exploded
+    (id, fp) relation is referenced by the frequency aggregate, the
+    stop-fingerprint filter, and both self-join sides — without a
+    barrier the nondeterministic kernel would re-run for every branch);
+    then fp-key shuffles for the aggregate + self-join and one pair-key
+    aggregate. Output: (a_id, b_id, shared_fps).
+    """
+    fps = winnow_fingerprints(df, content_col, id_col, shingle_k, window)
+    x = fps.select(
+        F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
+    ).localCheckpoint(eager=False)
+    dfreq = x.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    rare = x.join(dfreq.where(F.col("_df") <= max_df), "fp").select("_id", "fp")
+    a = rare.select(F.col("_id").alias("a_id"), "fp")
+    b = rare.select(F.col("_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
