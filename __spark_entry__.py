@@ -1158,6 +1158,29 @@ def q_session_gaps(spark, sf_dir):
     ).select(F.col("user_id").cast("long"), "n_sessions", "n_events")
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """Candidate verification by exact edit distance: MinHash+LSH
+    near-dup candidates scored with builtin Levenshtein (JVM-side DP;
+    never run it all-pairs — the LSH stage bounds the candidate set).
+    Both engines' builtins agree on ASCII (this corpus; DuckDB's is
+    byte-level, Spark's codepoint-level — they diverge on multibyte).
+    Scale shape: the tiny pair set broadcasts onto the corpus twice
+    (two map-only joins), so the corpus never shuffles."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5).select(
+        "a_id", "b_id"
+    )
+    ta = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("_tb"))
+    with_a = ta.join(F.broadcast(pairs), "a_id")
+    out = tb.join(F.broadcast(with_a), "b_id")
+    return out.select(
+        F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"),
+        F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+    )
+
+
 def q_winnow_span_pairs(spark, sf_dir):
     """Span-level near-dup pairs via winnowing fingerprints (Schleimer
     et al. 2003; operators/dedup.winnow_duplicate_pairs): any shared
@@ -1371,6 +1394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_agg": q_salted_join_agg,
     "vocab_oov_stats": q_vocab_oov,
     "winnow_span_pairs": q_winnow_span_pairs,
+    "edit_distance_pairs": q_edit_distance_pairs,
 }
 
 
@@ -1669,6 +1693,35 @@ _ORACLES: dict[str, str] = {
         FROM cand
         WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
                / 16.0) >= 0.5
+    """,
+    # same LSH candidate CTEs as minhash_lsh_pairs, then exact
+    # Levenshtein verification (byte-level == codepoint-level on this
+    # ASCII corpus)
+    "edit_distance_pairs": f"""
+        WITH sigs AS (
+            SELECT doc_id, {_MINHASH_SIG} AS sig
+            FROM (SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents)
+        ), banded AS (
+            SELECT doc_id, sig, bi,
+                   md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
+                       || '_' || sig[4*bi + 3]::VARCHAR || '_'
+                       || sig[4*bi + 4]::VARCHAR) AS band_key
+            FROM sigs, unnest(range(0, 4)) AS t(bi)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                            a.sig AS a_sig, b.sig AS b_sig
+            FROM banded a JOIN banded b
+              ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), lsh AS (
+            SELECT a_id, b_id FROM cand
+            WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
+                   / 16.0) >= 0.5
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+               levenshtein(da.text, db.text)::BIGINT AS edit_distance
+        FROM lsh
+        JOIN documents da ON da.doc_id = a_id
+        JOIN documents db ON db.doc_id = b_id
     """,
     # winnowing: positional 9-gram rolling hashes → window-4 minima →
     # distinct fingerprints; stop-fp cap df<=10; pairs sharing >=3
