@@ -462,6 +462,21 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_lsh_multiband_topk(spark, sf_dir):
+    """Multi-band approximate ANN (the recall-bearing LSH configuration,
+    see tests/test_ann_recall.py): candidates share ANY of 4 independent
+    8-plane band buckets; corpus stays shuffle-free (band keys join the
+    broadcast query bands, candidate ids broadcast back for scoring)."""
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = lsh_bucket_topk(emb, queries, k=10, num_planes=8, dim=64, num_bands=4)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine_sim",
+    )
+
+
 def q_rollup_orders(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.4 capability extension): order counts
     and revenue by (status, priority) with subtotals and grand total."""
@@ -1395,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov_stats": q_vocab_oov,
     "winnow_span_pairs": q_winnow_span_pairs,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "lsh_multiband_topk": q_lsh_multiband_topk,
 }
 
 
@@ -1514,14 +1530,17 @@ def _dd_snake(expr: str) -> str:
     return f"CASE WHEN trim({expr}) = '' THEN trim({expr}) ELSE {out} END"
 
 
-def _dd_lsh_bucket(vec: str, num_planes: int = 8, dim: int = 64) -> str:
+def _dd_lsh_bucket(vec: str, num_planes: int = 8, dim: int = 64, offset: int = 0) -> str:
     """DuckDB replica of the sign-LSH bucket key — identical plane family
-    and left-fold dot products as operators/similarity.lsh_bucket_key."""
+    and left-fold dot products as operators/similarity.lsh_bucket_key.
+    ``offset`` selects band ``offset // num_planes``'s plane family."""
     from yandex_tracker_exporter_spark.operators.similarity import _plane_component
 
     terms = []
     for j in range(num_planes):
-        plane = "[" + ", ".join(repr(_plane_component(j, d)) for d in range(dim)) + "]"
+        plane = "[" + ", ".join(
+            repr(_plane_component(offset + j, d)) for d in range(dim)
+        ) + "]"
         dot_j = (
             f"list_reduce(list_prepend(0.0::DOUBLE, "
             f"list_transform(range(1, {dim} + 1), "
@@ -2707,6 +2726,41 @@ _ORACLES["embedding_neardup"] = _build_embedding_neardup_sql()
 _ORACLES["language_id"] = _build_lang_id_sql()
 _ORACLES["quality_score"] = _build_quality_sql()
 _ORACLES["lsh_bucket_topk"] = _build_lsh_topk_sql()
+
+
+def _build_lsh_multiband_topk_sql(num_planes: int = 8, num_bands: int = 4) -> str:
+    keys = ", ".join(
+        f"{_dd_lsh_bucket('embedding', num_planes, 64, b * num_planes)} AS k{b}"
+        for b in range(num_bands)
+    )
+    any_band = " OR ".join(f"c.k{b} = q.k{b}" for b in range(num_bands))
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, embedding, {keys} FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv,
+                   {', '.join(f'k{b}' for b in range(num_bands))}
+            FROM emb WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding AS cv,
+                   {', '.join(f'k{b}' for b in range(num_bands))}
+            FROM emb
+        ), scored AS (
+            SELECT query_id, neighbor_id, {_dd_cosine('qv', 'cv')} AS cosine_sim
+            FROM c JOIN q ON ({any_band})
+            WHERE query_id != neighbor_id
+        )
+        SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+               cosine_sim
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    """
+
+
+_ORACLES["lsh_multiband_topk"] = _build_lsh_multiband_topk_sql()
 _ORACLES["ivf_topk"] = _build_ivf_topk_sql()
 _ORACLES["corpus_clean"] = _build_corpus_clean_sql()
 
