@@ -190,3 +190,54 @@ def test_frame_sampling_negative_duration_is_skipped(spark, media):
     frames = sample_frames(media.union(extra), every_ms=1000).collect()
     assert {f["media_id"] for f in frames} == {7}
     assert len(frames) == 2  # 0ms and 1000ms
+
+
+def test_codec_properties():
+    """Property-based codec invariants (hypothesis): encode→decode is
+    the identity on (params, content checksum) for arbitrary content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), max_size=300),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_roundtrip(samples, rate):
+        d = decode_wav(encode_wav(samples, rate))
+        assert d["n_elements"] == len(samples)
+        assert d["sample_rate"] == rate
+        assert d["content_checksum"] == sum(samples)
+        assert d["duration_ms"] == len(samples) * 1000 // rate
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 8), st.integers(1, 8), st.binary(min_size=0, max_size=192))
+    def ppm_roundtrip(w, h, extra):
+        pix = (extra * (w * h * 3 // max(len(extra), 1) + 1))[: w * h * 3]
+        if len(pix) < w * h * 3:
+            pix = pix + bytes(w * h * 3 - len(pix))
+        d = decode_ppm(encode_ppm(w, h, pix))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["content_checksum"] == sum(pix)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 6), st.integers(1, 60))
+    def y4m_roundtrip(w, h, n_frames, fps):
+        frames = [bytes([(i * 7) % 256] * (w * h * 3)) for i in range(n_frames)]
+        d = decode_y4m(encode_y4m(w, h, frames, (fps, 1)))
+        assert d["n_frames"] == n_frames
+        assert d["duration_ms"] == n_frames * 1000 // fps
+        assert d["content_checksum"] == sum(sum(f) for f in frames)
+
+    wav_roundtrip()
+    ppm_roundtrip()
+    y4m_roundtrip()
