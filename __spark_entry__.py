@@ -477,6 +477,61 @@ def q_lsh_multiband_topk(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id (generalizes rollup/cube):
+    detail, per-status subtotal, and grand total in one pass — Spark
+    expands grouping sets inside a single hash aggregate, no union of
+    scans."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "gid",
+            F.col("n_orders").cast("long"),
+            "revenue",
+        )
+    )
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """ntile window: per-event-type value quartiles (deterministic full
+    ordering via the event_id tie-break), re-aggregated to quartile
+    boundary stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    q = ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+    return (
+        q.groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.col("quartile").cast("long"),
+            F.col("n").cast("long"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def q_rollup_orders(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.4 capability extension): order counts
     and revenue by (status, priority) with subtotals and grand total."""
@@ -1411,6 +1466,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_span_pairs": q_winnow_span_pairs,
     "edit_distance_pairs": q_edit_distance_pairs,
     "lsh_multiband_topk": q_lsh_multiband_topk,
+    "grouping_sets_orders": q_grouping_sets,
+    "ntile_quartiles": q_ntile_quartiles,
 }
 
 
@@ -1772,6 +1829,28 @@ _ORACLES: dict[str, str] = {
         SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
                shared_fps::BIGINT AS shared_fps
         FROM pairs WHERE shared_fps >= 3
+    """,
+    "grouping_sets_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+               count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    "ntile_quartiles": """
+        WITH q AS (
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS quartile
+            FROM events
+        )
+        SELECT event_type, quartile::BIGINT AS quartile,
+               count(*)::BIGINT AS n,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM q GROUP BY event_type, quartile
     """,
     "vocab_oov_stats": """
         WITH words AS (
