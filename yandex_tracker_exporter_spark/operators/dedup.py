@@ -727,11 +727,20 @@ def winnow_duplicate_pairs(
         F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
     ).localCheckpoint(eager=False)
     dfreq = x.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-    rare = x.join(dfreq.where(F.col("_df") <= max_df), "fp").select("_id", "fp")
+    # merge-join hints: every relation here is keyed by fp and
+    # CORPUS-SIZED, and the checkpointed RDD reports no reliable stats,
+    # so Spark may otherwise pick a broadcast (OOMs the driver —
+    # observed at 30k docs under a 1 GB driver) or a shuffled hash join
+    # (unspillable build side — also observed failing under memory
+    # pressure). Sort-merge on the fp key spills gracefully at any
+    # scale; that is the plan that survives 100 TB.
+    rare = x.join(
+        dfreq.where(F.col("_df") <= max_df).hint("merge"), "fp"
+    ).select("_id", "fp")
     a = rare.select(F.col("_id").alias("a_id"), "fp")
     b = rare.select(F.col("_id").alias("b_id"), "fp")
     return (
-        a.join(b, "fp")
+        a.join(b.hint("merge"), "fp")
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
