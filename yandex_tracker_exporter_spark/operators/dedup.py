@@ -734,9 +734,14 @@ def winnow_duplicate_pairs(
     # (unspillable build side — also observed failing under memory
     # pressure). Sort-merge on the fp key spills gracefully at any
     # scale; that is the plan that survives 100 TB.
-    rare = x.join(
-        dfreq.where(F.col("_df") <= max_df).hint("merge"), "fp"
-    ).select("_id", "fp")
+    # rare is consumed by BOTH self-join sides — barrier it too, or the
+    # dfreq aggregate + stop-filter join run once per side (observed as
+    # a third SortMergeJoin in the plan)
+    rare = (
+        x.join(dfreq.where(F.col("_df") <= max_df).hint("merge"), "fp")
+        .select("_id", "fp")
+        .localCheckpoint(eager=False)
+    )
     a = rare.select(F.col("_id").alias("a_id"), "fp")
     b = rare.select(F.col("_id").alias("b_id"), "fp")
     return (
