@@ -1398,6 +1398,188 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_simhash_hamming(spark, sf_dir):
+    """Near-dup pairs at Hamming <= 3 on the 62-bit (2 x 31-bit salted)
+    SimHash — the dedup family's SimHash *pair* step (signatures alone
+    don't dedup). 4-band pigeonhole banding: candidates from equi-joins
+    only, recall 100% by construction at this radius."""
+    from yandex_tracker_exporter_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+def q_knn_classify(spark, sf_dir):
+    """kNN label vote: predict each query vector's label from the
+    majority label of its 10 nearest cosine neighbors (the labeling /
+    weak-supervision use of similarity search). Ties break to the
+    smaller label; integer outputs only, so parity is exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("_cvec"),
+    )
+    qv = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
+    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+    scored = corpus.join(
+        F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("n_label").cast("long"),
+        cosine(qv, cv).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    votes = top.groupBy("query_id", "n_label").agg(F.count(F.lit(1)).alias("votes"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
+def q_regression_stats(spark, sf_dir):
+    """Exact least-squares + Pearson r per market segment (order value
+    vs. account balance): all five moments are EXACT int64 sums over
+    whole-currency-unit values (int64 → double conversion is correctly
+    rounded in every engine — decimal sums are exact too, but DuckDB's
+    decimal → double cast double-rounds and drifts a ulp); the
+    slope/intercept/corr arithmetic then runs in doubles with an
+    operand order written identically in both engines, so the floats
+    are bit-identical. The statistics-aggregate shape (corr/regr_*)
+    without the engine-specific streaming-moment algorithms that would
+    break cross-engine parity."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal")).cast("long").alias("_x"),
+        F.round(F.col("o_totalprice")).cast("long").alias("_y"),
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_orders").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("pearson_r"),
+    )
+
+
+def q_moving_avg_daily(spark, sf_dir):
+    """7-day moving average of daily order revenue. The window runs
+    over the DAILY aggregate — a relation whose cardinality is bounded
+    by the calendar (one row per day, ~2.4k rows per 7 years) at ANY
+    corpus scale, so its single-partition global sort is the correct
+    plan (same justification as global_rank's prefix-sum funnel); the
+    corpus itself only ever takes the one groupBy(day) shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day_num").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("day_num").cast("long"),
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (
+            F.sum("_rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg_7d"),
+    )
+
+
+def q_percent_rank(spark, sf_dir):
+    """Relative standing of every customer inside their market segment:
+    percent_rank + cume_dist on account balance (both are integer-ratio
+    doubles — exact cross-engine)."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc())
+    return customer.select(
+        F.col("c_custkey").cast("long"),
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: three-way join (broadcast dim, shuffled facts)
+    with pre-join filter pushdown on both fact sides; top-10 unshipped
+    orders by revenue."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    customer = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(3,2)")
+            - F.col("l_discount").cast("decimal(4,2)")
+        )
+    )
+    j = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    return (
+        agg.select(
+            F.col("l_orderkey").cast("long"),
+            _epoch("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1468,6 +1650,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_multiband_topk": q_lsh_multiband_topk,
     "grouping_sets_orders": q_grouping_sets,
     "ntile_quartiles": q_ntile_quartiles,
+    "simhash_hamming_pairs": q_simhash_hamming,
+    "knn_classify": q_knn_classify,
+    "regression_stats": q_regression_stats,
+    "moving_avg_daily": q_moving_avg_daily,
+    "percent_rank_acctbal": q_percent_rank,
+    "shipping_priority": q_shipping_priority,
 }
 
 
@@ -1492,6 +1680,22 @@ def _dd_hash(expr: str) -> str:
         f"list_transform(range(1, len({expr}) + 1), "
         f"i -> ascii(substr({expr}, i, 1))::BIGINT)), "
         f"(h, c) -> (h * 131 + c) % 2147483647)"
+    )
+
+
+# 31-bit simhash over a BIGINT token-hash list column (mirrors
+# operators.dedup.simhash with bits=31): per-bit vote fold, then bit
+# reassembly — both strict left folds so the integers agree exactly
+def _dd_simhash31(token_hash_list: str) -> str:
+    return (
+        f"CAST(list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(0, 31), j -> "
+        f"CASE WHEN list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({token_hash_list}, h -> "
+        f"CASE WHEN (h >> j) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)), "
+        f"(a, x) -> a + x) > 0 "
+        f"THEN (1::BIGINT << j) ELSE 0::BIGINT END)), "
+        f"(a, x) -> a + x) AS BIGINT)"
     )
 
 
@@ -1851,6 +2055,93 @@ _ORACLES: dict[str, str] = {
                min(value) AS min_value,
                max(value) AS max_value
         FROM q GROUP BY event_type, quartile
+    """,
+    "simhash_hamming_pairs": None,  # generated below (62-bit salted sigs)
+    "knn_classify": f"""
+        WITH scored AS (
+            SELECT q.vec_id::BIGINT AS query_id, c.vec_id::BIGINT AS neighbor_id,
+                   c.label::BIGINT AS n_label,
+                   {_dd_cosine('q.embedding', 'c.embedding')} AS cosine_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 20
+        ), top AS (
+            SELECT query_id, n_label FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        ), votes AS (
+            SELECT query_id, n_label, count(*)::BIGINT AS votes
+            FROM top GROUP BY query_id, n_label
+        )
+        SELECT query_id, n_label AS predicted_label, votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY votes DESC, n_label ASC) AS r
+            FROM votes
+        ) WHERE r = 1
+    """,
+    "regression_stats": """
+        WITH j AS (
+            SELECT c_mktsegment,
+                   round(c_acctbal)::BIGINT AS x,
+                   round(o_totalprice)::BIGINT AS y
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), agg AS (
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x*y) AS DOUBLE) AS sxy,
+                   CAST(sum(x*x) AS DOUBLE) AS sxx,
+                   CAST(sum(y*y) AS DOUBLE) AS syy
+            FROM j GROUP BY c_mktsegment
+        ), d AS (
+            SELECT *, CAST(n_orders AS DOUBLE) AS n FROM agg
+        )
+        SELECT c_mktsegment, n_orders,
+               (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+               (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept,
+               (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+                   AS pearson_r
+        FROM d
+    """,
+    "moving_avg_daily": """
+        WITH daily AS (
+            SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01')::BIGINT
+                       AS day_num,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT day_num, CAST(rev_d AS DOUBLE) AS revenue, n_orders,
+               CAST(sum(rev_d) OVER w AS DOUBLE)
+                   / CAST(count(*) OVER w AS DOUBLE) AS moving_avg_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "percent_rank_acctbal": """
+        SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal ASC) AS pct_rank,
+               cume_dist() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal ASC) AS cume_dist
+        FROM customer
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey::BIGINT AS l_orderkey,
+               floor(epoch(o_orderdate))::BIGINT AS orderdate_epoch,
+               o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
     """,
     "vocab_oov_stats": """
         WITH words AS (
@@ -2839,6 +3130,34 @@ def _build_lsh_multiband_topk_sql(num_planes: int = 8, num_bands: int = 4) -> st
     """
 
 
+def _build_simhash_hamming_sql() -> str:
+    toks_plain = (
+        "list_transform(regexp_split_to_array(text, '\\s+'), t -> "
+        + _dd_hash("t")
+        + ")"
+    )
+    toks_salted = (
+        "list_transform(regexp_split_to_array(text, '\\s+'), t -> "
+        + _dd_hash("(t || '#')")
+        + ")"
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   {_dd_simhash31(toks_plain)} AS sim_lo,
+                   {_dd_simhash31(toks_salted)} AS sim_hi
+            FROM documents
+        )
+        SELECT a.doc_id::BIGINT AS a_id, b.doc_id::BIGINT AS b_id,
+               (bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    """
+
+
+_ORACLES["simhash_hamming_pairs"] = _build_simhash_hamming_sql()
 _ORACLES["lsh_multiband_topk"] = _build_lsh_multiband_topk_sql()
 _ORACLES["ivf_topk"] = _build_ivf_topk_sql()
 _ORACLES["corpus_clean"] = _build_corpus_clean_sql()

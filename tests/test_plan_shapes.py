@@ -173,7 +173,10 @@ def test_cohort_retention_two_aggregation_shuffles(spark):
 #:   shuffles, asserted by tests/test_similarity.py)
 #: - gap_fill_hourly: the generated dense grid (span-hours × type dim,
 #:   both tiny) cross-joined before broadcasting onto aggregated facts
-_NESTED_LOOP_ALLOWED = {"cosine_topk", "ivf_topk", "gap_fill_hourly"}
+#: - knn_classify: scores against the broadcast 20-row query set (the
+#:   labeled exact-kNN baseline, same shape as cosine_topk; the scale
+#:   path for classification is the same LSH/IVF bucketing)
+_NESTED_LOOP_ALLOWED = {"cosine_topk", "ivf_topk", "gap_fill_hourly", "knn_classify"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
@@ -194,7 +197,14 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
 #: - incremental_watermark: the final merge of a global max() (partials
 #:   combine map-side; the single partition sees one row per task)
 #: - global_rank: the prefix sum over per-bucket COUNTS (#buckets rows)
-_SINGLE_PARTITION_ALLOWED = {"incremental_watermark", "global_rank"}
+#: - moving_avg_daily: the sliding window runs over the DAILY aggregate,
+#:   whose cardinality is calendar-bounded (one row per day) at any
+#:   corpus scale — the corpus itself takes only the groupBy(day) shuffle
+_SINGLE_PARTITION_ALLOWED = {
+    "incremental_watermark",
+    "global_rank",
+    "moving_avg_daily",
+}
 
 
 def test_salted_join_plan_replicates_small_side(spark):

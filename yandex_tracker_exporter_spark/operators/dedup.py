@@ -476,14 +476,23 @@ def simhash(
     content_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    salt: str = "",
 ) -> DataFrame:
     """Per-document SimHash over whitespace tokens (duplicates weighted).
 
-    bit_j(token) = j-th bit of the md5-derived token hash; the simhash
+    bit_j(token) = j-th bit of the polynomial token hash; the simhash
     sets bit j when the sum over tokens of (2*bit_j - 1) is positive.
+    ``salt`` (appended to each token before hashing) selects an
+    independent hash family — two salted 31-bit simhashes concatenate
+    into the 62-bit signature used by :func:`simhash_hamming_pairs`.
     """
     tokens = F.split(F.col(content_col), r"\s+")
-    token_hashes = F.transform(tokens, _hash64)
+    if salt:
+        token_hashes = F.transform(
+            tokens, lambda t: _hash64(F.concat(t, F.lit(salt)))
+        )
+    else:
+        token_hashes = F.transform(tokens, _hash64)
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
     # Single pass over tokens: fold a per-bit vote array. Bit extraction
@@ -513,6 +522,94 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col), value.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    salt: str = "#",
+) -> DataFrame:
+    """Near-duplicate pairs by 62-bit SimHash Hamming distance.
+
+    Two independent 31-bit simhashes (plain + ``salt``-appended token
+    hash family) form a 62-bit signature; at this width random document
+    pairs sit at distance ~31 so ``hamming <= 3`` is a true near-dup
+    signal (32 bits alone is too small — random pairs collide at <= 3
+    constantly). Candidates come from the pigeonhole banding of the
+    signature into 4 chunks of <= 16 bits: any pair within Hamming
+    ``max_hamming <= 3`` matches exactly on at least one chunk, so the
+    equi-join on (band_idx, band_value) finds ALL qualifying pairs —
+    never an all-pairs comparison. The 16-byte signature rides the band
+    exchange (carry beats join-back when the payload is this narrow —
+    see the measured join-back-vs-carry note in NOTES.md).
+
+    Output: (a_id, b_id, hamming), a_id < b_id, hamming <= max_hamming.
+
+    Reference scope: the reference dedups by version only
+    (``migrations/clickhouse/000004*``); this is part of the
+    training-data near-dup family built on top of that surface.
+    """
+    if max_hamming > 3:
+        raise ValueError("4-band pigeonhole guarantees recall only to hamming 3")
+    wide = ensure_parallelism(df)
+    lo = simhash(wide, content_col, id_col, bits=31).withColumnRenamed(
+        "simhash", "sim_lo"
+    )
+    hi = simhash(wide, content_col, id_col, bits=31, salt=salt).withColumnRenamed(
+        "simhash", "sim_hi"
+    )
+    sigs = lo.join(hi, id_col)
+
+    mask16 = F.lit(65535).cast("long")
+    bands = [
+        F.col("sim_lo").bitwiseAND(mask16),
+        F.shiftright(F.col("sim_lo"), 16),
+        F.col("sim_hi").bitwiseAND(mask16),
+        F.shiftright(F.col("sim_hi"), 16),
+    ]
+    banded = sigs.select(
+        id_col,
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), b.cast("long").alias("band_val")
+                    )
+                    for i, b in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sim_lo", "sim_hi", "band.band_idx", "band.band_val")
+
+    left = banded.select(
+        F.col(id_col).alias("a_id"),
+        F.col("sim_lo").alias("a_lo"),
+        F.col("sim_hi").alias("a_hi"),
+        "band_idx",
+        "band_val",
+    )
+    right = banded.select(
+        F.col(id_col).alias("b_id"),
+        F.col("sim_lo").alias("b_lo"),
+        F.col("sim_hi").alias("b_hi"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+    ) + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
