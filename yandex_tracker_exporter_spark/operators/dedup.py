@@ -471,21 +471,9 @@ def canonical_representatives(
     )
 
 
-def simhash(
-    df: DataFrame,
-    content_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 32,
-    salt: str = "",
-) -> DataFrame:
-    """Per-document SimHash over whitespace tokens (duplicates weighted).
-
-    bit_j(token) = j-th bit of the polynomial token hash; the simhash
-    sets bit j when the sum over tokens of (2*bit_j - 1) is positive.
-    ``salt`` (appended to each token before hashing) selects an
-    independent hash family — two salted 31-bit simhashes concatenate
-    into the 62-bit signature used by :func:`simhash_hamming_pairs`.
-    """
+def _simhash_value(content_col: str, bits: int, salt: str = "") -> Column:
+    """The simhash integer as a column expression (see :func:`simhash`);
+    exposed so multi-family signatures compute in ONE projection pass."""
     tokens = F.split(F.col(content_col), r"\s+")
     if salt:
         token_hashes = F.transform(
@@ -521,7 +509,27 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col), value.alias("simhash"))
+    return value
+
+
+def simhash(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens (duplicates weighted).
+
+    bit_j(token) = j-th bit of the polynomial token hash; the simhash
+    sets bit j when the sum over tokens of (2*bit_j - 1) is positive.
+    ``salt`` (appended to each token before hashing) selects an
+    independent hash family — two salted 31-bit simhashes concatenate
+    into the 62-bit signature used by :func:`simhash_hamming_pairs`.
+    """
+    return df.select(
+        F.col(id_col), _simhash_value(content_col, bits, salt).alias("simhash")
+    )
 
 
 def simhash_hamming_pairs(
@@ -553,14 +561,18 @@ def simhash_hamming_pairs(
     """
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only to hamming 3")
-    wide = ensure_parallelism(df)
-    lo = simhash(wide, content_col, id_col, bits=31).withColumnRenamed(
-        "simhash", "sim_lo"
+    # Both hash families in ONE projection over one scan (a lo⋈hi join
+    # would recompute the corpus per side), then a lazy barrier so the
+    # band self-join's two branches share the fold output instead of
+    # re-running the interpreted HOF fold per side (same pattern and
+    # rationale as cosine_neardup_pairs' prep checkpoint; measured
+    # 3.9 s → ~1 s at sf0.1).
+    sigs = ensure_parallelism(df).select(
+        F.col(id_col),
+        _simhash_value(content_col, bits=31).alias("sim_lo"),
+        _simhash_value(content_col, bits=31, salt=salt).alias("sim_hi"),
     )
-    hi = simhash(wide, content_col, id_col, bits=31, salt=salt).withColumnRenamed(
-        "simhash", "sim_hi"
-    )
-    sigs = lo.join(hi, id_col)
+    sigs = sigs.localCheckpoint(eager=False)
 
     mask16 = F.lit(65535).cast("long")
     bands = [
