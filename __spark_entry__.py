@@ -1580,6 +1580,23 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """SemDeDup-style corpus clustering: 3 Lloyd iterations of k=8
+    k-means over int8-quantized embeddings. Fully integer arithmetic
+    (int L2², floor-division centroids) so the iterative algorithm is
+    oracle-checkable bit-for-bit; each iteration is a map-only
+    assignment against literal centroids + one k×dim running-sum
+    shuffle."""
+    from yandex_tracker_exporter_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=8, iters=3).select(
+        F.col("vec_id").cast("long"), "cluster", "dist2"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1656,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg_daily": q_moving_avg_daily,
     "percent_rank_acctbal": q_percent_rank,
     "shipping_priority": q_shipping_priority,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 
@@ -3157,6 +3175,72 @@ def _build_simhash_hamming_sql() -> str:
     """
 
 
+def _build_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as CTE chains — mirrors
+    operators.clustering.kmeans_quantized exactly: integer L2², ties to
+    the smaller cluster, floor-division centroid updates, empty
+    clusters keeping their previous centroid."""
+    parts = [
+        f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   AS max_abs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, emb,
+               CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
+                    ELSE 0.0 END AS scale
+        FROM v
+    ), codes AS (
+        SELECT vec_id,
+               list_transform(range(1, len(emb) + 1),
+                              i -> floor(emb[i] * scale + 0.5)::BIGINT) AS q
+        FROM s
+    ), c0 AS (
+        SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cluster,
+               q AS clist
+        FROM (SELECT vec_id, q FROM codes ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    , d{t} AS (
+        SELECT cd.vec_id, cd.q, ct.cluster,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                   j -> (cd.q[j] - ct.clist[j]) * (cd.q[j] - ct.clist[j])))
+                   AS BIGINT) AS dist
+        FROM codes cd CROSS JOIN c{t - 1} ct
+    ), a{t} AS (
+        SELECT vec_id, q, cluster, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist ASC, cluster ASC) AS r
+            FROM d{t}
+        ) WHERE r = 1
+    )""")
+        if t < iters:
+            parts.append(f"""
+    , n{t} AS (
+        SELECT a.cluster, t.i AS dimn,
+               sum(a.q[t.i])::BIGINT AS sv, count(*)::BIGINT AS cnt
+        FROM a{t} a, unnest(range(1, {dim + 1})) AS t(i)
+        GROUP BY a.cluster, t.i
+    ), u{t} AS (
+        SELECT cluster,
+               list(floor(CAST(sv AS DOUBLE) / cnt)::BIGINT
+                    ORDER BY dimn) AS clist
+        FROM n{t} GROUP BY cluster
+    ), c{t} AS (
+        SELECT p.cluster, coalesce(u.clist, p.clist) AS clist
+        FROM c{t - 1} p LEFT JOIN u{t} u USING (cluster)
+    )""")
+    parts.append(f"""
+    SELECT vec_id::BIGINT AS vec_id, cluster, dist AS dist2 FROM a{iters}
+    """)
+    return "".join(parts)
+
+
+_ORACLES["kmeans_clusters"] = _build_kmeans_sql()
 _ORACLES["simhash_hamming_pairs"] = _build_simhash_hamming_sql()
 _ORACLES["lsh_multiband_topk"] = _build_lsh_multiband_topk_sql()
 _ORACLES["ivf_topk"] = _build_ivf_topk_sql()

@@ -1,0 +1,65 @@
+"""kmeans_quantized: deterministic Lloyd's over int8 codes — planted
+blobs must separate, ties and empty clusters must follow the documented
+rules, and the assignment must be invariant to input partitioning.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from yandex_tracker_exporter_spark.operators.clustering import kmeans_quantized
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def _vec(base, dim=64):
+    return [float(base + 0.01 * j) for j in range(dim)]
+
+
+def test_planted_blobs_separate(spark):
+    # two tight blobs far apart; seeds (ids 0,1) land one in each
+    rows = [(0, _vec(1.0)), (1, _vec(100.0))]
+    rows += [(i, _vec(1.0 + 0.001 * i)) for i in range(2, 12)]
+    rows += [(i, _vec(100.0 + 0.001 * i)) for i in range(12, 22)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.vec_id: r.cluster for r in kmeans_quantized(df, k=2, iters=3).collect()}
+    lo = {out[i] for i in range(2, 12)} | {out[0]}
+    hi = {out[i] for i in range(12, 22)} | {out[1]}
+    assert lo == {0} and hi == {1}
+
+
+def test_tie_breaks_to_smaller_cluster_and_empty_cluster_kept(spark):
+    # seeds 0 and 2 are identical -> every zero-blob point ties between
+    # cluster 0 and cluster 2 and must pick 0; cluster 2 ends empty and
+    # the operator must not fail (previous centroid is kept)
+    rows = [(0, _vec(1.0)), (1, _vec(50.0)), (2, _vec(1.0))]
+    rows += [(i, _vec(1.0)) for i in range(3, 8)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    res = kmeans_quantized(df, k=3, iters=2).collect()
+    out = {r.vec_id: r.cluster for r in res}
+    assert out[0] == 0 and out[2] == 0
+    assert all(out[i] == 0 for i in range(3, 8))
+    assert out[1] == 1
+    assert 2 not in set(out.values())
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, _vec(float(i % 4) * 10.0 + 0.001 * i)) for i in range(40)]
+    df1 = spark.createDataFrame(rows, SCHEMA).repartition(1)
+    df8 = spark.createDataFrame(rows, SCHEMA).repartition(8)
+    r1 = sorted((r.vec_id, r.cluster, r.dist2) for r in kmeans_quantized(df1, k=4, iters=3).collect())
+    r8 = sorted((r.vec_id, r.cluster, r.dist2) for r in kmeans_quantized(df8, k=4, iters=3).collect())
+    assert r1 == r8
+
+
+def test_too_few_vectors_rejected(spark):
+    df = spark.createDataFrame([(0, _vec(1.0)), (1, _vec(2.0))], SCHEMA)
+    with pytest.raises(ValueError):
+        kmeans_quantized(df, k=5, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_quantized(df, k=2, iters=0)

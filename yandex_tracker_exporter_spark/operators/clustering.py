@@ -1,0 +1,122 @@
+"""Iterative clustering over quantized embedding codes.
+
+The SemDeDup-style pipeline (cluster the corpus, then prune near-dups
+inside each cluster) needs a k-means step; this one runs Lloyd's
+algorithm over **int8-quantized** codes with fully integer arithmetic so
+every engine — and the DuckDB oracle — reproduces the assignments
+bit-for-bit:
+
+- distances are integer L2² over int8 codes (exact int64),
+- centroid updates are exact floor-divisions ``floor(sum / count)``
+  (a rational with denominator <= corpus size is never within one
+  double-ulp of an integer unless it IS one, so ``floor`` of the
+  correctly-rounded double quotient equals the true floor),
+- ties (equal distance) break to the smaller cluster id,
+- empty clusters keep their previous centroid.
+
+Scale shape: the quantized codes are barriered once
+(``localCheckpoint``) and every Lloyd iteration is a map-only
+assignment against BROADCAST-LITERAL centroids (k × dim integers —
+driver-small by construction, the same class as IVF's centroid
+relation) plus one partial-aggregable groupBy(cluster) shuffle of
+k × dim running sums. No joins, no cross products; iterations scan the
+materialized codes, not the raw corpus.
+
+Reference scope: the reference has no clustering; this is part of the
+training-data pipeline family (SemDeDup: Abbas et al. 2023) built on
+the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .partitioning import ensure_parallelism
+from .similarity import quantize_embeddings
+
+
+def _dist2_expr(code_col: str, centroid: list[int]) -> str:
+    """Integer L2² between an int-array column and a literal centroid
+    as ONE SQL expression string (a py4j call per element would cost
+    seconds of driver time at k*dim literals)."""
+    arr = ",".join(str(int(c)) for c in centroid)
+    return (
+        f"aggregate(zip_with({code_col}, array({arr}), "
+        f"(x, c) -> CAST((x - c) * (x - c) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over int8-quantized embeddings.
+
+    Seeds are the first ``k`` vectors in ``id_col`` order (cluster i =
+    i-th smallest id). Each iteration assigns every vector to the
+    nearest centroid (integer L2², ties to the smaller cluster) and
+    recomputes centroids as element-wise ``floor(sum/count)``; the
+    final iteration's assignment is returned.
+
+    Output: (``id_col``, cluster, dist2) — cluster in [0, k), dist2 the
+    integer squared distance to the winning centroid.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    codes = (
+        quantize_embeddings(ensure_parallelism(df), vec_col, id_col)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    seed_rows = codes.orderBy(F.col(id_col).asc()).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    centroids: dict[int, list[int]] = {
+        i: list(r["_q"]) for i, r in enumerate(seed_rows)
+    }
+
+    def assign(cents: dict[int, list[int]]) -> DataFrame:
+        dists = F.array(
+            *[F.expr(_dist2_expr("_q", cents[c])) for c in range(k)]
+        )
+        return codes.select(
+            F.col(id_col),
+            "_q",
+            dists.alias("_dists"),
+        ).select(
+            F.col(id_col),
+            "_q",
+            (F.expr("array_position(_dists, array_min(_dists))") - 1)
+            .cast("long")
+            .alias("cluster"),
+            F.expr("array_min(_dists)").cast("long").alias("dist2"),
+        )
+
+    for _ in range(iters - 1):
+        assigned = assign(centroids)
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col("_q")[j].cast("long")).alias(f"_s{j}")
+                for j in range(dim)
+            ],
+        )
+        updated = dict(centroids)  # empty clusters keep previous centroid
+        for row in sums.collect():
+            n = row["_n"]
+            updated[int(row["cluster"])] = [
+                int(row[f"_s{j}"]) // n for j in range(dim)  # exact floor
+            ]
+        centroids = updated
+
+    return assign(centroids).select(id_col, "cluster", "dist2")
