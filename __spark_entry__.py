@@ -1597,6 +1597,34 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """Full SemDeDup pass over the planted corpus (every vector plus a
+    perturbed copy at id+100000, same planting as embedding_neardup):
+    k-means clustering, then within-cluster cosine pruning at 0.9 —
+    each planted copy must lose to its smaller-id source. Pairwise work
+    is cluster-confined (k grows with the corpus at scale)."""
+    from yandex_tracker_exporter_spark.operators.clustering import semdedup_prune
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + F.lit(NEARDUP_ID_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") * F.lit(0.5)),
+            F.transform(
+                F.slice("embedding", 2, 63), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    out = semdedup_prune(
+        base.unionAll(perturbed), k=8, iters=2, threshold=0.9
+    )
+    return out.select(F.col("vec_id").cast("long"), "cluster", "is_kept")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1674,6 +1702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percent_rank_acctbal": q_percent_rank,
     "shipping_priority": q_shipping_priority,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_prune": q_semdedup_prune,
 }
 
 
@@ -3175,18 +3204,27 @@ def _build_simhash_hamming_sql() -> str:
     """
 
 
-def _build_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _build_kmeans_sql(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    prelude: str = "",
+    source: str = "embeddings",
+    tail: str | None = None,
+) -> str:
     """Unrolled Lloyd iterations as CTE chains — mirrors
     operators.clustering.kmeans_quantized exactly: integer L2², ties to
     the smaller cluster, floor-division centroid updates, empty
-    clusters keeping their previous centroid."""
+    clusters keeping their previous centroid. ``prelude``/``source``
+    inject an input CTE (semdedup's planted corpus); ``tail`` replaces
+    the final SELECT to continue the chain past the assignment."""
     parts = [
         f"""
-    WITH v AS (
+    WITH {prelude} v AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
                    AS max_abs
-        FROM embeddings
+        FROM {source}
     ), s AS (
         SELECT vec_id, emb,
                CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
@@ -3234,10 +3272,47 @@ def _build_kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
         SELECT p.cluster, coalesce(u.clist, p.clist) AS clist
         FROM c{t - 1} p LEFT JOIN u{t} u USING (cluster)
     )""")
-    parts.append(f"""
+    if tail is None:
+        tail = f"""
     SELECT vec_id::BIGINT AS vec_id, cluster, dist AS dist2 FROM a{iters}
-    """)
+    """
+    parts.append(tail)
     return "".join(parts)
+
+
+def _build_semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.9) -> str:
+    """SemDeDup: kmeans over the planted corpus (same perturbed copies
+    as embedding_neardup), then drop any member with a same-cluster
+    neighbor of smaller id at cosine >= threshold."""
+    prelude = f"""aug AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {NEARDUP_ID_OFFSET},
+               list_concat([embedding[1]::DOUBLE * 0.5],
+                           list_transform(embedding[2:], x -> x::DOUBLE))
+        FROM embeddings
+    ),"""
+    tail = f"""
+    , membr AS (
+        SELECT a.vec_id, a.cluster, s.emb, {_dd_norm('s.emb')} AS nrm
+        FROM a{iters} a JOIN s USING (vec_id)
+    ), dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM membr x JOIN membr y
+          ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+        WHERE ({_dd_dot('x.emb', 'y.emb')} / (x.nrm * y.nrm)) >= {threshold}
+    )
+    SELECT m.vec_id::BIGINT AS vec_id, m.cluster,
+           (d.vec_id IS NULL) AS is_kept
+    FROM membr m LEFT JOIN dropped d USING (vec_id)
+    """
+    return _build_kmeans_sql(
+        k=k, iters=iters, prelude=prelude, source="aug", tail=tail
+    )
+
+
+_ORACLES["semdedup_prune"] = _build_semdedup_sql()
 
 
 _ORACLES["kmeans_clusters"] = _build_kmeans_sql()

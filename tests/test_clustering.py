@@ -7,7 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
 
-from yandex_tracker_exporter_spark.operators.clustering import kmeans_quantized
+from yandex_tracker_exporter_spark.operators.clustering import (
+    kmeans_quantized,
+    semdedup_prune,
+)
 
 SCHEMA = StructType(
     [
@@ -55,6 +58,26 @@ def test_partitioning_invariance(spark):
     r1 = sorted((r.vec_id, r.cluster, r.dist2) for r in kmeans_quantized(df1, k=4, iters=3).collect())
     r8 = sorted((r.vec_id, r.cluster, r.dist2) for r in kmeans_quantized(df8, k=4, iters=3).collect())
     assert r1 == r8
+
+
+def test_semdedup_drops_copy_keeps_source(spark):
+    # near-orthogonal sources (spike at dim i) so no source pair crosses
+    # the 0.999 threshold; each source i in 2..6 has an exact duplicate
+    # at i+100 (identical codes -> always the same cluster) which must
+    # be dropped while the smaller-id source is kept
+    def spike(i, dim=64):
+        v = [0.01] * dim
+        v[i] = 10.0
+        return [float(x) for x in v]
+
+    rows = [(i, spike(i)) for i in range(0, 7)]
+    rows += [(i + 100, spike(i)) for i in range(2, 7)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.vec_id: r.is_kept for r in semdedup_prune(df, k=2, iters=2, threshold=0.999).collect()}
+    for i in range(2, 7):
+        assert out[i] is True, f"source {i} must be kept"
+        assert out[i + 100] is False, f"duplicate {i + 100} must be dropped"
+    assert out[0] is True and out[1] is True
 
 
 def test_too_few_vectors_rejected(spark):

@@ -120,3 +120,74 @@ def kmeans_quantized(
         centroids = updated
 
     return assign(centroids).select(id_col, "cluster", "dist2")
+
+
+def semdedup_prune(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus, then inside
+    each cluster drop every vector that has a semantic duplicate
+    (cosine >= ``threshold``) with a smaller id — the smallest id of a
+    duplicate group is its kept representative.
+
+    The pairwise comparison is confined to clusters, which is the whole
+    point of SemDeDup at scale: with ``k`` proportional to corpus size
+    (the paper uses ~0.1-1% of n) the per-cluster membership stays
+    bounded and the cluster-key self-equi-join is linear-ish — never an
+    all-pairs product over the corpus. Cosines come from the Arrow pair
+    scorer (bit-identical to the expression fold and the DuckDB
+    oracle). Output: (``id_col``, cluster, is_kept).
+    """
+    from .similarity import _pair_cosine_kernel, norm
+
+    asg = kmeans_quantized(df, k, iters, vec_col, id_col).select(
+        id_col, "cluster"
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vec"),
+    ).withColumn("_nrm", norm(F.col("_vec")))
+    # materialize (vec, norm, cluster) once; both prune-join sides and
+    # the final keep-flag join read the barrier instead of re-running
+    # the norm fold + assignment
+    membr = vecs.join(asg, id_col).localCheckpoint(eager=False)
+
+    a = membr.select(
+        F.col(id_col).alias("a_id"),
+        F.col("_vec").alias("_avec"),
+        F.col("_nrm").alias("_anrm"),
+        "cluster",
+    )
+    b = membr.select(
+        F.col(id_col).alias("b_id"),
+        F.col("_vec").alias("_bvec"),
+        F.col("_nrm").alias("_bnrm"),
+        "cluster",
+    )
+    score = _pair_cosine_kernel()
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("b_id") < F.col("a_id"))
+        .select(
+            "a_id",
+            score(
+                F.col("_avec"), F.col("_bvec"), F.col("_anrm"), F.col("_bnrm")
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        membr.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col, "cluster", F.col("_dropped").isNull().alias("is_kept")
+        )
+    )
