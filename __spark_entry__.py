@@ -1625,6 +1625,55 @@ def q_semdedup_prune(spark, sf_dir):
     return out.select(F.col("vec_id").cast("long"), "cluster", "is_kept")
 
 
+def q_top_sources_agg(spark, sf_dir):
+    """Ordered array/string aggregation: per language, the top-5
+    sources by document count joined into one comma-separated string
+    (count desc, source asc). Ordered collect is the one agg whose
+    result depends on row order — made deterministic by ranking first,
+    then collecting over an ordered window (Spark) / string_agg ORDER
+    BY (DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_docs").desc(), F.col("source").asc()
+    )
+    ranked = counts.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= 5
+    )
+    wagg = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ranked.withColumn(
+            "top_sources", F.concat_ws(",", F.collect_list("source").over(wagg))
+        )
+        .groupBy("lang", "top_sources")
+        .agg(
+            F.sum("n_docs").cast("long").alias("top5_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+    )
+
+
+def q_media_audio_energy(spark, sf_dir):
+    """Audio signal processing over real-decoded WAV payloads: 256-
+    sample framing + exact integer per-frame energy (Σ sample²). The
+    fixture's encode→decode round-trip lets the oracle compute the
+    same frames straight from the text codepoints."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        audio_frame_energy,
+        media_fixture_from_documents,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    media = media_fixture_from_documents(docs).where(F.col("kind") == "audio")
+    return audio_frame_energy(media, frame_size=256)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1703,6 +1752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_prune": q_semdedup_prune,
+    "top_sources_agg": q_top_sources_agg,
+    "media_audio_energy": q_media_audio_energy,
 }
 
 
@@ -2163,6 +2214,37 @@ _ORACLES: dict[str, str] = {
                    / CAST(count(*) OVER w AS DOUBLE) AS moving_avg_7d
         FROM daily
         WINDOW w AS (ORDER BY day_num ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "media_audio_energy": """
+        WITH chars AS (
+            SELECT doc_id, i,
+                   ((ascii(substr(text, i, 1)) * 131) % 65536 - 32768)::BIGINT
+                       AS s
+            FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
+            WHERE doc_id % 2 = 0
+        )
+        SELECT doc_id::BIGINT AS media_id,
+               CAST(floor((i - 1) / 256.0) AS BIGINT) AS frame_idx,
+               count(*)::BIGINT AS n_samples,
+               sum(s * s)::BIGINT AS energy
+        FROM chars
+        GROUP BY doc_id, CAST(floor((i - 1) / 256.0) AS BIGINT)
+    """,
+    "top_sources_agg": """
+        WITH counts AS (
+            SELECT lang, source, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang, source
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY n_docs DESC, source ASC) AS r
+            FROM counts
+        )
+        SELECT lang,
+               string_agg(source, ',' ORDER BY r ASC) AS top_sources,
+               sum(n_docs)::BIGINT AS top5_docs,
+               count(*)::BIGINT AS n_sources
+        FROM ranked WHERE r <= 5
+        GROUP BY lang
     """,
     "percent_rank_acctbal": """
         SELECT c_custkey::BIGINT AS c_custkey, c_mktsegment,

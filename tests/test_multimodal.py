@@ -241,3 +241,34 @@ def test_codec_properties():
     wav_roundtrip()
     ppm_roundtrip()
     y4m_roundtrip()
+
+
+def test_audio_frame_energy_exact(spark):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        audio_frame_energy,
+        encode_wav,
+    )
+
+    # 5 samples with frame_size=4: frame 0 = [3,-4,5,-6] -> 86, frame 1 = [7] -> 49
+    wav = encode_wav([3, -4, 5, -6, 7])
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not-a-wav")), (3, None)], schema
+    )
+    out = sorted(
+        (r.media_id, r.frame_idx, r.n_samples, r.energy)
+        for r in audio_frame_energy(df, frame_size=4).collect()
+    )
+    assert out == [(1, 0, 4, 86), (1, 1, 1, 49)]

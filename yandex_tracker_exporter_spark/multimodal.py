@@ -362,6 +362,70 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(kernel, DECODED_SCHEMA)
 
 
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame_size: int = 256) -> DataFrame:
+    """Audio feature extraction over real-decoded WAV payloads: fixed
+    ``frame_size``-sample framing + per-frame energy (exact int64
+    Σ sample² — the integer core of RMS/VAD front-ends, so the result
+    is engine-reproducible). Non-WAV / unparseable payloads are skipped
+    (quarantine posture); the trailing partial frame is kept with its
+    actual ``n_samples``. Map-only Arrow stage, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, counts, energies = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_wav(bytes(payload)) if payload is not None else None
+                except ValueError:
+                    d = None
+                if d is None:
+                    continue
+                samples = _wav_samples(bytes(payload))
+                sq = samples.astype(np.int64) ** 2
+                n = len(sq)
+                for f in range(0, max((n + frame_size - 1) // frame_size, 0)):
+                    chunk = sq[f * frame_size:(f + 1) * frame_size]
+                    ids.append(int(media_id))
+                    frames.append(f)
+                    counts.append(len(chunk))
+                    energies.append(int(chunk.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(frames, dtype="Int64"),
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    "energy": pd.array(energies, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, ENERGY_SCHEMA)
+
+
+def _wav_samples(payload: bytes) -> np.ndarray:
+    """int16 sample array of a PCM WAV (RIFF chunk walk, like
+    :func:`decode_wav` but returning the data instead of features)."""
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        return np.array([], dtype="<i2")
+    return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
