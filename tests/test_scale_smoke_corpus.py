@@ -118,3 +118,62 @@ def test_embedding_neardup_at_volume(spark):
     assert planted >= N_VECS * 0.98
     # precision is exact (threshold verify), so no quadratic output
     assert out.count() < N_VECS * 4
+
+
+def test_simhash_hamming_pairs_at_volume(spark, corpus):
+    """Exact copies sit at Hamming 0; the 4-band pigeonhole join must
+    recover every planted pair at volume, and 62-bit signatures keep
+    random-pair noise out (expected random distance ~31)."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    out = simhash_hamming_pairs(corpus, "text", "doc_id")
+    planted = out.where(
+        ((F.col("b_id") - F.col("a_id")) == N_DOCS) & (F.col("hamming") == 0)
+    ).count()
+    assert planted == N_PLANTED
+    # no quadratic noise: output stays within a small multiple of planted
+    assert out.count() < N_PLANTED * 10
+
+
+def test_kmeans_and_semdedup_at_volume(spark):
+    """Clustering family at 10k+10k vectors with a realistic k: the
+    cluster-confined prune must drop (almost) every perturbed copy and
+    never blow up into an all-pairs product."""
+    from yandex_tracker_exporter_spark.operators.clustering import (
+        kmeans_quantized,
+        semdedup_prune,
+    )
+
+    dims = F.sequence(F.lit(1), F.lit(64))
+    base = spark.range(N_VECS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            dims,
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id") * F.lit(977) + d), F.lit(2000))
+                - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0),
+        ).alias("embedding"),
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + N_VECS).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    both = base.unionAll(perturbed).repartition(32)
+
+    asg = kmeans_quantized(both, k=16, iters=2)
+    assert asg.count() == 2 * N_VECS
+    assert asg.select("cluster").distinct().count() <= 16
+
+    out = semdedup_prune(both, k=16, iters=2, threshold=0.9)
+    assert out.count() == 2 * N_VECS
+    dropped = out.where(~F.col("is_kept")).count()
+    # a perturbed copy survives only if clustering split it from its
+    # source (quantized codes differ in dim 1); allow a small tail
+    assert dropped >= N_VECS * 0.9
