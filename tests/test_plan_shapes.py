@@ -252,3 +252,52 @@ def test_no_accidental_single_partition_funnel(spark, name):
         assert n <= 1, name
     else:
         assert n == 0, name
+
+
+def test_shipping_priority_topk_and_broadcast_dim(spark):
+    """Q3 shape: top-10 must plan as TakeOrderedAndProject (per-partition
+    top-k + merge, never a global sort) and the filtered customer dim
+    must broadcast; the whole pipeline stays JVM-side."""
+    df = entry_mod.queries()["shipping_priority"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_regression_stats_single_aggregation_exchange(spark):
+    """The five moments partial-aggregate map-side: one hash Exchange
+    for the segment groupBy, customer broadcast onto orders, no
+    Python."""
+    df = entry_mod.queries()["regression_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_simhash_hamming_pairs_pure_jvm(spark):
+    """The 62-bit signature fold and the band join are pure expressions —
+    no Python stage anywhere in the pair pipeline."""
+    df = entry_mod.queries()["simhash_hamming_pairs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kmeans_assignment_pure_jvm_map(spark):
+    """The Lloyd assignment against literal centroids is a map-only JVM
+    expression: no Python stage, no join, no cartesian in the returned
+    plan (iteration sums run as separate driver-small jobs)."""
+    df = entry_mod.queries()["kmeans_clusters"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_media_audio_energy_two_arrow_stages(spark):
+    """Fixture synthesis + energy framing are exactly two Arrow
+    mapInPandas stages — no extra Python round-trips, no shuffle."""
+    df = entry_mod.queries()["media_audio_energy"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan
