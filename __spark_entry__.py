@@ -1674,6 +1674,44 @@ def q_media_audio_energy(spark, sf_dir):
     return audio_frame_energy(media, frame_size=256)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best dedup policy: near-dup clusters (MinHash+LSH →
+    connected components) collapse to their highest-quality member
+    (ties → smaller doc_id) instead of the smallest id — the dedup
+    rule real training-data pipelines use. One cluster_id shuffle
+    serves both the ranking and the member count."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        quality_score as _qscore,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    labels = duplicate_clusters(pairs, "a_id", "b_id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    qual = _qscore(docs, "text", "doc_id").select("doc_id", "quality")
+    membr = labels.join(qual, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("cluster_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = membr.select(
+        F.col("cluster_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        "quality",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_members"),
+    )
+    return ranked.where(F.col("_r") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("best_doc_id"),
+        "n_members",
+        F.col("quality").alias("best_quality"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1754,6 +1792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "top_sources_agg": q_top_sources_agg,
     "media_audio_energy": q_media_audio_energy,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 
@@ -2350,40 +2389,7 @@ _ORACLES: dict[str, str] = {
     # same candidate/threshold CTEs as minhash_lsh_pairs, then transitive
     # closure: component label = min doc_id over the reachable set, which
     # is exactly what the Spark min-label propagation converges to
-    "dedup_clusters": f"""
-        WITH RECURSIVE sigs AS (
-            SELECT doc_id, {_MINHASH_SIG} AS sig
-            FROM (SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents)
-        ), banded AS (
-            SELECT doc_id, sig, bi,
-                   md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
-                       || '_' || sig[4*bi + 3]::VARCHAR || '_'
-                       || sig[4*bi + 4]::VARCHAR) AS band_key
-            FROM sigs, unnest(range(0, 4)) AS t(bi)
-        ), cand AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-                            a.sig AS a_sig, b.sig AS b_sig
-            FROM banded a JOIN banded b
-              ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ), pairs AS (
-            SELECT a_id, b_id FROM cand
-            WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
-                   / 16.0) >= 0.5
-        ), edges AS (
-            SELECT a_id AS src, b_id AS dst FROM pairs
-            UNION
-            SELECT b_id AS src, a_id AS dst FROM pairs
-        ), walk AS (
-            SELECT DISTINCT src AS id, src AS reach FROM edges
-            UNION
-            SELECT w.id, e.dst AS reach
-            FROM walk w JOIN edges e ON e.src = w.reach
-        )
-        SELECT id::BIGINT AS doc_id,
-               min(reach)::BIGINT AS cluster_id,
-               (id = min(reach)) AS is_representative
-        FROM walk GROUP BY id
-    """,
+    "dedup_clusters": None,  # generated below (shared recursive-CC CTEs)
     # verification runs over DISTINCT shingle-HASH sets (same 31-bit
     # polynomial hash as the Spark kernel) — identical set arithmetic on
     # both engines, and long-array intersects instead of string intersects
@@ -3397,6 +3403,94 @@ def _build_semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.9) -> s
 _ORACLES["semdedup_prune"] = _build_semdedup_sql()
 
 
+def _dd_cluster_ctes() -> str:
+    """Shared recursive-CTE chain: MinHash+LSH pairs → undirected edges
+    → transitive closure (``walk``) — the DuckDB mirror of
+    operators.dedup.duplicate_clusters' min-label propagation. Used by
+    both the dedup_clusters and dedup_keep_best oracles."""
+    return f"""
+        WITH RECURSIVE sigs AS (
+            SELECT doc_id, {_MINHASH_SIG} AS sig
+            FROM (SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents)
+        ), banded AS (
+            SELECT doc_id, sig, bi,
+                   md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
+                       || '_' || sig[4*bi + 3]::VARCHAR || '_'
+                       || sig[4*bi + 4]::VARCHAR) AS band_key
+            FROM sigs, unnest(range(0, 4)) AS t(bi)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                            a.sig AS a_sig, b.sig AS b_sig
+            FROM banded a JOIN banded b
+              ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ), pairs AS (
+            SELECT a_id, b_id FROM cand
+            WHERE (len(list_filter(range(1, 17), i -> a_sig[i] = b_sig[i]))::DOUBLE
+                   / 16.0) >= 0.5
+        ), edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM pairs
+        ), walk AS (
+            SELECT DISTINCT src AS id, src AS reach FROM edges
+            UNION
+            SELECT w.id, e.dst AS reach
+            FROM walk w JOIN edges e ON e.src = w.reach
+        )"""
+
+
+_ORACLES["dedup_clusters"] = f"""
+    {_dd_cluster_ctes()}
+        SELECT id::BIGINT AS doc_id,
+               min(reach)::BIGINT AS cluster_id,
+               (id = min(reach)) AS is_representative
+        FROM walk GROUP BY id
+"""
+
+
+def _build_dedup_keep_best_sql() -> str:
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS) + "]"
+    return f"""
+    {_dd_cluster_ctes()}
+        , labels AS (
+            SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
+        ), qt AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   len(text)::BIGINT AS n_chars
+            FROM documents
+        ), qf AS (
+            SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+                   (n_chars - (len(toks) - 1))::DOUBLE / len(toks)::DOUBLE
+                       AS avg_token_len,
+                   len(list_filter(toks, x -> list_contains({stop_arr}, x)))::DOUBLE
+                       / len(toks)::DOUBLE AS stopword_ratio
+            FROM qt
+        ), qual AS (
+            SELECT doc_id,
+                   (least(1.0::DOUBLE, n_tokens::DOUBLE / 64.0) * 0.5
+                    + stopword_ratio * 0.25
+                    + least(1.0::DOUBLE, avg_token_len / 8.0) * 0.25) AS quality
+            FROM qf
+        ), membr AS (
+            SELECT l.id AS doc_id, l.cluster_id, q.quality
+            FROM labels l JOIN qual q ON q.doc_id = l.id
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id ASC) AS r,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_members
+            FROM membr
+        )
+        SELECT cluster_id::BIGINT AS cluster_id,
+               doc_id::BIGINT AS best_doc_id,
+               n_members::BIGINT AS n_members,
+               quality AS best_quality
+        FROM ranked WHERE r = 1
+    """
+
+
+_ORACLES["dedup_keep_best"] = _build_dedup_keep_best_sql()
 _ORACLES["kmeans_clusters"] = _build_kmeans_sql()
 _ORACLES["simhash_hamming_pairs"] = _build_simhash_hamming_sql()
 _ORACLES["lsh_multiband_topk"] = _build_lsh_multiband_topk_sql()
