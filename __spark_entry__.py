@@ -1712,6 +1712,21 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_dup_window_ratio(spark, sf_dir):
+    """Sub-document dedup signal: per doc, the fraction of its 16-token
+    windows that also occur in another document (windows travel as md5
+    keys, never text)."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        duplicated_window_ratio,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = duplicated_window_ratio(docs, "text", "doc_id", window_tokens=16)
+    return out.select(
+        F.col("doc_id").cast("long"), "n_windows", "n_dup_windows", "dup_ratio"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1793,6 +1808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_sources_agg": q_top_sources_agg,
     "media_audio_energy": q_media_audio_energy,
     "dedup_keep_best": q_dedup_keep_best,
+    "dup_window_ratio": q_dup_window_ratio,
 }
 
 
@@ -2606,6 +2622,30 @@ _ORACLES: dict[str, str] = {
                len(toks[i*24 + 1 : i*24 + 32])::BIGINT AS n_chunk_tokens,
                array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
         FROM c, unnest(range(0, n_chunks)) AS u(i)
+    """,
+    "dup_window_ratio": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   greatest(1, floor((len(toks) + 15) / 16))::INT AS n_w
+            FROM t
+        ), w AS (
+            SELECT doc_id,
+                   md5(array_to_string(toks[i*16 + 1 : i*16 + 16], ' ')) AS wh
+            FROM c, unnest(range(0, n_w)) AS u(i)
+        ), freq AS (
+            SELECT wh, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY wh
+        )
+        SELECT w.doc_id::BIGINT AS doc_id,
+               count(*)::BIGINT AS n_windows,
+               sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_windows,
+               sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*)::DOUBLE AS dup_ratio
+        FROM w JOIN freq USING (wh)
+        GROUP BY w.doc_id
     """,
     "pii_redact": None,  # generated below (shared regex constants)
     # eval-set decontamination: same polynomial shingle hashes on both

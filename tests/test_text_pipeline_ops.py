@@ -187,3 +187,23 @@ def test_stratified_sample_rejects_negative_rates(spark, documents_df):
         stratified_sample(documents_df, "lang", {"en": -0.5})
     with pytest.raises(ValueError):
         stratified_sample(documents_df, "lang", {}, default_rate=-1.0)
+
+
+def test_duplicated_window_ratio_planted_boilerplate(spark):
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        duplicated_window_ratio,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(16))  # one exact 16-token window
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(16))
+    rows = [
+        (1, boiler + " " + uniq(1)),   # windows: [boiler][uniq1] -> 1 of 2 dup
+        (2, boiler + " " + uniq(2)),   # same
+        (3, uniq(3)),                  # no dup windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+           for r in duplicated_window_ratio(df).collect()}
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (1, 0, 0.0)

@@ -182,6 +182,54 @@ def chunk_tokens(
     )
 
 
+def duplicated_window_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document exact dedup signal (Lee et al. 2022 "Deduplicating
+    Training Data" at window granularity): split every document into
+    non-overlapping ``window_tokens``-token windows, count how many
+    DISTINCT documents each window occurs in, and report per document
+    the fraction of its windows that are duplicated (appear in ≥ 2
+    docs) — the filter signal for boilerplate-heavy documents.
+
+    Scale shape: windows travel as 16-byte md5 keys, never as text —
+    explode (map-only) → partial-aggregable distinct-doc count per
+    window hash → hash-key join back → per-doc aggregate. Three
+    exchanges, all on hash/id keys; a collect_set-over-window variant
+    would hold one state entry per *occurrence* of a boilerplate window
+    (corpus-scale for a window present in every doc) and is the shape
+    to avoid.
+
+    Output: (id, n_windows, n_dup_windows, dup_ratio).
+    """
+    chunks = chunk_tokens(
+        df, text_col, id_col, chunk_size=window_tokens, overlap=0
+    ).select(id_col, F.md5(F.col("chunk_text")).alias("_wh"))
+    freq = chunks.groupBy("_wh").agg(
+        F.count_distinct(F.col(id_col)).alias("_ndocs")
+    )
+    flagged = chunks.join(freq, "_wh").select(
+        id_col, (F.col("_ndocs") >= 2).alias("_dup")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows").cast("double"),
+        )
+    )
+
+
 def pack_token_budget(
     df: DataFrame,
     text_col: str = "text",
