@@ -301,3 +301,13 @@ def test_media_audio_energy_two_arrow_stages(spark):
     plan = _plan(df)
     assert plan.count("MapInPandas") == 2
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dup_window_ratio_hash_keys_only(spark):
+    """Sub-document dedup: windows must travel as md5 keys (explode →
+    window-hash count → hash join back → doc aggregate — exactly three
+    hash exchanges), pure JVM end to end."""
+    df = entry_mod.queries()["dup_window_ratio"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
