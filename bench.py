@@ -95,24 +95,37 @@ def main() -> None:
         _warm("id")
     ).count()
 
+    # Best-of-N with PASS-INTERLEAVED runs: the N samples of one query
+    # are taken in N separate full-suite passes, minutes apart, instead
+    # of back-to-back. Back-to-back sampling put all of a query's
+    # samples inside the SAME external-load wave (this box's outside
+    # load oscillates with a ~5 min period, shorter than a pass), so a
+    # wave inflated every sample of whichever queries it overlapped —
+    # observed as 2-3 random "regressions" per artifact, different
+    # queries each run, all re-measuring fine solo. Interleaving means a
+    # wave must span ALL N passes to survive the min().
     timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        best, rows = None, 0
-        for _ in range(runs):  # best-of-N: steady-state, not JIT/GC noise
+    for pass_idx in range(runs):  # best-of-N: steady-state, not JIT/GC noise
+        for name, fn in entry_mod.queries().items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()  # full execution; count avoids driver transfer skew
             elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
-        # isolation between queries: drop cached relations and collect
-        # garbage so one query's leftovers (cache entries, broadcast
-        # blocks, codegen classes) don't turn into GC pauses billed to
-        # the NEXT query (measured: multi-second spikes on trivial
-        # queries late in the run without this)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            if pass_idx == runs - 1:
+                print(
+                    f"# {name}: {timings[name]:.3f}s ({rows} rows)",
+                    file=sys.stderr,
+                )
+            # isolation between queries: drop cached relations and collect
+            # garbage so one query's leftovers (cache entries, broadcast
+            # blocks, codegen classes) don't turn into GC pauses billed to
+            # the NEXT query (measured: multi-second spikes on trivial
+            # queries late in the run without this)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     out = {
