@@ -6,8 +6,9 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 Timing counts full execution of each query (count() on the executors)
 after a warm-up pass of the session AND of the Python UDF workers (the
 first pandas-UDF query otherwise pays ~5 s of worker spin-up that is not
-the query's cost). Best-of-N per query (N = $SPARK_GRAFT_BENCH_RUNS,
-default 2).
+the query's cost). Per query: two minutes-apart sweeps, each an
+un-timed codegen-warming run followed by best-of-($SPARK_GRAFT_BENCH_RUNS
+- 1) timed runs (see the sampling-scheme comment in main()).
 
 Hygiene: leftover JVMs from earlier experiments inflate timings 2-4× —
 the harness detects other live java processes at startup, warns on
@@ -95,25 +96,34 @@ def main() -> None:
         _warm("id")
     ).count()
 
-    # Best-of-N with PASS-INTERLEAVED runs: the N samples of one query
-    # are taken in N separate full-suite passes, minutes apart, instead
-    # of back-to-back. Back-to-back sampling put all of a query's
-    # samples inside the SAME external-load wave (this box's outside
-    # load oscillates with a ~5 min period, shorter than a pass), so a
-    # wave inflated every sample of whichever queries it overlapped —
-    # observed as 2-3 random "regressions" per artifact, different
-    # queries each run, all re-measuring fine solo. Interleaving means a
-    # wave must span ALL N passes to survive the min().
+    # Sampling scheme: TWO full-suite sweeps, each taking the min of
+    # `runs - 1` back-to-back executions (plus one un-timed warm run at
+    # the head of each group — generated-code JIT state does NOT
+    # survive a full sweep, because Spark's codegen cache is bounded
+    # and 80+ distinct plans evict it, so the first execution in any
+    # sweep is 2-3× cold).  Why two sweeps: this box's OUTSIDE load
+    # oscillates with a ~5 min period (shorter than a sweep), and with
+    # a single consecutive group every sample of a query can sit in the
+    # same wave — observed as 2-5 random per-query "regressions" per
+    # artifact, different queries each run, all re-measuring fine solo.
+    # Minutes-apart sweeps make a wave survive the min() only if it
+    # spans both.  A pure pass-interleaved scheme (one execution per
+    # pass) was tried and REJECTED: it re-pays the codegen-cold first
+    # run in every pass and inflated JIT-heavy queries 2-3×.
     timings: dict[str, float] = {}
-    for pass_idx in range(runs):  # best-of-N: steady-state, not JIT/GC noise
+    per_pass = max(1, runs - 1)
+    for pass_idx in range(2):
         for name, fn in entry_mod.queries().items():
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            rows = df.count()  # full execution; count avoids driver transfer skew
-            elapsed = time.perf_counter() - start
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
-            if pass_idx == runs - 1:
+            rows = 0
+            fn(spark, sf_dir).count()  # un-timed: warm codegen/JIT
+            for _ in range(per_pass):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                rows = df.count()  # full execution; count avoids driver skew
+                elapsed = time.perf_counter() - start
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = elapsed
+            if pass_idx == 1:
                 print(
                     f"# {name}: {timings[name]:.3f}s ({rows} rows)",
                     file=sys.stderr,

@@ -276,12 +276,16 @@ def test_regression_stats_single_aggregation_exchange(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_simhash_hamming_pairs_pure_jvm(spark):
-    """The 62-bit signature fold and the band join are pure expressions —
-    no Python stage anywhere in the pair pipeline."""
+def test_simhash_hamming_pairs_join_side_pure_jvm(spark):
+    """Everything downstream of the signature barrier — band explode,
+    band equi-join, xor/bit_count verify, pair distinct — is pure JVM.
+    (The 62-bit signature stage itself is the Arrow kernel, computed
+    once behind the localCheckpoint that shows as the ExistingRDD
+    scan; the tested-equal expression fold is the fallback.)"""
     df = entry_mod.queries()["simhash_hamming_pairs"](spark, SF_DIR)
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # the signature barrier
 
 
 def test_kmeans_assignment_pure_jvm_map(spark):

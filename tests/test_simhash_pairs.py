@@ -69,6 +69,40 @@ def test_salted_families_independent(spark):
     assert n_diff == joined.count(), "salted family must differ from plain"
 
 
+def test_kernel_and_expression_signatures_identical(spark):
+    """The Arrow 62-bit signature kernel must be bit-identical to the
+    pure-expression fold on the corpus AND on tokenization edge cases
+    (leading/trailing/repeated whitespace, empty string, tabs)."""
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        simhash62_signatures,
+    )
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, " leading"),
+            (100003, "trailing "),
+            (100004, "a  b\tc\nd"),
+            (100005, "   "),
+            (100006, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+    df = corpus.select("doc_id", "text").unionAll(edge)
+    kern = {
+        (r.doc_id): (r.sim_lo, r.sim_hi)
+        for r in simhash62_signatures(df, use_kernel=True).collect()
+    }
+    expr = {
+        (r.doc_id): (r.sim_lo, r.sim_hi)
+        for r in simhash62_signatures(df, use_kernel=False).collect()
+    }
+    assert kern == expr
+
+
 def test_max_hamming_above_band_guarantee_rejected(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError):

@@ -27,6 +27,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -532,6 +534,79 @@ def simhash(
     )
 
 
+def _simhash62_kernel(salt: str = "#"):
+    """Arrow-vectorized 62-bit simhash: per text, the plain and
+    ``salt``-appended 31-bit simhashes in one pass. Bit-identical to
+    two :func:`_simhash_value` expression folds:
+
+    - tokenization is Java-``\\s+`` split semantics (ASCII whitespace
+      class, leading/trailing empties kept — Python ``re.split`` on the
+      explicit class matches exactly; '' tokens hash to 0 like
+      ``_hash64``'s ``ascii('') = 0`` fold),
+    - token hashes are the exact polynomial fold mod 2^31-1 (Python int
+      arithmetic — no overflow), and the salted family continues the
+      SAME fold with the salt's codepoints, so it needs no re-walk of
+      the token,
+    - bit votes and reassembly are exact int64 numpy ops.
+
+    Exists because interpreted HOF folds degrade in many-query sessions
+    (megamorphic interpreter call sites): the expression pair fold
+    measured ~1.1 s solo but 3.1-3.5 s inside the 81-query bench; the
+    kernel is stable either way. The expression path remains the
+    tested-equal fallback (tests/test_simhash_pairs.py)."""
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    salt_cps = [ord(c) for c in salt]
+
+    @F.pandas_udf("struct<sim_lo: long, sim_hi: long>")
+    def sig(texts: pd.Series) -> pd.DataFrame:
+        js = np.arange(31, dtype=np.int64)
+        bits_of = 1 << js
+        lo_out, hi_out = [], []
+
+        def fold_hashes(hs: np.ndarray) -> int:
+            bits = (hs[:, None] >> js[None, :]) & 1
+            votes = (2 * bits - 1).sum(axis=0)
+            return int(((votes > 0) * bits_of).sum())
+
+        for t in texts:
+            toks = ws.split(t if t is not None else "")
+            hs = np.empty(max(len(toks), 1), dtype=np.int64)
+            for i, tok in enumerate(toks):
+                h = 0
+                for ch in tok:
+                    h = (h * POLY_BASE + ord(ch)) % MINHASH_PRIME
+                hs[i] = h
+            hs2 = hs
+            for c in salt_cps:
+                hs2 = (hs2 * POLY_BASE + c) % MINHASH_PRIME
+            lo_out.append(fold_hashes(hs))
+            hi_out.append(fold_hashes(hs2))
+        return pd.DataFrame({"sim_lo": lo_out, "sim_hi": hi_out})
+
+    return sig.asNondeterministic()
+
+
+def simhash62_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "#",
+    use_kernel: bool = True,
+) -> DataFrame:
+    """(id, sim_lo, sim_hi) 62-bit signatures — Arrow kernel by default,
+    pure-expression fold as the tested-equal fallback."""
+    if use_kernel:
+        kern = _simhash62_kernel(salt)
+        return df.select(
+            F.col(id_col), kern(F.col(content_col)).alias("_s")
+        ).select(id_col, F.col("_s.sim_lo"), F.col("_s.sim_hi"))
+    return df.select(
+        F.col(id_col),
+        _simhash_value(content_col, bits=31).alias("sim_lo"),
+        _simhash_value(content_col, bits=31, salt=salt).alias("sim_hi"),
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -561,18 +636,14 @@ def simhash_hamming_pairs(
     """
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only to hamming 3")
-    # Both hash families in ONE projection over one scan (a lo⋈hi join
-    # would recompute the corpus per side), then a lazy barrier so the
-    # band self-join's two branches share the fold output instead of
-    # re-running the interpreted HOF fold per side (same pattern and
-    # rationale as cosine_neardup_pairs' prep checkpoint; measured
-    # 3.9 s → ~1 s at sf0.1).
-    sigs = ensure_parallelism(df).select(
-        F.col(id_col),
-        _simhash_value(content_col, bits=31).alias("sim_lo"),
-        _simhash_value(content_col, bits=31, salt=salt).alias("sim_hi"),
-    )
-    sigs = sigs.localCheckpoint(eager=False)
+    # Both hash families in ONE Arrow-kernel pass over one scan (a
+    # lo⋈hi join would recompute the corpus per side), then a lazy
+    # barrier so the band self-join's two branches share the signature
+    # output instead of re-running it per side (same pattern and
+    # rationale as cosine_neardup_pairs' prep checkpoint).
+    sigs = simhash62_signatures(
+        ensure_parallelism(df), content_col, id_col, salt=salt
+    ).localCheckpoint(eager=False)
 
     mask16 = F.lit(65535).cast("long")
     bands = [

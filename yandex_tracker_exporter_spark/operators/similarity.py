@@ -176,23 +176,22 @@ def lsh_bucket_topk(
             )
         )
     else:
+        # Band keys come from the Arrow prep kernel (bit-identical to
+        # multiband_projections + band_key_from_projections — see the
+        # kernel's exactness argument). The expression fold is correct
+        # but interpreted, and in a many-query session the expression
+        # interpreter's call sites go megamorphic: measured 2.4 s solo
+        # → 4.8 s inside the 81-query bench for the 8×4 family, vs a
+        # stable ~1 s with the kernel. This is the PRE-JOIN map stage
+        # (corpus → buckets → equi-join) — unlike the scorer-in-join
+        # experiment NOTES records as a regression, nothing here forces
+        # joined rows through Python.
+        prep = _neardup_prep_kernel(num_planes, num_bands, dim)
 
         def banded(df: DataFrame, out_id: str) -> DataFrame:
-            proj = multiband_projections(
-                F.col(vec_col), num_planes, num_bands, dim
-            )
-            with_proj = df.select(
-                F.col(id_col).alias(out_id), proj.alias("_proj")
-            )
-            keys = F.array(
-                *[
-                    band_key_from_projections(F.col("_proj"), b, num_planes)
-                    for b in range(num_bands)
-                ]
-            )
-            return with_proj.select(
-                out_id, F.posexplode(keys).alias("band", "bucket")
-            )
+            return df.select(
+                F.col(id_col).alias(out_id), prep(F.col(vec_col)).alias("_p")
+            ).select(out_id, F.posexplode("_p.buckets").alias("band", "bucket"))
 
         cand = (
             banded(corpus, "neighbor_id")
