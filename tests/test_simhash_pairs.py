@@ -80,6 +80,8 @@ def test_kernel_and_expression_signatures_identical(spark):
     )
 
     corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     edge = spark.createDataFrame(
         [
             (100001, ""),
@@ -88,8 +90,14 @@ def test_kernel_and_expression_signatures_identical(spark):
             (100004, "a  b\tc\nd"),
             (100005, "   "),
             (100006, "one"),
+            (100007, None),  # NULL text -> NULL signature on both paths
         ],
-        ["doc_id", "text"],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
     )
     df = corpus.select("doc_id", "text").unionAll(edge)
     kern = {

@@ -569,7 +569,11 @@ def _simhash62_kernel(salt: str = "#"):
             return int(((votes > 0) * bits_of).sum())
 
         for t in texts:
-            toks = ws.split(t if t is not None else "")
+            if t is None:  # expression fold yields NULL on NULL input
+                lo_out.append(None)
+                hi_out.append(None)
+                continue
+            toks = ws.split(t)
             hs = np.empty(max(len(toks), 1), dtype=np.int64)
             for i, tok in enumerate(toks):
                 h = 0
@@ -581,7 +585,12 @@ def _simhash62_kernel(salt: str = "#"):
                 hs2 = (hs2 * POLY_BASE + c) % MINHASH_PRIME
             lo_out.append(fold_hashes(hs))
             hi_out.append(fold_hashes(hs2))
-        return pd.DataFrame({"sim_lo": lo_out, "sim_hi": hi_out})
+        return pd.DataFrame(
+            {
+                "sim_lo": pd.array(lo_out, dtype="Int64"),
+                "sim_hi": pd.array(hi_out, dtype="Int64"),
+            }
+        )
 
     return sig.asNondeterministic()
 
