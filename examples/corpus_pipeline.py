@@ -1,8 +1,9 @@
 """End-to-end training-data corpus pipeline (the beyond-reference
 operator set in one run): quality gate → language ID → PII scrub →
-eval-set decontamination → context-window chunking → exact dedup →
-MinHash-LSH near-dup pairs → duplicate-cluster collapse → token-budget
-packing → embedding near-dup pairs.
+eval-set decontamination → context-window chunking → exact / simhash /
+window-level dedup → MinHash-LSH near-dup pairs → duplicate-cluster
+collapse → token-budget packing → embedding near-dup pairs → SemDeDup
+(k-means + within-cluster prune).
 
 Run: ``python examples/corpus_pipeline.py [sf_dir]`` (default
 ``/root/testdata/sf0.001``). Every stage is a lazy DataFrame transform;
@@ -18,10 +19,15 @@ from pyspark.sql import functions as F
 
 from yandex_tracker_exporter_spark import get_spark
 from yandex_tracker_exporter_spark.operators.decontaminate import decontaminate
+from yandex_tracker_exporter_spark.operators.clustering import semdedup_prune
 from yandex_tracker_exporter_spark.operators.dedup import (
     canonical_representatives,
     exact_dedup,
     minhash_lsh_duplicates,
+    simhash_hamming_pairs,
+)
+from yandex_tracker_exporter_spark.operators.text_analysis import (
+    duplicated_window_ratio,
 )
 from yandex_tracker_exporter_spark.operators.similarity import cosine_neardup_pairs
 from yandex_tracker_exporter_spark.operators.text_analysis import (
@@ -83,6 +89,8 @@ def main(sf_dir: str) -> None:
     # guaranteed to exist in the corpus being collapsed)
     exact = exact_dedup(decontaminated, "text", "doc_id")
     near = minhash_lsh_duplicates(decontaminated, "text", "doc_id", threshold=0.5)
+    sim_pairs = simhash_hamming_pairs(decontaminated, "text", "doc_id")
+    win_dup = duplicated_window_ratio(decontaminated, "text", "doc_id")
     reencoded = emb.select(
         (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
         F.concat(
@@ -96,6 +104,9 @@ def main(sf_dir: str) -> None:
     emb_near = cosine_neardup_pairs(
         base.unionAll(reencoded), threshold=0.9, num_planes=8, num_bands=4
     )
+    # SemDeDup on the same planted corpus: cluster, then prune semantic
+    # duplicates inside each cluster (pairwise work stays cluster-local)
+    sem = semdedup_prune(base.unionAll(reencoded), k=8, iters=2, threshold=0.9)
 
     # 5. collapse near-dup clusters to their canonical representative,
     # then rebalance the language mixture (deterministic hash-based
@@ -121,7 +132,11 @@ def main(sf_dir: str) -> None:
     print("chunks:", chunks.count())
     print("distinct contents:", exact.count(),
           "| text near-dup pairs:", near.count(),
-          "| embedding near-dup pairs:", emb_near.count())
+          "| simhash pairs (hamming<=3):", sim_pairs.count(),
+          "| docs with duplicated 16-token windows:",
+          win_dup.where(F.col("n_dup_windows") > 0).count(),
+          "| embedding near-dup pairs:", emb_near.count(),
+          "| semdedup drops:", sem.where(~F.col("is_kept")).count())
     print("after cluster collapse:", deduped.count(),
           "→ after mixture resampling:", mixed.count(),
           "docs in", packed.agg(F.count_distinct("shard", "bin_idx")).collect()[0][0],
