@@ -53,12 +53,13 @@ def _other_jvms() -> list[int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # best-of-3 by default: this box has an external load oscillation
-    # with a period SHORTER than a full bench pass, so with 2 runs a
-    # query can catch a wave in both samples; 3 samples per query make
-    # a quiet measurement overwhelmingly likely (stamped loadavg tells
-    # the rest of the story)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # runs=N means each of the two sweeps times N-1 executions after an
+    # un-timed warming run (see the sampling-scheme comment below), so
+    # the default 2 costs 4 executions per query — ~9-10 min wall for
+    # the 81-query contract at sf0.1, the same budget as the earlier
+    # back-to-back best-of-3. Raise to 3 for tighter minima when wall
+    # time is not a concern.
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     # contention guard BEFORE our own JVM exists
