@@ -130,3 +130,62 @@ def test_global_row_number_matches_sorted_enumerate(spark):
             )
         }
         assert got == want, f"bucket width {width}"
+
+
+def test_duplicated_window_ratio_matches_python_replica(spark):
+    import math
+    from collections import defaultdict
+
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        duplicated_window_ratio,
+    )
+
+    docs = _random_docs(n=80, seed=11)
+    docs += [(1000 + i, docs[i][1]) for i in range(10)]  # verbatim copies
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+        for r in duplicated_window_ratio(df, window_tokens=16).collect()
+    }
+    win_docs = defaultdict(set)
+    windows = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        n_w = max(1, math.ceil(len(toks) / 16))
+        wlist = [" ".join(toks[i * 16:(i + 1) * 16]) for i in range(n_w)]
+        windows[doc_id] = wlist
+        for w in wlist:
+            win_docs[w].add(doc_id)
+    for doc_id, wlist in windows.items():
+        ndup = sum(1 for w in wlist if len(win_docs[w]) >= 2)
+        assert got[doc_id] == (len(wlist), ndup, ndup / len(wlist)), doc_id
+    # every window of a verbatim copy is duplicated by construction
+    for i in range(10):
+        n_w, ndup, ratio = got[1000 + i]
+        assert ndup == n_w and ratio == 1.0
+
+
+def test_audio_frame_energy_matches_python_replica(spark):
+    from collections import defaultdict
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        audio_frame_energy,
+        encode_wav,
+    )
+
+    rng = random.Random(3)
+    rows, expected = [], {}
+    for i in range(20):
+        n = rng.randint(0, 700)
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        rows.append((i, bytearray(encode_wav(samples))))
+        frames = [samples[f * 256:(f + 1) * 256] for f in range((n + 255) // 256)]
+        expected[i] = [
+            (fi, len(fr), sum(x * x for x in fr)) for fi, fr in enumerate(frames)
+        ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = defaultdict(list)
+    for r in audio_frame_energy(df, frame_size=256).collect():
+        got[r.media_id].append((r.frame_idx, r.n_samples, r.energy))
+    for i, exp in expected.items():
+        assert sorted(got[i]) == exp, i
