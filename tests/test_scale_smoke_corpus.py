@@ -177,3 +177,19 @@ def test_kmeans_and_semdedup_at_volume(spark):
     # a perturbed copy survives only if clustering split it from its
     # source (quantized codes differ in dim 1); allow a small tail
     assert dropped >= N_VECS * 0.9
+
+
+def test_duplicated_window_ratio_at_volume(spark, corpus):
+    """Sub-document window dedup at 30k docs: every planted verbatim
+    copy must report all windows duplicated, and output stays one row
+    per document (no hash-join fan-out)."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        duplicated_window_ratio,
+    )
+
+    out = duplicated_window_ratio(corpus, "text", "doc_id", window_tokens=16)
+    assert out.count() == N_DOCS + N_PLANTED
+    fully_dup = out.where(
+        (F.col("doc_id") >= N_DOCS) & (F.col("dup_ratio") == 1.0)
+    ).count()
+    assert fully_dup == N_PLANTED
