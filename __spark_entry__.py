@@ -1727,6 +1727,71 @@ def q_dup_window_ratio(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Fixed-state distinct-count sketch: 64-register HyperLogLog over
+    the portable polynomial hash, pure-integer register math so DuckDB
+    reproduces the estimate bit-for-bit. The distinct-count path that
+    partial-aggregates map-side and survives unbounded cardinality at
+    100 TB (exact distinct shuffles every distinct value; this shuffles
+    ≤ 64 rows per group). Exact count joined in for the error column."""
+    from yandex_tracker_exporter_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], out_col="est_users")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "est_users",
+        "exact_users",
+        F.abs(F.col("est_users") - F.col("exact_users")).alias("abs_err"),
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by stable key hash (portable
+    polynomial, 90/5/5): membership is a pure function of doc_id — no
+    RNG state, no drift on incremental refresh, same rows on every
+    engine. Map-only assignment + a 3-key partial-aggregable summary."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+def q_length_buckets(spark, sf_dir):
+    """Power-of-two sequence-length bucketing with exact integer
+    padding-waste accounting — the batching-efficiency signal for a
+    training pipeline. One shuffle on ~10 bucket keys, map-side
+    combine collapses each split to one row per bucket first."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import length_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_buckets(docs)
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label element-wise centroid over int8-quantized codes:
+    exact int64 running sums + one integer floor division per
+    (label, dim) — bit-identical in any engine, quarter the shuffle
+    bytes of float vectors. Class prototypes for drift monitoring /
+    nearest-class-mean classification."""
+    from yandex_tracker_exporter_spark.operators.clustering import label_centroids
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1809,6 +1874,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_energy": q_media_audio_energy,
     "dedup_keep_best": q_dedup_keep_best,
     "dup_window_ratio": q_dup_window_ratio,
+    "hll_distinct": q_hll_distinct,
+    "split_assign": q_split_assign,
+    "length_buckets": q_length_buckets,
+    "label_centroids": q_label_centroids,
 }
 
 
@@ -3536,6 +3605,120 @@ _ORACLES["simhash_hamming_pairs"] = _build_simhash_hamming_sql()
 _ORACLES["lsh_multiband_topk"] = _build_lsh_multiband_topk_sql()
 _ORACLES["ivf_topk"] = _build_ivf_topk_sql()
 _ORACLES["corpus_clean"] = _build_corpus_clean_sql()
+
+
+def _build_hll_distinct_sql() -> str:
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SALT,
+        hll_numerator_literal,
+    )
+
+    scale = 1 << HLL_RHO_MAX
+    return f"""
+    WITH h0 AS (
+        SELECT event_type,
+               ({_dd_hash(f"user_id::VARCHAR || '{HLL_SALT}'")}) AS h0
+        FROM events
+    ), h AS (
+        SELECT event_type, (h0 * h0 + h0) % 2147483647 AS h FROM h0
+    ), r AS (
+        SELECT event_type,
+               h % {HLL_M} AS reg,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
+               END AS rho
+        FROM h
+    ), m AS (
+        SELECT event_type, reg, max(rho) AS m_reg
+        FROM r GROUP BY event_type, reg
+    ), s AS (
+        SELECT event_type,
+               sum(1::BIGINT << ({HLL_RHO_MAX} - m_reg))::BIGINT
+                   + ({HLL_M} - count(*)) * {scale}::BIGINT AS s_total
+        FROM m GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               CAST(floor({hll_numerator_literal()} / s_total::DOUBLE)
+                    AS BIGINT) AS est_users
+        FROM s
+    ), exact AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est_users, exact_users,
+           abs(est_users - exact_users)::BIGINT AS abs_err
+    FROM est JOIN exact USING (event_type)
+    """
+
+
+_ORACLES["hll_distinct"] = _build_hll_distinct_sql()
+
+_ORACLES["split_assign"] = f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               ({_dd_hash("'split:' || doc_id::VARCHAR")}) % 100 AS b
+        FROM documents
+    )
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           min(doc_id)::BIGINT AS min_doc_id,
+           max(doc_id)::BIGINT AS max_doc_id
+    FROM s GROUP BY split
+"""
+
+_ORACLES["length_buckets"] = """
+    WITH t AS (
+        SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                   AS toks
+        FROM documents
+    ), b AS (
+        SELECT toks,
+               CASE WHEN toks = 0 THEN 0
+                    ELSE length(bin(toks)) END AS bucket
+        FROM t
+    )
+    SELECT bucket::BIGINT AS bucket,
+           ((1::BIGINT << bucket) - 1)::BIGINT AS ceiling,
+           count(*)::BIGINT AS n_docs,
+           sum(toks)::BIGINT AS sum_tokens,
+           sum((1::BIGINT << bucket) - 1 - toks)::BIGINT AS pad_waste
+    FROM b GROUP BY bucket
+"""
+
+_ORACLES["label_centroids"] = """
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS emb,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   AS max_abs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, label, emb,
+               CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
+                    ELSE 0.0 END AS scale
+        FROM v
+    ), q AS (
+        SELECT label::BIGINT AS label,
+               (i - 1)::BIGINT AS dim,
+               floor(emb[i] * scale + 0.5)::BIGINT AS code
+        FROM s, unnest(range(1, len(emb) + 1)) AS t(i)
+    ), agg AS (
+        SELECT label, dim,
+               count(*)::BIGINT AS n_vecs,
+               sum(code)::BIGINT AS code_sum
+        FROM q GROUP BY label, dim
+    )
+    SELECT label, dim, n_vecs, code_sum,
+           ((code_sum * 1000
+             - (((code_sum * 1000) % n_vecs) + n_vecs) % n_vecs)
+            / n_vecs)::BIGINT AS centroid_milli
+    FROM agg
+"""
 
 
 def oracle_sql() -> dict[str, str]:

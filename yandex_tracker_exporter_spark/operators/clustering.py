@@ -191,3 +191,52 @@ def semdedup_prune(
             id_col, "cluster", F.col("_dropped").isNull().alias("is_kept")
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label element-wise centroid over int8-quantized codes — the
+    class-prototype computation behind semantic drift monitoring, IVF
+    coarse-codebook seeding, and nearest-class-mean classification.
+
+    Runs on the int8 codes (``quantize_embeddings``), not the raw
+    floats, for two reasons that matter at 100 TB: the shuffle moves a
+    quarter of the bytes, and the per-dimension running sums are exact
+    int64 — the centroid is then ONE floor division per (label, dim),
+    reproducible bit-for-bit on any engine (float mean ordering never
+    enters the picture).
+
+    Shape: posexplode to (label, dim, code) narrow rows, then a single
+    partial-aggregable shuffle on (label, dim) — labels × dims keys
+    (tiny), map-side combine collapses each split first.
+
+    Output: label, dim, n_vecs, code_sum, centroid_milli where
+    centroid_milli = floor(1000 * code_sum / n_vecs) as exact integer
+    floor division (sign-correct for negative sums).
+    """
+    q = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+    base = df.select(F.col(id_col), F.col(label_col).cast("long").alias("label"))
+    coded = q.join(base, id_col)
+    exploded = coded.select(
+        "label", F.posexplode("qvec").alias("dim", "_code")
+    )
+    agg = exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("_code").cast("long")).alias("code_sum"),
+    )
+    # exact floor division a // b for b > 0:
+    # (a - ((a % b) + b) % b) / b — Spark and DuckDB share trunc-%
+    a = F.col("code_sum") * 1000
+    b = F.col("n_vecs")
+    fdiv = ((a - ((a % b) + b) % b) / b).cast("long")
+    return agg.select(
+        "label",
+        F.col("dim").cast("long"),
+        "n_vecs",
+        "code_sum",
+        fdiv.alias("centroid_milli"),
+    )

@@ -1,0 +1,139 @@
+"""Fixed-state distinct-count sketches (HyperLogLog).
+
+At 100 TB an exact ``COUNT(DISTINCT user_id)`` per group shuffles every
+distinct value; a HyperLogLog register table is a fixed 64-slot state per
+group that partial-aggregates map-side (same scaling argument as the
+histogram-sketch percentiles in ``operators/grouped.py``). Spark's
+built-in ``approx_count_distinct`` IS this sketch, but its hash and
+register layout are JVM-private, so its output cannot be cross-checked
+against another engine. This implementation uses the repo's portable
+31-bit polynomial hash so DuckDB reproduces the registers — and the
+estimate — bit for bit.
+
+Layout (p = 6, m = 64 registers):
+
+- ``h``   = poly-hash(value) in [0, 2^31-2]
+- ``reg`` = h % 64           (register index)
+- ``w``   = h // 64          (25 payload bits)
+- ``rho`` = leading zeros of w within 25 bits, plus 1 → [1, 26]
+
+Register state is ``max(rho)`` per (group, reg) — associative and
+commutative, so Catalyst's partial aggregation halves the shuffle. The
+harmonic mean is computed in EXACT integer arithmetic: with rho ≤ 26,
+``2^-M_j`` scaled by 2^26 is the integer ``1 << (26 - M_j)`` and the sum
+over 64 registers fits comfortably in an int64 (≤ 2^32). Only the final
+``alpha_64 * m^2 * 2^26 / S`` is a double — a single correctly-rounded
+division, identical in any IEEE-754 engine.
+
+The standard small-range linear-counting correction (``m * ln(m/V)``) is
+deliberately OMITTED: Java's ``Math.log`` and C libm may disagree in the
+last ulp, which would break bit-identical cross-engine verification.
+Below ~2.5·m distinct values the raw estimator therefore carries its
+known positive bias; the accuracy floor for that regime is pinned by a
+pytest, not hidden.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.operators.dedup import _hash64
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+#: payload bits after the register index: hash < 2^31 → 31 - 6 = 25
+HLL_PAYLOAD_BITS = 31 - HLL_P
+#: rho range is [1, PAYLOAD_BITS + 1]; the 2^-rho sum is scaled by
+#: 2^(PAYLOAD_BITS + 1) so every term is an exact integer.
+HLL_RHO_MAX = HLL_PAYLOAD_BITS + 1
+#: alpha_m * m^2 * 2^(rho_max) for m = 64 — computed once in Python so
+#: both engines parse the SAME double literal (see hll_numerator_literal).
+HLL_ALPHA_64 = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA_64 * (HLL_M * HLL_M) * float(1 << HLL_RHO_MAX)
+
+
+def hll_numerator_literal() -> str:
+    """The exact decimal text of the estimator numerator, for embedding
+    into oracle SQL so DuckDB parses the identical double."""
+    return repr(HLL_NUMERATOR)
+
+
+#: appended to every key before hashing: the polynomial fold only fills
+#: the upper hash bits once the folded value has wrapped the 2^31-1
+#: modulus a few times (131^5 > 2^31), so a SHORT key ("42") hashes to a
+#: small integer whose leading-zero count is structurally large — which
+#: inflates rho and wrecks the estimator (measured: 1500 sequential ids
+#: estimated as ~560k without the salt). The suffix guarantees ≥ 5 fold
+#: steps past the modulus for any key.
+HLL_SALT = ":hll"
+
+
+def _mixed_hash(col: Column, salt: str) -> Column:
+    """Salted polynomial hash + one square-mod mixing step.
+
+    The plain fold is linear in the last few characters, so sequential
+    keys produce correlated low bits (measured +20% estimator bias on
+    sequential ids even with the salt). ``h' = (h² + h) mod (2^31-1)``
+    avalanches the upper bits; h² < 2^62 stays exact in int64 on any
+    engine. Measured accuracy with this mix: within 2-7% of exact for
+    n in [1.5k, 100k] at m = 64."""
+    h = _hash64(F.concat(col, F.lit(salt)))
+    return (h * h + h) % F.lit(2147483647)
+
+
+def _rho(w: Column) -> Column:
+    """Position of the first set bit of the 25-bit payload, 1-based from
+    the MSB; all-zero payload → 26. ``length(bin(w))`` is the bit length
+    (no leading zeros) in both Spark and DuckDB."""
+    return (
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(w)))
+        .cast("int")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Approximate distinct ``value_col`` per group via a 64-register HLL.
+
+    Two shuffles, both on bounded keys: (group, reg) with ≤ 64 regs per
+    group, then group. Both aggregations are max/sum — fully
+    partial-aggregable, so the map side collapses each input split to at
+    most 64 rows per group before any exchange. State per group is fixed
+    (64 × 1 byte of information) regardless of input cardinality — the
+    property that makes this the distinct-count path that survives
+    unbounded groups at 100 TB.
+    """
+    groups = [F.col(c) for c in group_cols]
+    h = _mixed_hash(F.col(value_col).cast("string"), HLL_SALT)
+    base = df.select(*groups, h.alias("_h"))
+    regs = (
+        base.select(
+            *group_cols,
+            (F.col("_h") % HLL_M).cast("int").alias("_reg"),
+            _rho(F.shiftright(F.col("_h"), HLL_P)).alias("_rho"),
+        )
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_m_reg"))
+    )
+    # F.shiftleft needs a literal shift; the SQL form takes a column
+    scaled = F.expr(
+        f"CAST(shiftleft(1, {HLL_RHO_MAX} - _m_reg) AS BIGINT)"
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_regs"),
+    )
+    # absent registers have M_j = 0 → each contributes 2^26 to the sum
+    s_total = F.col("_s_present") + (
+        (F.lit(HLL_M) - F.col("_n_regs")) * F.lit(1 << HLL_RHO_MAX)
+    )
+    est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast("long")
+    return per_group.select(*group_cols, est.alias(out_col))

@@ -521,3 +521,86 @@ def redact_pii(
         n_phones.cast("long").alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "split:",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by stable key hash.
+
+    The split a training pipeline actually needs at 100 TB: membership
+    is a pure function of the row key (portable polynomial hash of
+    ``salt || key`` mod 100), so the same document lands in the same
+    split on every engine, every rerun, and every incremental refresh —
+    no RNG state to checkpoint, no sampling drift when the corpus grows.
+    Changing the salt yields an independent split family (e.g. for
+    k-fold). Map-only: one projected column above the scan, pruning and
+    pushdown untouched.
+
+    Output: the input rows (all columns) + ``split`` ∈
+    {train, val, test}.
+    """
+    bucket = _sample_bucket(F.col(key_col), 100, salt).cast("long")
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Power-of-two sequence-length bucketing with padding-waste
+    accounting — the batching-efficiency signal for training: documents
+    batched together pad to their bucket ceiling, so ``pad_waste``
+    (Σ ceiling − tokens) is exactly the fraction of compute thrown away
+    by the bucket granularity. Doubling buckets (bucket = bit length of
+    the token count, ceiling = 2^bucket − 1) keep per-batch waste
+    < 50% with a dozen buckets across any length distribution.
+
+    Integer-only: counts and waste are exact sums, so any engine agrees
+    bit for bit. One shuffle on ≤ ~60 bucket keys, fully
+    partial-aggregable (map-side collapses each split to one row per
+    bucket).
+
+    Output: bucket, ceiling, n_docs, sum_tokens, pad_waste.
+    """
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    # bit length of the count; 0 tokens → bucket 0 with ceiling 0
+    bucket = (
+        F.when(F.col("_toks") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("_toks"))))
+        .cast("int")
+    )
+    with_bucket = base.select(
+        "_toks",
+        bucket.alias("bucket"),
+    )
+    # F.shiftleft needs a literal shift; the SQL form takes a column
+    ceiling = F.expr("CAST(shiftleft(1, bucket) AS BIGINT) - 1")
+    return (
+        with_bucket.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("sum_tokens"),
+            F.sum(
+                F.expr("CAST(shiftleft(1, bucket) AS BIGINT) - 1 - _toks")
+            ).alias("pad_waste"),
+        )
+        .select(
+            F.col("bucket").cast("long"),
+            ceiling.alias("ceiling"),
+            "n_docs",
+            "sum_tokens",
+            "pad_waste",
+        )
+    )
