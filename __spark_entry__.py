@@ -1788,8 +1788,62 @@ def q_label_centroids(spark, sf_dir):
     nearest-class-mean classification."""
     from yandex_tracker_exporter_spark.operators.clustering import label_centroids
 
-    emb = _t_wide(spark, sf_dir, "embeddings")
+    # _t, not _t_wide: per-row work here is light (one multiply per
+    # element), so the fixture repartition costs more than it buys —
+    # at real scale the scan's natural splits provide the parallelism
+    emb = _t(spark, sf_dir, "embeddings")
     return label_centroids(emb)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting on the 1995 part co-purchase graph with the
+    degree-ordered orientation (Suri & Vassilvitskii): each triangle is
+    counted once at its lowest-(degree, id) vertex, which bounds the
+    wedge self-join by the oriented out-degree (~sqrt|E|) instead of
+    raw degree — the formulation that survives hub nodes at 100 TB.
+    The shipdate filter pushes to the parquet scan."""
+    from yandex_tracker_exporter_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+    )
+    left = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    right = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        left.join(right, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+    out = triangle_count(edges)
+    return out.select(F.col("apex").cast("long"), "n_triangles")
+
+
+def q_pagerank_nations(spark, sf_dir):
+    """PageRank over the customer-nation → supplier-nation trade graph,
+    8 synchronous iterations in exact fixed-point integer arithmetic
+    (scale 10^9, floor division) so the ITERATIVE result is verified
+    bit-for-bit by an unrolled-CTE oracle. Dimensions broadcast onto
+    the fact join; each iteration moves only the rank vector."""
+    from yandex_tracker_exporter_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out = pagerank(edges, weight="w", iterations=8)
+    return out.select(F.col("node").cast("long"), "rank_e9")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1878,6 +1932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "length_buckets": q_length_buckets,
     "label_centroids": q_label_centroids,
+    "triangle_count": q_triangle_count,
+    "pagerank_nations": q_pagerank_nations,
 }
 
 
@@ -3719,6 +3775,102 @@ _ORACLES["label_centroids"] = """
             / n_vecs)::BIGINT AS centroid_milli
     FROM agg
 """
+
+
+_ORACLES["triangle_count"] = """
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+    ), e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT n, count(*)::BIGINT AS deg FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+        ) GROUP BY n
+    ), o AS (
+        SELECT CASE WHEN du.deg < dv.deg
+                      OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS s,
+               CASE WHEN du.deg < dv.deg
+                      OR (du.deg = dv.deg AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS t
+        FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), w AS (
+        SELECT e1.s AS apex, e1.t AS w1, e2.t AS w2
+        FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t
+    ), tri AS (
+        SELECT apex FROM w
+        WHERE EXISTS (SELECT 1 FROM o
+                      WHERE (o.s = w.w1 AND o.t = w.w2)
+                         OR (o.s = w.w2 AND o.t = w.w1))
+    )
+    SELECT apex::BIGINT AS apex, count(*)::BIGINT AS n_triangles
+    FROM tri GROUP BY apex
+"""
+
+
+def _build_pagerank_sql(iterations: int = 8) -> str:
+    from yandex_tracker_exporter_spark.operators.graph import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_SCALE,
+    )
+
+    ctes = [
+        f"""e AS (
+        SELECT c.c_nationkey AS s, su.s_nationkey AS t,
+               count(*)::BIGINT AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        GROUP BY c.c_nationkey, su.s_nationkey
+    )""",
+        """nodes AS (
+        SELECT s AS node FROM e UNION SELECT t AS node FROM e
+    )""",
+        f"""params AS (
+        SELECT count(*)::BIGINT AS n,
+               ({PR_SCALE}::BIGINT // count(*))::BIGINT AS base,
+               (({PR_D_DEN - PR_D_NUM}::BIGINT * {PR_SCALE})
+                // ({PR_D_DEN} * count(*)))::BIGINT AS tp
+        FROM nodes
+    )""",
+        """wout AS (
+        SELECT s, sum(w)::BIGINT AS wout FROM e GROUP BY s
+    )""",
+        """en AS (
+        SELECT e.s, e.t, e.w, wout.wout FROM e JOIN wout USING (s)
+    )""",
+        """r0 AS (
+        SELECT node, params.base AS rank FROM nodes CROSS JOIN params
+    )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (
+        SELECT en.t AS node,
+               sum((r{i - 1}.rank * en.w) // en.wout)::BIGINT AS cin
+        FROM en JOIN r{i - 1} ON en.s = r{i - 1}.node
+        GROUP BY en.t
+    )""")
+        ctes.append(f"""r{i} AS (
+        SELECT nodes.node,
+               (params.tp + ({PR_D_NUM}::BIGINT
+                    * coalesce(c{i}.cin, 0)) // {PR_D_DEN})::BIGINT AS rank
+        FROM nodes CROSS JOIN params
+        LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node::BIGINT AS node, rank AS rank_e9 "
+          f"FROM r{iterations}"
+    )
+
+
+_ORACLES["pagerank_nations"] = _build_pagerank_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -218,11 +218,37 @@ def label_centroids(
     centroid_milli = floor(1000 * code_sum / n_vecs) as exact integer
     floor division (sign-correct for negative sums).
     """
-    q = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
-    base = df.select(F.col(id_col), F.col(label_col).cast("long").alias("label"))
-    coded = q.join(base, id_col)
-    exploded = coded.select(
-        "label", F.posexplode("qvec").alias("dim", "_code")
+    # quantization inlined (same math as quantize_embeddings) so the
+    # label rides along in the projection — joining the codes back to
+    # the labels on id would cost a full extra shuffle of the vectors.
+    # Deliberately NOT transform(...floor...) before the explode: a
+    # per-element HOF lambda is interpreted, and Catalyst duplicates it
+    # into the explode's inferred filters (measured 3.2 s vs 0.5 s at
+    # sf0.1). Exploding the raw array and quantizing with a scalar
+    # post-explode expression keeps the math in whole-stage codegen.
+    max_abs = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    with_scale = df.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.col(vec_col).alias("_v"),
+        F.when(max_abs > 0.0, F.lit(127.0) / max_abs)
+        .otherwise(F.lit(0.0))
+        .alias("_scale"),
+        # barrier: _scale is referenced once downstream, so
+        # CollapseProject would inline the array_max HOF into the
+        # post-explode projection — re-evaluating it per ELEMENT
+    ).localCheckpoint(eager=False)
+    exploded = with_scale.select(
+        "label",
+        "_scale",
+        F.posexplode("_v").alias("dim", "_x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("_x").cast("double") * F.col("_scale") + F.lit(0.5))
+        .cast("int")
+        .alias("_code"),
     )
     agg = exploded.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),

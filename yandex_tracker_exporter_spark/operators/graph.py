@@ -1,0 +1,180 @@
+"""Distributed graph operators: triangle counting and PageRank.
+
+Both are the join-based formulations that scale on Spark — message
+passing expressed as equi-joins + partial-aggregable aggregations, never
+adjacency matrices or driver-side graph state:
+
+- ``triangle_count`` uses the degree-ordered orientation (count each
+  triangle once at its lowest-degree vertex). Orientation bounds every
+  node's out-degree by O(sqrt(|E|)) on real graphs, which bounds the
+  wedge join — the standard trick that keeps the self-join from
+  exploding on skewed-degree graphs at scale (MapReduce triangle
+  counting, Suri & Vassilvitskii 2011).
+- ``pagerank`` runs Lloyd-style synchronous iterations entirely in
+  FIXED-POINT integer arithmetic (scaled by 10^9, floor division), so
+  the iterative result is bit-for-bit reproducible on any engine — the
+  same design as ``operators/clustering.kmeans_quantized``, letting a
+  SQL oracle verify an iterative algorithm exactly. Each iteration is
+  one join (ranks onto edges) + one partial-aggregable sum shuffle;
+  ranks are localCheckpointed per round to cut the lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for PageRank ranks (9 decimal digits)
+PR_SCALE = 1_000_000_000
+#: damping factor as an exact rational: d = PR_D_NUM / PR_D_DEN
+PR_D_NUM = 85
+PR_D_DEN = 100
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Count triangles, attributed to each triangle's first vertex in
+    degree order.
+
+    ``edges`` is an undirected simple graph as (src, dst) pairs; the
+    operator dedups and symmetrizes defensively. Orientation: each
+    undirected edge {u, v} becomes u→v iff (deg(u), u) < (deg(v), v).
+    Wedges (u→v, u→w) with v < w in orientation order close into a
+    triangle iff v→w is also an edge — one equi-join to enumerate
+    wedges, one semi-join to close them.
+
+    Shuffles: degree agg (node keys), two joins on node keys. With the
+    orientation, wedge volume is Σ outdeg(u)² ≤ |E|^1.5 worst-case and
+    near-linear on power-law graphs — the property that makes this the
+    100 TB formulation, vs. the unoriented wedge join which is
+    Σ deg(u)² and detonates on hub nodes.
+
+    Output: node, n_triangles (node is the apex = lowest-ordered vertex;
+    nodes closing no triangle are absent).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        # e feeds the degree union (2 scans) and the orientation join;
+        # without the barrier each consumer re-runs the upstream edge
+        # derivation (often a fact-table self-join)
+        .localCheckpoint(eager=False)
+    )
+    # degree over the undirected edge set
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) → higher (deg, id)
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        # consumed three times (both wedge sides + the closing set)
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("s").alias("apex"), F.col("t").alias("w1"))
+    e2 = oriented.select(F.col("s").alias("apex"), F.col("t").alias("w2"))
+    wedges = e1.join(e2, "apex").where(F.col("w1") < F.col("w2"))
+    closing = oriented.select(
+        F.col("s").alias("w1"), F.col("t").alias("w2")
+    ).unionAll(
+        oriented.select(F.col("t").alias("w1"), F.col("s").alias("w2"))
+    )
+    triangles = wedges.join(closing, ["w1", "w2"], "left_semi")
+    return triangles.groupBy("apex").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 8,
+) -> DataFrame:
+    """Weighted PageRank in exact fixed-point integer arithmetic.
+
+    rank_0(v)   = floor(SCALE / N)
+    contrib(u→v) = floor(rank_i(u) * w(u,v) / W_out(u))
+    rank_{i+1}(v) = floor((1-d) * SCALE / N)
+                    + floor(d_num * Σ contribs / d_den)
+
+    Every step is int64 (ranks ≤ SCALE, edge weights bounded), so any
+    engine replays the iteration bit-for-bit — the oracle unrolls the
+    same recurrence as a CTE chain. Dangling mass is dropped (nodes
+    with no out-edges contribute nothing), the conventional simplified
+    treatment.
+
+    Per iteration: ranks ⋈ edges on src (node-key shuffle unless edges
+    are pre-partitioned by src), then a partial-aggregable sum on dst.
+    At 100 TB the edge relation is the big side and stays put — only
+    the rank vector (one int64 per node) moves, and ``localCheckpoint``
+    truncates the growing lineage each round.
+    """
+    w = (
+        F.col(weight).cast("long")
+        if weight
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_t"), w.alias("_w")
+    ).localCheckpoint(eager=False)  # scanned by out_w, e_norm, nodes
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_t").alias("node")))
+        .distinct()
+        # referenced by every iteration's left join: without the eager
+        # barrier the full upstream edge derivation (typically a fact
+        # join) re-executes once per iteration
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    base = PR_SCALE // n_nodes
+    teleport = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n_nodes)
+
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_wout"))
+    e_norm = e.join(out_w, "_s").localCheckpoint(eager=False)
+
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e_norm.join(
+                ranks.select(F.col("node").alias("_s"), "rank"), "_s"
+            )
+            .select(
+                F.col("_t").alias("node"),
+                # integer `div`, never double `/`+floor: the double
+                # quotient can round across an integer boundary
+                F.expr("(rank * _w) div _wout").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT) + "
+                    f"(({PR_D_NUM} * coalesce(_in, CAST(0 AS BIGINT))) "
+                    f"div {PR_D_DEN})"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("rank").alias("rank_e9"))
