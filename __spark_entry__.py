@@ -1846,6 +1846,51 @@ def q_pagerank_nations(spark, sf_dir):
     return out.select(F.col("node").cast("long"), "rank_e9")
 
 
+def q_bloom_join_filter(spark, sf_dir):
+    """Explicit Bloom-filter join pruning (the runtime-filter pattern):
+    the dimension's k=3 salted hash positions form a tiny broadcast
+    set; lineitem survives only if ALL its positions are set — three
+    broadcast semi-joins, the corpus never shuffles. True hits vs
+    Bloom false positives counted per returnflag against ground truth."""
+    from yandex_tracker_exporter_spark.operators.bloom import bloom_semi_join
+
+    part = _t(spark, sf_dir, "part")
+    small = part.where(F.col("p_size") == 1).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    passed = bloom_semi_join(li, "l_partkey", small, "p_partkey")
+    truth = small.select(F.col("p_partkey").alias("l_partkey")).withColumn(
+        "_hit", F.lit(1)
+    )
+    joined = passed.join(F.broadcast(truth), "l_partkey", "left")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """Sketch-quality audit: MinHash Jaccard estimate vs exact
+    shingle-set Jaccard on every LSH candidate pair, in integer
+    milli-units (exact `div`, bit-identical on any engine). The
+    measurement that justifies trusting the sketch where only the
+    candidate set is affordable to verify exactly."""
+    from yandex_tracker_exporter_spark.operators.dedup import minhash_calibration
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return minhash_calibration(docs, "text", "doc_id").select(
+        F.col("a_id").cast("long"),
+        F.col("b_id").cast("long"),
+        "est_milli",
+        "exact_milli",
+        "err_milli",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1934,6 +1979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "triangle_count": q_triangle_count,
     "pagerank_nations": q_pagerank_nations,
+    "bloom_join_filter": q_bloom_join_filter,
+    "minhash_calibration": q_minhash_calibration,
 }
 
 
@@ -3871,6 +3918,92 @@ def _build_pagerank_sql(iterations: int = 8) -> str:
 
 
 _ORACLES["pagerank_nations"] = _build_pagerank_sql()
+
+
+def _build_bloom_join_sql() -> str:
+    from yandex_tracker_exporter_spark.operators.bloom import (
+        BLOOM_INT_PARAMS,
+        BLOOM_M_BITS,
+        BLOOM_PRIME,
+    )
+
+    pos_terms = []
+    probe_terms = []
+    for i, (a, b) in enumerate(BLOOM_INT_PARAMS):
+        pos_terms.append(
+            f"SELECT ((p_partkey::BIGINT * {a} + {b}) % {BLOOM_PRIME})"
+            f" % {BLOOM_M_BITS} AS pos FROM small"
+        )
+        probe_terms.append(
+            f"((l_partkey::BIGINT * {a} + {b}) % {BLOOM_PRIME})"
+            f" % {BLOOM_M_BITS} AS c{i}"
+        )
+    pos_unions = "\n        UNION\n        ".join(pos_terms)
+    probe_cols = ",\n               ".join(probe_terms)
+    conds = " AND ".join(
+        f"c{i} IN (SELECT pos FROM pos)"
+        for i in range(len(BLOOM_INT_PARAMS))
+    )
+    return f"""
+    WITH small AS (
+        SELECT p_partkey FROM part WHERE p_size = 1
+    ), pos AS (
+        {pos_unions}
+    ), probes AS (
+        SELECT l_partkey, l_returnflag,
+               {probe_cols}
+        FROM lineitem
+    ), passed AS (
+        SELECT l_partkey, l_returnflag FROM probes WHERE {conds}
+    )
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_pass,
+           sum(CASE WHEN l_partkey IN (SELECT p_partkey FROM small)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_true,
+           sum(CASE WHEN l_partkey IN (SELECT p_partkey FROM small)
+                    THEN 0 ELSE 1 END)::BIGINT AS n_false_pos
+    FROM passed GROUP BY l_returnflag
+    """
+
+
+_ORACLES["bloom_join_filter"] = _build_bloom_join_sql()
+
+_ORACLES["minhash_calibration"] = f"""
+    WITH docs AS (
+        SELECT doc_id, {_dd_shingles('text')} AS shingles FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               {_MINHASH_SIG} AS sig,
+               list_distinct(list_transform(shingles, s -> {_dd_hash('s')}))
+                   AS hset
+        FROM docs
+    ), banded AS (
+        SELECT doc_id, bi,
+               md5(sig[4*bi + 1]::VARCHAR || '_' || sig[4*bi + 2]::VARCHAR
+                   || '_' || sig[4*bi + 3]::VARCHAR || '_'
+                   || sig[4*bi + 4]::VARCHAR) AS band_key
+        FROM hashed, unnest(range(0, 4)) AS t(bi)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.bi = b.bi AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT a_id, b_id,
+               len(list_filter(range(1, 17),
+                   i -> da.sig[i] = db.sig[i]))::BIGINT AS m,
+               len(list_intersect(da.hset, db.hset))::BIGINT AS sh,
+               (len(da.hset) + len(db.hset)
+                - len(list_intersect(da.hset, db.hset)))::BIGINT AS un
+        FROM cand
+        JOIN hashed da ON da.doc_id = a_id
+        JOIN hashed db ON db.doc_id = b_id
+    )
+    SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+           ((m * 1000) // 16)::BIGINT AS est_milli,
+           ((sh * 1000) // un)::BIGINT AS exact_milli,
+           abs((m * 1000) // 16 - (sh * 1000) // un)::BIGINT AS err_milli
+    FROM verified
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -940,3 +940,108 @@ def winnow_duplicate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 9,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature components / k) next to the
+    EXACT shingle-set Jaccard, both as integer milli-units so any
+    engine agrees bit-for-bit.
+
+    This is the measurement that justifies trusting the sketch at
+    100 TB, where the exact verify join is only affordable on the
+    LSH-sparse candidate set: E[estimate] = true Jaccard with
+    sd = sqrt(J(1-J)/k) (~0.125 at k=16, J=0.5) — per-pair error is
+    expected and bounded, and a drifting calibration (systematic
+    est >> exact) means the banding scheme, not the data, changed.
+
+    Same plan shape as :func:`ngram_jaccard_pairs`: narrow band
+    exchange, distinct candidates, ONE combined payload relation
+    (signature + hash-set in a single kernel-pass projection) joined
+    back per side. No threshold — calibration wants the whole range.
+
+    Output: (a_id, b_id, est_milli, exact_milli, err_milli), a < b.
+    """
+    rows_per_band = num_hashes // bands
+    par = ensure_parallelism(df)
+    sig_kernel = _minhash_sig_kernel(num_hashes, shingle_k)
+    hset_kernel = _shingle_hset_kernel(shingle_k)
+    payload = par.select(
+        F.col(id_col),
+        sig_kernel(F.col(content_col)).alias("minhash_sig"),
+        hset_kernel(F.col(content_col)).alias("hset"),
+    ).localCheckpoint(eager=False)  # banding + both join-backs share it
+
+    def band_hash(b: int) -> Column:
+        parts = [
+            F.element_at("minhash_sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat_ws("_", *parts))
+
+    banded = payload.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = banded.repartition("band_idx", "band_key")
+
+    left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
+    right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    scored = candidates.join(
+        payload.select(
+            F.col(id_col).alias("a_id"),
+            F.col("minhash_sig").alias("a_sig"),
+            F.col("hset").alias("a_h"),
+        ),
+        "a_id",
+    ).join(
+        payload.select(
+            F.col(id_col).alias("b_id"),
+            F.col("minhash_sig").alias("b_sig"),
+            F.col("hset").alias("b_h"),
+        ),
+        "b_id",
+    )
+    matching = F.size(
+        F.filter(F.zip_with("a_sig", "b_sig", lambda a, b: a == b), lambda x: x)
+    ).cast("long")
+    shared = F.size(F.array_intersect("a_h", "b_h")).cast("long")
+    union = F.size("a_h").cast("long") + F.size("b_h").cast("long") - shared
+    counted = scored.select(
+        "a_id",
+        "b_id",
+        matching.alias("_match"),
+        shared.alias("_shared"),
+        union.alias("_union"),
+    )
+    # integer `div`: a double quotient can round up across an integer
+    # boundary before the long cast truncates
+    return counted.select(
+        "a_id",
+        "b_id",
+        F.expr(f"(_match * 1000) div {num_hashes}").alias("est_milli"),
+        F.expr("(_shared * 1000) div _union").alias("exact_milli"),
+    ).withColumn(
+        "err_milli",
+        F.abs(F.col("est_milli") - F.col("exact_milli")),
+    )
