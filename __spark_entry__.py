@@ -1891,6 +1891,189 @@ def q_minhash_calibration(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: exact top-20 terms (per-partition
+    top-k via TakeOrderedAndProject, never a global sort) probed against
+    a 4×512 CMS counter table built over the portable polynomial hash.
+    The counter shuffle is CONSTANT-size (≤ 2048 rows per split,
+    partial-aggregated map-side) however large the vocabulary — the
+    frequency path that survives 100 TB where an exact term table
+    shuffles the whole vocabulary. est ≥ exact is structural (collisions
+    only add); the overcount column audits the sketch against truth."""
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    # ONE corpus shuffle: the exact count relation feeds both the top-k
+    # and the sketch build (counters from counts, never per-occurrence —
+    # the salted hash fold must run once per distinct term)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = exact.orderBy(F.col("exact_cnt").desc(), F.col("term").asc()).limit(20)
+    counters = cms_counters(exact, count_col="exact_cnt")
+    est = cms_estimate(topk.select("term"), counters)
+    return topk.join(F.broadcast(est), "term").select(
+        "term",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    lead() inside the (ts, id)-ordered user window, then a
+    partial-aggregable rollup onto ≤ |types|² keys. One user-key
+    shuffle — scales with users, not with the matrix. Gap seconds are
+    floored epochs summed in int64, bit-exact on any engine."""
+    from yandex_tracker_exporter_spark.operators.funnel import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+def q_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC bars: open/close resolved by two row_number frames
+    over ONE hour-partitioned sort (single Exchange), high/low/count by
+    plain aggregates. Values pass through with no float arithmetic, and
+    the hour key is a floored epoch — the NOTES timestamp rule."""
+    from yandex_tracker_exporter_spark.operators.grouped import ohlc_hourly
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_hourly(ev)
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """Per-language Pareto frontier (skyline) on (n_chars ↓, tokens ↑):
+    the densest documents at every length point — what a budgeted
+    curation pass keeps. Two RANGE frames over one (lang, cost)-sorted
+    window replace the naive O(n²) dominance anti-join: one Exchange,
+    one Sort, any group size. Oracle states the NOT-EXISTS dominance
+    definition directly, so the window reformulation is proven, not
+    assumed."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import pareto_frontier
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = pareto_frontier(docs)
+    return out.select("lang", F.col("doc_id").cast("long"), "cost", "gain")
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-segment 2σ outliers with the z-test done entirely in exact
+    int64 algebra — (n·x − S)² > 4·(n·Q − S²) — so the boundary
+    decision is bit-identical on any engine (the regression_stats
+    int64-moments lesson applied to a predicate). One moments shuffle,
+    broadcast back onto the stream, map-side filter."""
+    from yandex_tracker_exporter_spark.operators.grouped import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return zscore_outliers(ev)
+
+
+def q_mixture_apportion(spark, sf_dir):
+    """Largest-remainder apportionment of a 1M-token training budget
+    across sources: floor quotas + remainder-ranked extras, pure int64
+    (`div`, never a rounding float share), Σ alloc = budget exactly.
+    The corpus pays one partial-aggregable shuffle down to |sources|
+    rows; the global windows after it share a single whitelisted
+    SinglePartition exchange over that tiny relation."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        mixture_apportion,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return mixture_apportion(docs)
+
+
+def q_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): one window rank over
+    the part key — min_by with a declared total tie order (cents,
+    suppkey, orderkey, linenumber) — then the part dimension broadcasts
+    back. Prices are compared as floored cents, so the winner is decided
+    in exact integers, never by a float ulp."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("cents").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    best = li.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return best.join(
+        F.broadcast(part), best.l_partkey == part.p_partkey
+    ).select(
+        F.col("p_partkey").cast("long"),
+        "p_brand",
+        F.col("l_suppkey").cast("long").alias("best_suppkey"),
+        F.col("cents").alias("best_cents"),
+    )
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Blocked sorted-neighborhood dedup — the third candidate family
+    next to MinHash-LSH and SimHash: sort inside text-prefix blocks,
+    compare ±2 neighbors, verify with exact shingle-STRING Jaccard (a
+    hash collision can never corrupt the verdict). One block-window
+    shuffle; comparisons are O(n·w) with no banding tables."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = sorted_neighborhood_pairs(docs)
+    return out.select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long"), "jac_milli"
+    )
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Add-one-smoothed bigram LM in exact milli units — the statistic
+    behind perplexity-style quality filters, integerized so both engines
+    agree bit-for-bit. Bigram/prefix tables are vocabulary²-bounded;
+    the corpus pays map-only explode + partial-aggregable rollups."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import bigram_lm
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return bigram_lm(docs)
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin/FastCDC family): cut where the
+    rolling 8-gram hash ≡ 0 mod 64 — boundaries depend only on local
+    content, so an early insertion shifts ONE chunk and every later
+    chunk still dedups by its hash (why LBFS/restic/borg chunk this
+    way). Map-only expressions over the codepoint array; no shuffle."""
+    from yandex_tracker_exporter_spark.operators.dedup import cdc_chunks
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return cdc_chunks(docs).select(
+        F.col("doc_id").cast("long"), "chunk_idx", "start", "chunk_len", "chunk_hash"
+    )
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-10 for a fixed query with the log swapped for its
+    rational argument (monotone ⇒ same per-term ordering; ln is the one
+    op two libms may disagree on). Corpus stats collapse to one
+    broadcast row; top-k is TakeOrderedAndProject, never a global
+    sort."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import bm25_rank
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return bm25_rank(docs).select(F.col("doc_id").cast("long"), "dl", "score")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -1981,6 +2164,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_nations": q_pagerank_nations,
     "bloom_join_filter": q_bloom_join_filter,
     "minhash_calibration": q_minhash_calibration,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "event_transitions": q_event_transitions,
+    "ohlc_hourly": q_ohlc_hourly,
+    "pareto_frontier": q_pareto_frontier,
+    "zscore_outliers": q_zscore_outliers,
+    "mixture_apportion": q_mixture_apportion,
+    "cheapest_supplier": q_cheapest_supplier,
+    "sorted_neighborhood": q_sorted_neighborhood,
+    "bigram_lm": q_bigram_lm,
+    "cdc_chunks": q_cdc_chunks,
+    "bm25_rank": q_bm25_rank,
 }
 
 
@@ -4008,3 +4202,293 @@ _ORACLES["minhash_calibration"] = f"""
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, sql in _ORACLES.items() if sql is not None}
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch: sketch/stream-analytics oracles
+# --------------------------------------------------------------------------
+
+_CMS_HASH = _dd_hash("'cms' || d::VARCHAR || ':' || term")
+
+_ORACLES["cms_heavy_hitters"] = f"""
+    WITH terms AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ), exact AS (
+        SELECT term, count(*)::BIGINT AS exact_cnt FROM terms GROUP BY term
+    ), topk AS (
+        SELECT term, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, term ASC LIMIT 20
+    ), stream AS (
+        SELECT term, d, ({_CMS_HASH}) % 512 AS bucket
+        FROM terms, unnest(range(0, 4)) AS t(d)
+    ), counters AS (
+        SELECT d, bucket, count(*)::BIGINT AS cnt
+        FROM stream GROUP BY d, bucket
+    ), probes AS (
+        SELECT term, d, ({_CMS_HASH}) % 512 AS bucket
+        FROM topk, unnest(range(0, 4)) AS t(d)
+    ), est AS (
+        SELECT p.term, min(c.cnt)::BIGINT AS est_cnt
+        FROM probes p JOIN counters c
+          ON c.d = p.d AND c.bucket = p.bucket
+        GROUP BY p.term
+    )
+    SELECT k.term, k.exact_cnt, e.est_cnt,
+           (e.est_cnt - k.exact_cnt)::BIGINT AS overcount
+    FROM topk k JOIN est e ON e.term = k.term
+"""
+
+_ORACLES["event_transitions"] = """
+    WITH p AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER w AS to_type,
+               lead(floor(epoch(ts))::BIGINT) OVER w
+                   - floor(epoch(ts))::BIGINT AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_type, to_type,
+           count(*)::BIGINT AS n_trans,
+           sum(gap_s)::BIGINT AS sum_gap_s
+    FROM p WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+"""
+
+_ORACLES["ohlc_hourly"] = """
+    WITH b AS (
+        SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
+               value AS v, ts, event_id
+        FROM events
+    ), r AS (
+        SELECT hour_epoch, v,
+               row_number() OVER (PARTITION BY hour_epoch
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY hour_epoch
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT hour_epoch,
+           max(CASE WHEN rn_a = 1 THEN v END) AS open,
+           max(v) AS high,
+           min(v) AS low,
+           max(CASE WHEN rn_d = 1 THEN v END) AS close,
+           count(*)::BIGINT AS n_events
+    FROM r GROUP BY hour_epoch
+"""
+
+_ORACLES["pareto_frontier"] = """
+    WITH d AS (
+        SELECT lang, doc_id, n_chars::BIGINT AS cost,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS gain
+        FROM documents
+    )
+    SELECT a.lang, a.doc_id::BIGINT AS doc_id, a.cost, a.gain
+    FROM d a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM d o
+        WHERE o.lang = a.lang
+          AND o.cost <= a.cost AND o.gain >= a.gain
+          AND (o.cost < a.cost OR o.gain > a.gain)
+    )
+"""
+
+_ORACLES["zscore_outliers"] = """
+    WITH b AS (
+        SELECT event_type AS segment, event_id,
+               floor(value * 100)::BIGINT AS cents
+        FROM events
+    ), m AS (
+        SELECT segment, count(*)::BIGINT AS n_seg,
+               sum(cents)::BIGINT AS s_seg,
+               sum(cents * cents)::BIGINT AS q_seg
+        FROM b GROUP BY segment
+    )
+    SELECT b.segment, b.event_id::BIGINT AS event_id, b.cents, m.n_seg,
+           floor(((m.n_seg * b.cents - m.s_seg) * 1000)::DOUBLE
+                 / m.n_seg::DOUBLE)::BIGINT AS dev_milli
+    FROM b JOIN m ON m.segment = b.segment
+    WHERE (m.n_seg * b.cents - m.s_seg) * (m.n_seg * b.cents - m.s_seg)
+          > 4 * (m.n_seg * m.q_seg - m.s_seg * m.s_seg)
+"""
+
+_ORACLES["mixture_apportion"] = """
+    WITH t AS (
+        SELECT source,
+               sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS tokens
+        FROM documents GROUP BY source
+    ), s AS (
+        SELECT source, tokens,
+               ((1000000::BIGINT * tokens)
+                // (SELECT sum(tokens) FROM t))::BIGINT AS quota,
+               ((1000000::BIGINT * tokens)
+                % (SELECT sum(tokens) FROM t))::BIGINT AS rem
+        FROM t
+    ), r AS (
+        SELECT source, tokens, quota, rem,
+               row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+               (SELECT sum(quota) FROM s)::BIGINT AS qsum
+        FROM s
+    )
+    SELECT source, tokens, quota,
+           (CASE WHEN rk <= 1000000 - qsum THEN 1 ELSE 0 END)::BIGINT AS extra,
+           (quota + CASE WHEN rk <= 1000000 - qsum THEN 1 ELSE 0 END)::BIGINT
+               AS alloc
+    FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 2: retrieval / chunking / linkage oracles
+# --------------------------------------------------------------------------
+
+_ORACLES["cheapest_supplier"] = """
+    WITH li AS (
+        SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+               floor(l_extendedprice * 100)::BIGINT AS cents
+        FROM lineitem
+    ), r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY cents, l_suppkey, l_orderkey, l_linenumber
+               ) AS rn
+        FROM li
+    )
+    SELECT p.p_partkey::BIGINT AS p_partkey, p.p_brand,
+           r.l_suppkey::BIGINT AS best_suppkey, r.cents AS best_cents
+    FROM r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rn = 1
+"""
+
+_SNM_SH_A = _dd_shingles("a_txt", 5)
+_SNM_SH_B = _dd_shingles("b_txt", 5)
+
+_ORACLES["sorted_neighborhood"] = f"""
+    WITH b AS (
+        SELECT doc_id AS id, text AS txt,
+               substr(text, 1, 8) AS blk, substr(text, 1, 32) AS key
+        FROM documents
+    ), n AS (
+        SELECT id, txt,
+               lead(id, 1) OVER w AS b1_id, lead(txt, 1) OVER w AS b1_txt,
+               lead(id, 2) OVER w AS b2_id, lead(txt, 2) OVER w AS b2_txt
+        FROM b WINDOW w AS (PARTITION BY blk ORDER BY key, id)
+    ), pairs AS (
+        SELECT id AS raw_a, txt AS a_txt, b1_id AS raw_b, b1_txt AS b_txt
+        FROM n WHERE b1_id IS NOT NULL
+        UNION ALL
+        SELECT id, txt, b2_id, b2_txt FROM n WHERE b2_id IS NOT NULL
+    ), sc AS (
+        SELECT least(raw_a, raw_b) AS a_id, greatest(raw_a, raw_b) AS b_id,
+               len(list_intersect({_SNM_SH_A}, {_SNM_SH_B}))::BIGINT AS i,
+               (len({_SNM_SH_A}) + len({_SNM_SH_B}))::BIGINT AS ss
+        FROM pairs
+    ), j AS (
+        SELECT a_id, b_id, ((i * 1000) // (ss - i))::BIGINT AS jac_milli
+        FROM sc
+    )
+    SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+           max(jac_milli)::BIGINT AS jac_milli
+    FROM j WHERE jac_milli >= 100
+    GROUP BY a_id, b_id
+"""
+
+_ORACLES["bigram_lm"] = """
+    WITH t AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+    ), bg AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+    ), c12 AS (
+        SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT x)::BIGINT AS v
+        FROM (SELECT unnest(tk) AS x FROM t)
+    )
+    SELECT c12.w1, c12.w2, c12.c12, c1.c1, v.v,
+           (((c12.c12 + 1) * 1000) // (c1.c1 + v.v))::BIGINT AS p_milli
+    FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+"""
+
+_ORACLES["cdc_chunks"] = """
+    WITH d AS (
+        SELECT doc_id, text, len(text)::BIGINT AS n FROM documents
+    ), pos AS (
+        SELECT doc_id, text, i
+        FROM d, unnest(range(1, greatest(n - 7, 1) + 1)) AS t(i)
+        WHERE n >= 8
+    ), cuts AS (
+        SELECT doc_id, (i + 7)::BIGINT AS e
+        FROM pos
+        WHERE list_reduce(list_prepend(0::BIGINT,
+                  list_transform(range(i, i + 8),
+                      j -> ascii(substr(text, j, 1))::BIGINT)),
+                  (a, c) -> (a * 131 + c) % 2147483647) % 64 = 0
+    ), ends AS (
+        SELECT DISTINCT doc_id, e FROM (
+            SELECT doc_id, e FROM cuts
+            UNION ALL
+            SELECT doc_id, n AS e FROM d
+        )
+    ), c AS (
+        SELECT doc_id, e,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+                        0::BIGINT) AS prev_e,
+               row_number() OVER (PARTITION BY doc_id ORDER BY e) AS chunk_idx
+        FROM ends
+    )
+    SELECT c.doc_id::BIGINT AS doc_id, c.chunk_idx::BIGINT AS chunk_idx,
+           (c.prev_e + 1)::BIGINT AS start,
+           (c.e - c.prev_e)::BIGINT AS chunk_len,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(1, (c.e - c.prev_e) + 1),
+                   j -> ascii(substr(d.text, (c.prev_e + j)::INTEGER, 1))::BIGINT)),
+               (a, x) -> (a * 131 + x) % 2147483647) AS chunk_hash
+    FROM c JOIN d ON d.doc_id = c.doc_id
+"""
+
+
+def _build_bm25_sql(
+    terms: tuple[str, ...] = ("table", "join", "window"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> str:
+    """Mirror of operators.text_analysis.bm25_rank — every float literal
+    embedded via repr() so both engines parse the IDENTICAL double, and
+    the per-term score terms summed left-to-right in the same order."""
+    k1p1 = repr(k1 + 1.0)
+    k1_r, b_r = repr(k1), repr(b)
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END)::BIGINT"
+        f" AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = "0.0"
+    for i, t in enumerate(terms):
+        tf = f"len(list_filter(tk, x -> x = '{t}'))::DOUBLE"
+        idf = f"((s.n::DOUBLE - s.df{i}::DOUBLE + 0.5) / (s.df{i}::DOUBLE + 0.5))"
+        denom = (
+            f"({tf} + {k1_r} * (1.0 - {b_r} + {b_r} * "
+            f"(dl::DOUBLE / (s.sum_dl::DOUBLE / s.n::DOUBLE))))"
+        )
+        score += f" + {idf} * (({tf} * {k1p1}) / {denom})"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS dl
+        FROM documents
+    ), s AS (
+        SELECT sum(dl)::BIGINT AS sum_dl, count(*)::BIGINT AS n, {df_cols}
+        FROM base
+    )
+    SELECT doc_id::BIGINT AS doc_id, dl, {score} AS score
+    FROM base CROSS JOIN s
+    ORDER BY score DESC, doc_id ASC LIMIT {topk}
+    """
+
+
+_ORACLES["bm25_rank"] = _build_bm25_sql()

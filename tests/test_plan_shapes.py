@@ -176,7 +176,17 @@ def test_cohort_retention_two_aggregation_shuffles(spark):
 #: - knn_classify: scores against the broadcast 20-row query set (the
 #:   labeled exact-kNN baseline, same shape as cosine_topk; the scale
 #:   path for classification is the same LSH/IVF bucketing)
-_NESTED_LOOP_ALLOWED = {"cosine_topk", "ivf_topk", "gap_fill_hourly", "knn_classify"}
+#: - bigram_lm / bm25_rank: attach a broadcast SINGLE-ROW corpus-stats
+#:   relation (vocabulary size / N+avgdl+dfs) to every row — the scalar
+#:   join, same shape as ivf_topk's centroid row
+_NESTED_LOOP_ALLOWED = {
+    "cosine_topk",
+    "ivf_topk",
+    "gap_fill_hourly",
+    "knn_classify",
+    "bigram_lm",
+    "bm25_rank",
+}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
@@ -200,10 +210,19 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
 #: - moving_avg_daily: the sliding window runs over the DAILY aggregate,
 #:   whose cardinality is calendar-bounded (one row per day) at any
 #:   corpus scale — the corpus itself takes only the groupBy(day) shuffle
+#: - mixture_apportion: the global remainder-rank windows run over the
+#:   per-source aggregate (|sources| rows at any corpus scale); the
+#:   corpus itself pays only the partial-aggregable groupBy(source)
+#:   shuffle, and all the tiny-relation windows share ONE exchange
+#: - bigram_lm / bm25_rank: the final merge of the single-row global
+#:   stats aggregate (partials combine map-side), as incremental_watermark
 _SINGLE_PARTITION_ALLOWED = {
     "incremental_watermark",
     "global_rank",
     "moving_avg_daily",
+    "mixture_apportion",
+    "bigram_lm",
+    "bm25_rank",
 }
 
 
@@ -315,3 +334,41 @@ def test_dup_window_ratio_hash_keys_only(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 3
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_heavy_hitters_topk_never_global_sorts(spark):
+    """The exact top-20 plans as TakeOrderedAndProject (per-partition
+    top-k + merge) and the sketch probe joins stay broadcast — no
+    global sort, no Python, no cartesian anywhere in the plan."""
+    df = entry_mod.queries()["cms_heavy_hitters"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_single_sort_window_shapes(spark):
+    """The window-over-one-sort family: each query's frames share one
+    partitioning, so the whole pipeline pays exactly ONE hash
+    exchange (pareto: two RANGE frames over one sort; ohlc: two
+    row_number orders inside one hour partition; transitions: lead +
+    rollup onto a bounded key space counts as two)."""
+    for name, max_ex in (
+        ("pareto_frontier", 1),
+        ("ohlc_hourly", 1),
+        ("event_transitions", 2),
+        ("zscore_outliers", 1),
+    ):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") <= max_ex, name
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_zscore_moments_broadcast_back(spark):
+    """The per-segment moments (driver-small) broadcast onto the event
+    stream — the corpus itself never shuffles for the join."""
+    df = entry_mod.queries()["zscore_outliers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan

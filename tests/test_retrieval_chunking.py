@@ -1,0 +1,167 @@
+"""Unit tests for the round-4 retrieval/chunking/linkage batch: CDC
+chunking, sorted-neighborhood dedup, bigram LM, BM25 ranking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.operators.dedup import cdc_chunks
+from yandex_tracker_exporter_spark.operators.text_analysis import (
+    bigram_lm,
+    bm25_rank,
+    sorted_neighborhood_pairs,
+)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _chunks_of(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = cdc_chunks(df)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    return by_doc
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    """Chunks are contiguous, 1-based, and cover the text exactly."""
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    chunks = _chunks_of(spark, [text])[0]
+    assert chunks[0]["start"] == 1
+    pos = 0
+    for c in chunks:
+        assert c["start"] == pos + 1
+        pos += c["chunk_len"]
+    assert pos == len(text)
+    # expected chunk size ~ mask_mod=64: a 880-char doc should split
+    assert len(chunks) > 3
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The CDC property: prepending text changes only the EARLY chunks —
+    later chunk hashes re-align and still dedup against the original
+    (a fixed-offset chunker would shift every chunk). Needs
+    NON-periodic text: repeated content collapses distinct chunks to
+    equal hashes and the overlap count stops meaning anything."""
+    import random
+
+    rng = random.Random(42)
+    base = " ".join(
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(3, 9)))
+        for _ in range(200)
+    )
+    shifted = "INSERTED PREFIX >>> " + base
+    by_doc = _chunks_of(spark, [base, shifted])
+    h0 = [r["chunk_hash"] for r in by_doc[0]]
+    h1 = [r["chunk_hash"] for r in by_doc[1]]
+    assert len(set(h0)) == len(h0)  # non-periodic ⇒ all chunks distinct
+    shared = set(h0) & set(h1)
+    # all but the first boundary-crossing chunk survive the shift
+    assert len(shared) >= len(h0) - 2, (len(shared), len(h0))
+
+
+def test_cdc_chunks_empty_and_short_docs(spark):
+    by_doc = _chunks_of(spark, ["", "abc"])
+    assert [(r["start"], r["chunk_len"]) for r in by_doc[0]] == [(1, 0)]
+    assert by_doc[0][0]["chunk_hash"] == 0  # '' → 0 convention
+    assert [(r["start"], r["chunk_len"]) for r in by_doc[1]] == [(1, 3)]
+
+
+def test_cdc_chunk_hash_is_the_portable_poly_hash(spark):
+    """chunk_hash of a single-chunk doc equals the document hash —
+    the dedup key lines up with every other hash in the repo."""
+    by_doc = _chunks_of(spark, ["abc"])
+    h = 0
+    for ch in "abc":
+        h = (h * 131 + ord(ch)) % (2**31 - 1)
+    assert by_doc[1 - 1][0]["chunk_hash"] == h
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood
+# ---------------------------------------------------------------------------
+
+
+def test_snm_finds_planted_neighbor(spark):
+    """Two near-identical docs share the sort prefix, land adjacent, and
+    verify with high Jaccard; an unrelated doc in the same block stays
+    below threshold."""
+    a = "shared prefix block alpha beta gamma delta epsilon zeta eta theta"
+    b = a + " extra"
+    c = "shared prefix block " + "completely different tail content here x"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jac_milli"]
+        for r in sorted_neighborhood_pairs(df, min_jac_milli=0).collect()
+    }
+    assert pairs[(1, 2)] > 800
+    assert all(v < 500 for k, v in pairs.items() if k != (1, 2))
+
+
+def test_snm_respects_blocking(spark):
+    """Docs in different prefix blocks are never compared — the known
+    SNM blind spot, stated and tested rather than hidden."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa same tail content"), (2, "bbbbbbbb same tail content")],
+        ["doc_id", "text"],
+    )
+    assert sorted_neighborhood_pairs(df, min_jac_milli=0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_counts_and_smoothing(spark):
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b c",)], ["text"]
+    )
+    rows = {(r["w1"], r["w2"]): r for r in bigram_lm(df).collect()}
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; prefixes: a:3, b:2 ; V=3
+    ab = rows[("a", "b")]
+    assert (ab["c12"], ab["c1"], ab["v"]) == (3, 3, 3)
+    assert ab["p_milli"] == (3 + 1) * 1000 // (3 + 3)
+    ba = rows[("b", "a")]
+    assert ba["p_milli"] == (1 + 1) * 1000 // (2 + 3)
+
+
+def test_bigram_lm_single_token_docs_contribute_nothing(spark):
+    df = spark.createDataFrame([("solo",), ("a b",)], ["text"])
+    rows = bigram_lm(df).collect()
+    assert len(rows) == 1 and rows[0]["w1"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    docs = [
+        (1, "table join window table join"),
+        (2, "table scan"),
+        (3, "completely unrelated words here"),
+        (4, "window"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_rank(df, topk=4).collect()
+    order = [r["doc_id"] for r in out]
+    assert order[0] == 1  # hits all three terms, twice
+    assert order[-1] == 3  # no term hits → lowest score
+    assert out[-1]["score"] == 0.0
+
+
+def test_bm25_zero_score_ties_break_by_doc_id(spark):
+    docs = [(i, "nothing relevant") for i in (5, 3, 9, 1)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_rank(df, topk=4).collect()
+    assert [r["doc_id"] for r in out] == [1, 3, 5, 9]

@@ -1045,3 +1045,101 @@ def minhash_calibration(
         "err_milli",
         F.abs(F.col("est_milli") - F.col("exact_milli")),
     )
+
+
+CDC_WINDOW = 8
+CDC_MASK_MOD = 64
+
+
+def cdc_chunks(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    mask_mod: int = CDC_MASK_MOD,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family): cut a
+    document wherever the rolling ``window``-gram hash ≡ 0 (mod
+    ``mask_mod``), plus a final cut at the end. Because boundaries
+    depend only on LOCAL content, an insertion early in a document
+    shifts at most one chunk — every later chunk re-aligns and its hash
+    still dedups against the store, which is exactly why storage
+    systems (LBFS, restic, borg, data-lake dedup) chunk this way
+    instead of at fixed offsets. Expected chunk size ≈ ``mask_mod``
+    characters.
+
+    Entirely map-only (expressions over the materialized codepoint
+    array; one explode) — scan-bound at any scale, no shuffle. The
+    chunk key is the portable polynomial hash of the chunk text, so a
+    downstream exact-dedup groupBy on (chunk_hash, chunk_len) is the
+    sub-file dedup table.
+
+    Output: id, chunk_idx (1-based), start (1-based char), chunk_len,
+    chunk_hash. Empty documents yield one zero-length chunk with the
+    empty-fold hash 0 (the '' → 0 convention everywhere in this repo).
+    """
+    base = df.select(
+        F.col(id_col),
+        _codepoints(F.col(content_col)).alias("_codes"),
+        F.length(F.col(content_col)).alias("_n"),
+    )
+    n = F.col("_n")
+    codes = F.col("_codes")
+    positions = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+
+    def hash_at(i: Column) -> Column:
+        h = F.get(codes, i - 1)
+        for j in range(1, window):
+            h = (h * POLY_BASE + F.get(codes, i + F.lit(j) - 1)) % MINHASH_PRIME
+        return h
+
+    # candidate cut after the window ending at char i+window-1; -1 marks
+    # non-cuts and is stripped (array_remove), keeping positions aligned
+    cuts = F.when(
+        n >= window,
+        F.array_remove(
+            F.transform(
+                positions,
+                lambda i: F.when(
+                    hash_at(i) % mask_mod == 0, (i + F.lit(window - 1)).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            -1,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ends = F.array_sort(
+        F.array_distinct(F.concat(cuts, F.array(n.cast("long"))))
+    )
+    with_ends = base.select(F.col(id_col), codes.alias("_codes"), ends.alias("_ends"))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("_ends")),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.when(j == 1, F.lit(1).cast("long"))
+            .otherwise(F.get(F.col("_ends"), j - 2) + 1)
+            .alias("start"),
+            (
+                F.get(F.col("_ends"), j - 1)
+                - F.when(j == 1, F.lit(0).cast("long")).otherwise(
+                    F.get(F.col("_ends"), j - 2)
+                )
+            ).alias("chunk_len"),
+        ),
+    )
+    exploded = with_ends.select(
+        F.col(id_col), F.col("_codes"), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        "_codes",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start").alias("start"),
+        F.col("c.chunk_len").alias("chunk_len"),
+    )
+    chunk_hash = F.aggregate(
+        F.slice(F.col("_codes"), F.col("start").cast("int"), F.col("chunk_len").cast("int")),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * POLY_BASE + c) % MINHASH_PRIME,
+    )
+    return exploded.select(
+        id_col, "chunk_idx", "start", "chunk_len", chunk_hash.alias("chunk_hash")
+    )

@@ -25,7 +25,7 @@ no Python in the data path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -170,4 +170,39 @@ def gap_fill_hourly(
             "type",
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
         )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    ``lead()`` within each user's (ts, id)-ordered stream pairs every
+    event with its successor; the (from, to) counts and the exact
+    integer sum of gap seconds land on ≤ |types|² keys. One shuffle on
+    the user key (the window), then a partial-aggregable rollup — the
+    same two-exchange shape as sessionization, so it scales with users,
+    not with the matrix. Gap seconds are floored epochs (both engines
+    floor), summed in int64 — bit-exact anywhere.
+
+    Reference parity: the tracker's changelog consumers derive
+    status-to-status flow from the same lead-over-entity-stream shape
+    (`tracker_exporter/models/issue.py` metrics loop); this generalizes
+    it to an arbitrary event alphabet.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    paired = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+        (F.lead(epoch).over(w) - epoch).alias("_gap_s"),
+    ).where(F.col("to_type").isNotNull())
+    return paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.sum("_gap_s").cast("long").alias("sum_gap_s"),
     )

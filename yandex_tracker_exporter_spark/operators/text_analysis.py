@@ -604,3 +604,313 @@ def length_buckets(
             "pad_waste",
         )
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_col: str = "lang",
+    cost_col: str = "n_chars",
+    gain_col: str = "_toks",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Pareto frontier (skyline): documents not dominated on
+    (chars ↓ cost, tokens ↑ gain) — the densest-information documents a
+    budgeted curation pass would keep at every length point.
+
+    A doc is dominated iff another doc in its group has cost ≤, gain ≥,
+    and is strictly better on at least one axis. Instead of the naive
+    O(n²) dominance anti-join, two frames over ONE (group, cost)-sorted
+    window do it in a single shuffle:
+
+    - ``RANGE UNBOUNDED PRECEDING .. 1 PRECEDING`` max(gain) catches
+      strictly-cheaper dominators (ties on gain dominate: ≥),
+    - ``RANGE CURRENT ROW .. CURRENT ROW`` max(gain) — i.e. the cost
+      PEER group — catches equal-cost dominators (strict: >).
+
+    Both frames share the partitioning AND the sort, so Catalyst plans
+    one Exchange + one Sort however large the group. Equal (cost, gain)
+    duplicates survive together, matching the NOT-EXISTS semantics the
+    oracle states directly.
+    """
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(cost_col).cast("long").alias("cost"),
+        toks.alias("gain"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("cost")
+    m_cheaper = F.max("gain").over(
+        w.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m_peer = F.max("gain").over(w.rangeBetween(0, 0))
+    flagged = base.select(
+        group_col,
+        id_col,
+        "cost",
+        "gain",
+        m_cheaper.alias("_mc"),
+        m_peer.alias("_mp"),
+    )
+    keep = (F.col("_mc").isNull() | (F.col("_mc") < F.col("gain"))) & (
+        F.col("_mp") == F.col("gain")
+    )
+    return flagged.where(keep).select(group_col, id_col, "cost", "gain")
+
+
+def mixture_apportion(
+    df: DataFrame,
+    budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Largest-remainder apportionment of a token budget across sources.
+
+    The training-mixture planner: given per-source token supplies
+    ``t_i``, split an integer budget B proportionally so Σ alloc = B
+    EXACTLY — floor quotas ``(B·t_i) div W`` first, then the leftover
+    seats go to the largest remainders (ties → source name asc). Pure
+    int64 arithmetic (headroom: B·t_i ≤ 1e6 · ~1e12 at 100 TB stays
+    under 2^63), so any engine reproduces the allocation bit-for-bit —
+    no float shares that "almost" sum to B.
+
+    Plan shape: the corpus pays ONE partial-aggregable shuffle down to
+    |sources| rows; every global window after that (supply total, floor
+    -quota total, remainder rank) shares the SAME empty partitioning,
+    so the tiny relation crosses exactly one whitelisted
+    SinglePartition exchange.
+    """
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    per_src = (
+        df.select(F.col(source_col).alias("source"), toks.alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").alias("tokens"))
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("_rem").desc(), F.col("source").asc()
+    )
+    b = F.lit(int(budget)).cast("long")
+    # `div` (integral division) keeps the quota exact in int64 — a
+    # double-division-then-cast would round the operands above 2^53
+    staged = (
+        per_src.select(
+            "source",
+            "tokens",
+            F.sum("tokens").over(w_all).alias("_w"),
+        )
+        .select("source", "tokens", (b * F.col("tokens")).alias("_bt"), "_w")
+        .selectExpr(
+            "source",
+            "tokens",
+            "_bt div _w AS quota",
+            "_bt % _w AS _rem",
+        )
+    )
+    ranked = staged.select(
+        "source",
+        "tokens",
+        "quota",
+        "_rem",
+        F.row_number().over(w_rank).alias("_rk"),
+        F.sum("quota").over(w_all).alias("_qsum"),
+    )
+    extra = F.when(F.col("_rk") <= (b - F.col("_qsum")), F.lit(1)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return ranked.select(
+        "source",
+        "tokens",
+        "quota",
+        extra.alias("extra"),
+        (F.col("quota") + extra).alias("alloc"),
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_chars: int = 8,
+    sort_chars: int = 32,
+    neighbors: int = 2,
+    shingle_k: int = 5,
+    min_jac_milli: int = 100,
+) -> DataFrame:
+    """Blocked sorted-neighborhood dedup (the record-linkage classic,
+    Hernández & Stolfo): sort inside prefix blocks, compare each doc
+    only with its ``neighbors`` successors, verify candidates with
+    exact character-shingle Jaccard. The THIRD candidate-generation
+    family next to MinHash-LSH (set similarity) and SimHash (bit
+    similarity): O(n·w) comparisons with no banding tables at all —
+    the cheap first pass when duplicates cluster under a sort key
+    (crawl URL, title, normalized prefix).
+
+    One shuffle (the block window); each pair verifies by JVM-native
+    ``array_intersect`` over distinct shingle STRINGS — not hashes, so
+    a hash collision can never corrupt the exact Jaccard (the
+    minhash_calibration lesson inverted: sketches estimate, verifiers
+    must be exact). Jaccard reported in exact milli units (int `div`).
+
+    Blocking bounds the window partition (prefix blocks) so one giant
+    sort never materializes; cross-block duplicates are the known SNM
+    blind spot — LSH covers those, which is why both families ship.
+    """
+    from pyspark.sql import Window
+
+    from yandex_tracker_exporter_spark.operators.dedup import _char_shingles
+
+    # shingle each document ONCE before the window and carry the ARRAY
+    # through lead() — shingling pair sides after the explode re-runs
+    # the k-gram transform ~4× per doc (as `a` of two pairs and `b` of
+    # two) and measured 6.9 s vs 2 s at sf0.1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+        F.substring(F.col(text_col), 1, block_chars).alias("_blk"),
+        F.substring(F.col(text_col), 1, sort_chars).alias("_key"),
+    )
+    # all lead() distances ride ONE window projection (one Exchange, one
+    # Sort); a union of per-distance windows re-shuffles the corpus per
+    # neighbor (measured: 3 exchanges instead of 2)
+    w = Window.partitionBy("_blk").orderBy("_key", "_id")
+    led = base.select(
+        F.col("_id").alias("a_id"),
+        F.col("_sh").alias("_sha"),
+        F.array(
+            *[
+                F.struct(
+                    F.lead("_id", d).over(w).alias("b_id"),
+                    F.lead("_sh", d).over(w).alias("b_sh"),
+                )
+                for d in range(1, neighbors + 1)
+            ]
+        ).alias("_nbrs"),
+    )
+    shingled = led.select(
+        "a_id", "_sha", F.explode("_nbrs").alias("_n")
+    ).select(
+        "a_id",
+        F.col("_n.b_id").alias("b_id"),
+        "_sha",
+        F.col("_n.b_sh").alias("_shb"),
+    ).where(F.col("b_id").isNotNull())
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("long")
+    union = (F.size("_sha") + F.size("_shb")).cast("long") - inter
+    # integer `div`, not double-divide-then-cast: a quotient that rounds
+    # up across an integer boundary would disagree with exact floor
+    scored = shingled.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+        inter.alias("_i"),
+        union.alias("_u"),
+    ).selectExpr("a_id", "b_id", "(_i * 1000) div _u AS jac_milli")
+    return (
+        scored.where(F.col("jac_milli") >= min_jac_milli)
+        .groupBy("a_id", "b_id")
+        .agg(F.max("jac_milli").alias("jac_milli"))
+    )
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add-one-smoothed bigram language model in exact milli units:
+    P(w2|w1) ≈ (c12 + 1)·1000 div (c1 + V) — the LM statistic behind
+    perplexity-style quality filters, with the float log-space swapped
+    for integer arithmetic so any engine reproduces every probability
+    bit-for-bit.
+
+    c1 deliberately counts w1 AS A BIGRAM PREFIX (tokens that have a
+    successor), so Σ_w2 P(w2|w1) = 1 under the smoothing — counting
+    raw unigrams instead breaks normalization at every document end.
+
+    Plan: the bigram explode is map-only; two partial-aggregable
+    shuffles (bigram counts, prefix counts ride the same relation);
+    the vocabulary size V — one scalar — comes back via a broadcast
+    single-row join. Bigram/prefix tables are vocabulary²-bounded, not
+    corpus-bounded, so the rollups collapse map-side at any scale.
+    """
+    toks = _tokens(F.col(text_col))
+    bigrams = df.select(toks.alias("_t")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.get(F.col("_t"), i - 1).alias("w1"),
+                    F.get(F.col("_t"), i).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).where(F.col("bg.w2").isNotNull()).select("bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    joined = c12.join(c1, "w1").join(F.broadcast(vocab))
+    p_milli = F.expr("((c12 + 1) * 1000) div (c1 + v)")
+    return joined.select(
+        "w1", "w2", "c12", "c1", F.col("v").cast("long").alias("v"),
+        p_milli.alias("p_milli"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = ("table", "join", "window"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 document ranking for a fixed query — the retrieval scorer a
+    training pipeline uses for quality-targeted sampling and eval-set
+    mining. Classic Robertson/Sparck-Jones shape with ONE substitution:
+    the idf log is replaced by its rational argument
+    ``(N − df + 0.5)/(df + 0.5)`` (same ordering per term, since log is
+    monotone), because ln() is the one place two engines' libm may
+    disagree in the last ulp — every remaining op is +,×,÷ in a fixed
+    association order, bit-identical in any IEEE-754 engine.
+
+    Scale shape: corpus stats (N, Σdl, per-term document frequencies)
+    collapse to ONE row via a partial-aggregable scan, broadcast back
+    onto the corpus (the whitelisted single-row nested-loop join, as in
+    ivf_topk); tf/dl are per-row expressions; the top-k plans as
+    TakeOrderedAndProject — per-partition heads merged on the driver,
+    never a global sort.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("dl")
+    )
+    aggs = [F.sum("dl").alias("_sum_dl"), F.count(F.lit(1)).alias("_n")]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(
+                F.when(F.array_contains("_t", F.lit(t)), 1).otherwise(0)
+            ).alias(f"_df{i}")
+        )
+    stats = base.agg(*aggs)
+    joined = base.join(F.broadcast(stats))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n").cast("double")
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter(F.col("_t"), lambda x: x == F.lit(t))).cast("double")
+        idf_r = (F.col("_n").cast("double") - F.col(f"_df{i}").cast("double") + F.lit(0.5)) / (
+            F.col(f"_df{i}").cast("double") + F.lit(0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        score = score + idf_r * ((tf * F.lit(k1 + 1.0)) / denom)
+    scored = joined.select(F.col(id_col), F.col("dl"), score.alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(topk)
