@@ -2074,6 +2074,64 @@ def q_bm25_rank(spark, sf_dir):
     return bm25_rank(docs).select(F.col("doc_id").cast("long"), "dl", "score")
 
 
+def q_prefix_jaccard_join(spark, sf_dir):
+    """EXACT thresholded set-similarity self-join via AllPairs prefix
+    filtering — every pair with shingle-set Jaccard ≥ 0.7 is found,
+    provably (MinHash-LSH is the probabilistic sibling). Rarest-first
+    prefixes bound the candidate join to low-frequency keys; all joins
+    are equi-joins on shingle/id keys."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    # one blocking partition (a language), the unit a linkage pass runs
+    # per at scale: candidate volume grows ~quadratically with corpus
+    # size inside a block, so production runs block first — the filter
+    # also pushes to the parquet scan
+    docs = _t_wide(spark, sf_dir, "documents").where(F.col("lang") == "de")
+    out = prefix_filter_jaccard_join(docs)
+    return out.select(
+        F.col("a_id").cast("long"), F.col("b_id").cast("long"), "jac_milli"
+    )
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split contamination audit at 16-token-window granularity:
+    the eval-integrity check a hash-based split cannot provide by
+    itself. Windows travel as md5 keys; the split-pair matrix is a
+    bounded rollup."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        split_leakage_audit,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return split_leakage_audit(docs)
+
+
+def q_term_pmi(spark, sf_dir):
+    """Document-level co-occurrence PMI for the top-20 terms in exact
+    milli-rational units (the log of which IS PMI; log is monotone so
+    the ranking is identical and no libm call enters the comparison).
+    Pair explode bounded by k(k−1)/2 per doc — never a corpus
+    self-join."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        term_cooccurrence_pmi,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return term_cooccurrence_pmi(docs)
+
+
+def q_source_gini(spark, sf_dir):
+    """Gini coefficient of token supply across sources, exact int64 —
+    the one-number mixture-balance check. One corpus shuffle down to
+    |sources| rows; rank + fold on the tiny relation."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import source_gini
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return source_gini(docs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2175,6 +2233,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm": q_bigram_lm,
     "cdc_chunks": q_cdc_chunks,
     "bm25_rank": q_bm25_rank,
+    "prefix_jaccard_join": q_prefix_jaccard_join,
+    "split_leakage": q_split_leakage,
+    "term_pmi": q_term_pmi,
+    "source_gini": q_source_gini,
 }
 
 
@@ -4492,3 +4554,132 @@ def _build_bm25_sql(
 
 
 _ORACLES["bm25_rank"] = _build_bm25_sql()
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 3: exact-join / audit / association oracles
+# --------------------------------------------------------------------------
+
+_PFX_HASH_SHINGLES = (
+    "list_sort(list_distinct(list_transform("
+    "range(1, greatest(len(text) - 11, 1) + 1), "
+    "i -> list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(i, i + 12), "
+    "j -> ascii(substr(text, j, 1))::BIGINT)), "
+    "(a, c) -> (a * 131 + c) % 2147483647))))"
+)
+
+_ORACLES["prefix_jaccard_join"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_PFX_HASH_SHINGLES} AS st
+        FROM documents WHERE lang = 'de'
+    ), sz AS (
+        SELECT doc_id, st, len(st)::BIGINT AS s FROM t
+    ), e AS (
+        SELECT doc_id, s, unnest(st) AS tok FROM sz
+    ), dfreq AS (
+        SELECT tok, count(*)::BIGINT AS dfc FROM e GROUP BY tok
+    ), ranked AS (
+        SELECT e.doc_id, e.s, e.tok,
+               row_number() OVER (PARTITION BY e.doc_id
+                                  ORDER BY d.dfc, e.tok) AS rk
+        FROM e JOIN dfreq d ON d.tok = e.tok
+    ), pref AS (
+        SELECT doc_id, s, tok FROM ranked
+        WHERE rk <= s - ((s * 700 + 999) // 1000) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE b.s * 1000 >= a.s * 700 AND a.s * 1000 >= b.s * 700
+    ), v AS (
+        SELECT a_id, b_id,
+               len(list_intersect(ta.st, tb.st))::BIGINT AS i,
+               (len(ta.st) + len(tb.st)
+                - len(list_intersect(ta.st, tb.st)))::BIGINT AS u
+        FROM cand
+        JOIN sz ta ON ta.doc_id = cand.a_id
+        JOIN sz tb ON tb.doc_id = cand.b_id
+    )
+    SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+           ((i * 1000) // u)::BIGINT AS jac_milli
+    FROM v WHERE (i * 1000) // u >= 700
+"""
+
+_ORACLES["split_leakage"] = f"""
+    WITH s AS (
+        SELECT CASE WHEN ({_dd_hash("'split:' || doc_id::VARCHAR")}) % 100 < 90
+                        THEN 'train'
+                    WHEN ({_dd_hash("'split:' || doc_id::VARCHAR")}) % 100 < 95
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents
+    ), w AS (
+        SELECT split,
+               md5(array_to_string(tk[(wi * 16 + 1):(wi * 16 + 16)], ' '))
+                   AS key
+        FROM s, unnest(range(0, greatest((len(tk) + 15) // 16, 1))) AS t(wi)
+    ), ps AS (
+        SELECT key, split, count(*)::BIGINT AS n FROM w GROUP BY key, split
+    ), x AS (
+        SELECT a.split AS split_a, b.split AS split_b,
+               a.n AS na, b.n AS nb
+        FROM ps a JOIN ps b ON a.key = b.key AND a.split < b.split
+    )
+    SELECT split_a, split_b,
+           count(*)::BIGINT AS n_window_keys,
+           sum(na * nb)::BIGINT AS n_window_pairs
+    FROM x GROUP BY split_a, split_b
+"""
+
+_ORACLES["term_pmi"] = """
+    WITH d AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   regexp_split_to_array(trim(text), '\\s+'))) AS st
+        FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(st) AS term FROM d
+    ), dfreq AS (
+        SELECT term, count(*)::BIGINT AS c FROM e GROUP BY term
+    ), top AS (
+        SELECT term, c FROM dfreq ORDER BY c DESC, term ASC LIMIT 20
+    ), kept AS (
+        SELECT e.doc_id, e.term FROM e JOIN top USING (term)
+    ), pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+    ), cab AS (
+        SELECT term_a, term_b, count(*)::BIGINT AS c_ab
+        FROM pairs GROUP BY term_a, term_b
+    ), n AS (SELECT count(*)::BIGINT AS n_docs FROM d)
+    SELECT cab.term_a, cab.term_b, ta.c AS c_a, tb.c AS c_b, cab.c_ab,
+           n.n_docs,
+           ((cab.c_ab * n.n_docs * 1000) // (ta.c * tb.c))::BIGINT
+               AS pmi_milli
+    FROM cab
+    JOIN top ta ON ta.term = cab.term_a
+    JOIN top tb ON tb.term = cab.term_b
+    CROSS JOIN n
+"""
+
+_ORACLES["source_gini"] = """
+    WITH t AS (
+        SELECT source,
+               sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS tokens
+        FROM documents GROUP BY source
+    ), r AS (
+        SELECT tokens,
+               row_number() OVER (ORDER BY tokens ASC, source ASC)::BIGINT
+                   AS i
+        FROM t
+    )
+    SELECT count(*)::BIGINT AS n_sources,
+           sum(tokens)::BIGINT AS total_tokens,
+           (((2 * sum(i * tokens) - (count(*) + 1) * sum(tokens)) * 1000)
+            // (count(*) * sum(tokens)))::BIGINT AS gini_milli
+    FROM r
+"""

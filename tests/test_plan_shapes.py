@@ -179,6 +179,8 @@ def test_cohort_retention_two_aggregation_shuffles(spark):
 #: - bigram_lm / bm25_rank: attach a broadcast SINGLE-ROW corpus-stats
 #:   relation (vocabulary size / N+avgdl+dfs) to every row — the scalar
 #:   join, same shape as ivf_topk's centroid row
+#: - term_pmi: the single-row corpus count attaches to the ≤ k² pair
+#:   rollup (tiny side AND tiny stream), never to the corpus
 _NESTED_LOOP_ALLOWED = {
     "cosine_topk",
     "ivf_topk",
@@ -186,6 +188,7 @@ _NESTED_LOOP_ALLOWED = {
     "knn_classify",
     "bigram_lm",
     "bm25_rank",
+    "term_pmi",
 }
 
 
@@ -216,6 +219,9 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
 #:   shuffle, and all the tiny-relation windows share ONE exchange
 #: - bigram_lm / bm25_rank: the final merge of the single-row global
 #:   stats aggregate (partials combine map-side), as incremental_watermark
+#: - term_pmi: same single-row corpus-count merge
+#: - source_gini: rank + fold over the |sources|-row aggregate (the
+#:   mixture_apportion precedent)
 _SINGLE_PARTITION_ALLOWED = {
     "incremental_watermark",
     "global_rank",
@@ -223,6 +229,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "mixture_apportion",
     "bigram_lm",
     "bm25_rank",
+    "term_pmi",
+    "source_gini",
 }
 
 

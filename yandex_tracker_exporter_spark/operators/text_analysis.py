@@ -914,3 +914,186 @@ def bm25_rank(
         score = score + idf_r * ((tf * F.lit(k1 + 1.0)) / denom)
     scored = joined.select(F.col(id_col), F.col("dl"), score.alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(topk)
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 16,
+) -> DataFrame:
+    """Train/val/test leakage audit at SUB-document granularity: count
+    16-token windows whose exact content appears in more than one
+    split — the contamination check a pipeline must run before
+    reporting eval numbers. A hash-based split assigns by ID and is
+    blind to content duplication BY DESIGN; whole-document fingerprints
+    miss partial copies, so the audit runs on the same non-overlapping
+    token windows as ``duplicated_window_ratio`` (the Lee et al. 2022
+    granularity).
+
+    Windows travel as md5 keys, never text: map-only explode, one
+    partial-aggregable (key, split) count, a ≤3×3 split cross join per
+    leaked key, rollup to the split-pair matrix. Output:
+    split_a < split_b, n_window_keys (leaked distinct windows),
+    n_window_pairs (cross-split occurrence pairs).
+    """
+    assigned = split_assign(df, id_col)
+    toks = _tokens(F.col(text_col))
+    # integer ceil-div, not float ceil: keeps the window count exact in
+    # any engine
+    n_windows = (
+        (F.size(toks) + F.lit(window_tokens - 1)) / F.lit(window_tokens)
+    ).cast("int")
+    exploded = assigned.select(
+        "split",
+        toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0)))).alias(
+            "_w"
+        ),
+    ).select(
+        "split",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_w") * window_tokens + 1, window_tokens),
+                " ",
+            )
+        ).alias("_key"),
+    )
+    per_split = exploded.groupBy("_key", "split").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    a = per_split.select(
+        "_key", F.col("split").alias("split_a"), F.col("_n").alias("_na")
+    )
+    b = per_split.select(
+        "_key", F.col("split").alias("split_b"), F.col("_n").alias("_nb")
+    )
+    crossed = a.join(b, "_key").where(F.col("split_a") < F.col("split_b"))
+    return crossed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_window_keys"),
+        F.sum(F.col("_na") * F.col("_nb")).alias("n_window_pairs"),
+    )
+
+
+def term_cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Document-level co-occurrence PMI (milli-rational) for the top-k
+    corpus terms — the association statistic behind phrase mining and
+    collocation detection, integerized: pmi_milli = (c_ab·N·1000) div
+    (c_a·c_b), the rational core of PMI = log(P(a,b)/(P(a)P(b)))
+    (log is monotone, so ranking by the rational IS ranking by PMI —
+    and no libm call enters the cross-engine comparison). > 1000 means
+    positive association, < 1000 repulsion.
+
+    Scale shape: doc frequencies are one partial-aggregable shuffle;
+    the top-k list (TakeOrderedAndProject) broadcasts as a semi-join
+    filter, so each document contributes only its PRESENT top-k subset
+    — the pair explode is bounded by k(k−1)/2 per doc, never a corpus
+    self-join. The pair rollup lands on ≤ k² keys; the single-row
+    corpus count attaches to THAT tiny relation (broadcast nested
+    loop over k² rows, not the corpus).
+
+    Output: term_a < term_b, c_a, c_b, c_ab, n_docs, pmi_milli.
+    """
+    toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
+    docs = df.select(F.col(id_col).alias("_rid"), toks.alias("_set"))
+    present = docs.select(F.explode("_set").alias("term"))
+    dfreq = present.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = dfreq.orderBy(F.col("c").desc(), F.col("term").asc()).limit(top_k)
+    n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = docs.select("_rid", F.explode("_set").alias("term")).join(
+        F.broadcast(top.select("term")), "term"
+    )
+    per_doc = kept.groupBy("_rid").agg(
+        F.array_sort(F.collect_list("term")).alias("_present")
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_present"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_present"),
+                            i + 2,
+                            F.greatest(
+                                F.size("_present") - i - 1, F.lit(0)
+                            ).cast("int"),
+                        ),
+                        lambda b: F.struct(a.alias("term_a"), b.alias("term_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.term_a", "p.term_b")
+    c_ab = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    with_freqs = (
+        c_ab.join(
+            F.broadcast(top.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(top.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))),
+            "term_b",
+        )
+        .join(F.broadcast(n_row))
+    )
+    return with_freqs.selectExpr(
+        "term_a",
+        "term_b",
+        "c_a",
+        "c_b",
+        "c_ab",
+        "n_docs",
+        "(c_ab * n_docs * 1000) div (c_a * c_b) AS pmi_milli",
+    )
+
+
+def source_gini(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of the token supply across sources, in exact
+    milli units — the one-number balance check for a training mixture
+    (0 = perfectly even, →1000 = one source holds everything):
+
+        gini_milli = ((2·Σ i·x_i − (n+1)·Σx) · 1000) div (n · Σx)
+
+    with x sorted ascending and i the 1-based rank. Pure int64, so any
+    engine reproduces it bit-for-bit. The corpus pays one
+    partial-aggregable shuffle down to |sources| rows; the rank window
+    and the final fold run on that tiny relation through one
+    whitelisted SinglePartition exchange (the mixture_apportion
+    precedent).
+
+    Output: one row — n_sources, total_tokens, gini_milli.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    per_src = (
+        df.select(F.col(source_col).alias("source"), toks.alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").alias("tokens"))
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.col("tokens").asc(), F.col("source").asc()
+    )
+    ranked = per_src.select(
+        "tokens", F.row_number().over(w_rank).cast("long").alias("_i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.col("_i") * F.col("tokens")).alias("_iwx"),
+    ).selectExpr(
+        "n_sources",
+        "total_tokens",
+        "((2 * _iwx - (n_sources + 1) * total_tokens) * 1000)"
+        " div (n_sources * total_tokens) AS gini_milli",
+    )
