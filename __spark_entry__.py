@@ -2132,6 +2132,89 @@ def q_source_gini(spark, sf_dir):
     return source_gini(docs)
 
 
+def _copurchase_edges(spark, sf_dir):
+    """The 1995 part co-purchase graph (shared with triangle_count)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+    )
+    left = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    right = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    return (
+        left.join(right, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph by synchronous peeling —
+    the cohesion filter between raw degree and community detection.
+    Fixed 8-round unroll so the oracle replays the identical recurrence
+    as a CTE chain (the pagerank/kmeans pattern for iterative
+    algorithms); a pytest pins that the fixpoint is reached within the
+    budget, where extra rounds are no-ops. Per round only node-sized
+    relations move — the edge list is checkpointed once."""
+    from yandex_tracker_exporter_spark.operators.graph import kcore
+
+    out = kcore(_copurchase_edges(spark, sf_dir), k=3, rounds=8)
+    return out.select(F.col("node").cast("long"), "core_deg")
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """Kimball SCD2 history built from the raw change stream: one row
+    per (entity, value) run with [valid_from, valid_to) validity and an
+    is_current flag — lag-compare keeps change points, lead closes the
+    intervals, both windows ride ONE entity shuffle."""
+    from yandex_tracker_exporter_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_intervals(ev)
+    return out.select(
+        F.col("entity").cast("long"),
+        "value",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+def q_table_profile(spark, sf_dir):
+    """Per-column null/distinct profile of orders in ONE aggregation
+    pass (3 measures × 6 columns, partial-aggregable; stack() unpivots
+    the single row) — the data-quality gate before trusting a drop.
+    Never one job per column."""
+    from yandex_tracker_exporter_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
+def q_reset_running_total(spark, sf_dir):
+    """Gaps-and-islands cumulative: per-user running cents that RESET
+    after a >1h quiet gap. Both windows (session labeling, cumulative
+    sum) ride one entity shuffle — the (entity, session) partition is a
+    refinement the hash distribution already satisfies, so the plan
+    carries a sort, not a second exchange (plan-asserted)."""
+    from yandex_tracker_exporter_spark.operators.temporal import (
+        reset_running_total,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return reset_running_total(ev)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2237,6 +2320,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "term_pmi": q_term_pmi,
     "source_gini": q_source_gini,
+    "kcore_3": q_kcore,
+    "scd2_intervals": q_scd2_intervals,
+    "table_profile": q_table_profile,
+    "reset_running_total": q_reset_running_total,
 }
 
 
@@ -4682,4 +4769,137 @@ _ORACLES["source_gini"] = """
            (((2 * sum(i * tokens) - (count(*) + 1) * sum(tokens)) * 1000)
             // (count(*) * sum(tokens)))::BIGINT AS gini_milli
     FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 4: graph peeling / temporal / profiling oracles
+# --------------------------------------------------------------------------
+
+
+def _build_kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled synchronous peeling, mirroring operators.graph.kcore."""
+    # MATERIALIZED: without it DuckDB inlines the edge CTE into every
+    # unrolled round — dozens of simultaneous parquet scans (EMFILE)
+    ctes = [
+        """e AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+          AND b.l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+    )""",
+        """a0 AS MATERIALIZED (
+        SELECT u AS node FROM e UNION SELECT v AS node FROM e
+    )""",
+    ]
+    for i in range(1, rounds + 2):
+        prev = f"a{i - 1}"
+        ctes.append(f"""d{i} AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT e.u AS node FROM e
+            JOIN {prev} x ON x.node = e.u JOIN {prev} y ON y.node = e.v
+            UNION ALL
+            SELECT e.v AS node FROM e
+            JOIN {prev} x ON x.node = e.u JOIN {prev} y ON y.node = e.v
+        ) GROUP BY node
+    )""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+        SELECT node FROM d{i} WHERE deg >= {k}
+    )""")
+    final = rounds + 1
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT node::BIGINT AS node, deg AS core_deg
+    FROM d{final} WHERE deg >= {k}
+    """
+    )
+
+
+_ORACLES["kcore_3"] = _build_kcore_sql()
+
+_ORACLES["scd2_intervals"] = """
+    WITH b AS (
+        SELECT user_id AS entity,
+               floor(epoch(ts))::BIGINT AS ep, ts, event_id,
+               json_extract_string(props, '$.k')::BIGINT AS value
+        FROM events
+    ), m AS (
+        SELECT entity, ep, value,
+               row_number() OVER w AS rn,
+               lag(value) OVER w AS prev
+        FROM b WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT entity, ep, value,
+               row_number() OVER (PARTITION BY entity ORDER BY rn) AS crn
+        FROM m
+        WHERE rn = 1 OR (value IS DISTINCT FROM prev)
+    )
+    SELECT entity::BIGINT AS entity, value,
+           ep AS valid_from,
+           coalesce(lead(ep) OVER w2, 9999999999)::BIGINT AS valid_to,
+           (CASE WHEN lead(ep) OVER w2 IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS is_current
+    FROM ch WINDOW w2 AS (PARTITION BY entity ORDER BY crn)
+"""
+
+_ORACLES["table_profile"] = """
+    SELECT u.column_name,
+           (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+           u.n_nulls::BIGINT AS n_nulls,
+           u.n_distinct::BIGINT AS n_distinct
+    FROM (
+        SELECT 'o_orderkey' AS column_name,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderpriority) FROM orders
+    ) u
+"""
+
+_ORACLES["reset_running_total"] = """
+    WITH b AS (
+        SELECT user_id AS entity, ts, event_id,
+               floor(epoch(ts))::BIGINT AS ep,
+               floor(value * 100)::BIGINT AS cents
+        FROM events
+    ), f AS (
+        SELECT entity, ts, event_id, ep, cents,
+               CASE WHEN lag(ep) OVER w IS NULL
+                      OR ep - lag(ep) OVER w > 3600
+                    THEN 1 ELSE 0 END AS newf
+        FROM b WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+    ), s AS (
+        SELECT entity, ts, event_id, ep, cents,
+               sum(newf) OVER (PARTITION BY entity ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS session_idx
+        FROM f
+    )
+    SELECT entity::BIGINT AS entity, event_id::BIGINT AS event_id,
+           ep AS epoch_s, session_idx,
+           sum(cents) OVER (PARTITION BY entity, session_idx
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS running_cents
+    FROM s
 """

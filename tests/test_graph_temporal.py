@@ -1,0 +1,147 @@
+"""Unit tests for k-core peeling, SCD2 intervals, resetting running
+totals, and the one-pass table profile."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from yandex_tracker_exporter_spark.operators.graph import kcore
+from yandex_tracker_exporter_spark.operators.profile import profile_table
+from yandex_tracker_exporter_spark.operators.temporal import (
+    SCD2_OPEN_END,
+    reset_running_total,
+    scd2_intervals,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_triangle_plus_tail(spark):
+    """A triangle with a pendant path: the 2-core is exactly the
+    triangle (the tail peels away over two rounds)."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["core_deg"] for r in kcore(df, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    edges = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert kcore(df, k=3, rounds=3).count() == 0
+
+
+def test_kcore_contract_rounds_reach_fixpoint(spark):
+    """The contract's fixed 8-round unroll must reach the peeling
+    fixpoint on the harness graph — at the fixpoint an extra round is a
+    no-op, so the unrolled oracle equals true k-core."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    edges = entry_mod._copurchase_edges(spark, sf)
+    r8 = sorted(
+        (r["node"], r["core_deg"]) for r in kcore(edges, k=3, rounds=8).collect()
+    )
+    r9 = sorted(
+        (r["node"], r["core_deg"]) for r in kcore(edges, k=3, rounds=9).collect()
+    )
+    assert r8 == r9 and r8
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_runs_and_intervals(spark):
+    """Value runs collapse; intervals chain [from, to); the open run
+    carries the sentinel and is_current."""
+    rows = [
+        (7, 1, _ts(0), '{"k": 10}'),
+        (7, 2, _ts(1), '{"k": 10}'),   # same run
+        (7, 3, _ts(2), '{"k": 20}'),   # change
+        (7, 4, _ts(3), '{"k": 10}'),   # change back
+        (8, 5, _ts(0), '{"k": 5}'),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "props"])
+    out = sorted(
+        (
+            (r["entity"], r["value"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_intervals(df).collect()
+        )
+    )
+    e = lambda h: int(_ts(h).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out == [
+        (7, 10, e(0), e(2), 0),
+        (7, 10, e(3), SCD2_OPEN_END, 1),
+        (7, 20, e(2), e(3), 0),
+        (8, 5, e(0), SCD2_OPEN_END, 1),
+    ]
+
+
+def test_scd2_intervals_tile_without_overlap(spark):
+    """On the harness stream, per entity the intervals are disjoint,
+    ordered, and every closed interval's end equals the next start."""
+    import os
+
+    from yandex_tracker_exporter_spark.sources.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    events = load_table(spark, sf, "events")
+    out = scd2_intervals(events.limit(2000)).collect()
+    by_entity = {}
+    for r in out:
+        by_entity.setdefault(r["entity"], []).append(r)
+    assert by_entity
+    for rows in by_entity.values():
+        rows.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["is_current"] == 0
+        assert rows[-1]["is_current"] == 1
+        assert rows[-1]["valid_to"] == SCD2_OPEN_END
+
+
+# ---------------------------------------------------------------------------
+# resetting running total
+# ---------------------------------------------------------------------------
+
+
+def test_reset_running_total_resets_after_gap(spark):
+    rows = [
+        (1, 1, _ts(0, 0), 1.00),
+        (1, 2, _ts(0, 30), 2.00),   # same session (30 min)
+        (1, 3, _ts(2, 0), 4.00),    # 90 min gap → reset
+        (1, 4, _ts(2, 10), 0.50),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = {r["event_id"]: r for r in reset_running_total(df).collect()}
+    assert out[1]["running_cents"] == 100
+    assert out[2]["running_cents"] == 300
+    assert out[3]["running_cents"] == 400  # reset
+    assert out[4]["running_cents"] == 450
+    assert out[1]["session_idx"] == 1 and out[3]["session_idx"] == 2
+
+
+# ---------------------------------------------------------------------------
+# table profile
+# ---------------------------------------------------------------------------
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        ["x", "y"],
+    )
+    out = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 3
+    assert out["y"]["n_nulls"] == 1 and out["y"]["n_distinct"] == 2

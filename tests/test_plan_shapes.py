@@ -222,6 +222,8 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
 #: - term_pmi: same single-row corpus-count merge
 #: - source_gini: rank + fold over the |sources|-row aggregate (the
 #:   mixture_apportion precedent)
+#: - table_profile: the single-row final merge of the one-pass profile
+#:   aggregate (the watermark shape); stack() unpivots the one row
 _SINGLE_PARTITION_ALLOWED = {
     "incremental_watermark",
     "global_rank",
@@ -231,6 +233,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "bm25_rank",
     "term_pmi",
     "source_gini",
+    "table_profile",
 }
 
 
@@ -380,3 +383,15 @@ def test_zscore_moments_broadcast_back(spark):
     df = entry_mod.queries()["zscore_outliers"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_temporal_windows_share_one_exchange(spark):
+    """scd2_intervals and reset_running_total each compose two window
+    passes whose second partition key REFINES the first (entity →
+    entity+session): the hash distribution already satisfies the
+    clustered requirement, so exactly ONE exchange appears."""
+    for name in ("scd2_intervals", "reset_running_total"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name

@@ -178,3 +178,71 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("rank").alias("rank_e9"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly delete
+    every node whose degree in the surviving subgraph is < k; what
+    remains is the k-core — the standard cohesion filter (spam/bot
+    subgraph mining, community seeding) between per-node degree and
+    full community detection.
+
+    The peeling loop is run for a FIXED number of synchronous rounds so
+    a SQL oracle can unroll the identical recurrence as a CTE chain
+    (the pagerank/kmeans pattern for oracle-checking ITERATIVE
+    algorithms); a pytest asserts the fixpoint is reached within the
+    budget on the harness graphs — at the fixpoint extra rounds are
+    no-ops, so the fixed unroll equals true k-core.
+
+    Scale shape per round: the edge list stays put (checkpointed once);
+    the alive-node vector (one id per node) drives two semi-joins and
+    one partial-aggregable degree count — only node-sized relations
+    move, exactly like the pagerank rank vector. Output: (node,
+    core_deg) for k-core members, with their degree inside the core.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = (
+        e.select(F.col("_u").alias("node"))
+        .unionAll(e.select(F.col("_v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _degrees(alive_df: DataFrame) -> DataFrame:
+        live = (
+            e.join(alive_df.select(F.col("node").alias("_u")), "_u", "leftsemi")
+            .join(alive_df.select(F.col("node").alias("_v")), "_v", "leftsemi")
+        )
+        return (
+            live.select(F.col("_u").alias("node"))
+            .unionAll(live.select(F.col("_v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        deg = _degrees(alive)
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        _degrees(alive)
+        .where(F.col("deg") >= k)
+        .select("node", F.col("deg").alias("core_deg"))
+    )

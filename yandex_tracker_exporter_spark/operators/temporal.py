@@ -1,0 +1,144 @@
+"""Temporal warehouse operators: SCD2 interval construction and
+session-scoped (resetting) running totals.
+
+Both are single-shuffle window compositions — the second window in each
+partitions by a REFINEMENT of the first's key, which Spark satisfies
+with the existing hash distribution (ClusteredDistribution subset rule),
+so no second exchange appears; plan tests pin that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: far-future epoch standing in for "current" SCD2 rows (NULL would be
+#: engine-dependent in sort/compare paths; a sentinel is explicit)
+SCD2_OPEN_END = 9_999_999_999
+
+
+def scd2_intervals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_expr: str = "get_json_object(props, '$.k')",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension table from a change
+    stream: one row per (entity, value) RUN with its validity interval
+    [valid_from, valid_to) — the standard warehouse history shape
+    (Kimball SCD2), derived here from raw events instead of maintained
+    by MERGE triggers.
+
+    Consecutive events carrying the same value collapse into one run
+    (lag-compare keeps only change points); each run's valid_to is the
+    next change's timestamp, and the open run gets the explicit
+    ``SCD2_OPEN_END`` sentinel with is_current = 1.
+
+    One shuffle: both windows (lag for change detection, lead for the
+    interval close) partition by the entity and ride one sort. Epochs
+    are floored seconds per the repo timestamp rule.
+    """
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    val = F.expr(value_expr).cast("long")
+    w1 = Window.partitionBy("entity").orderBy("_ts", "_id")
+    marked = events.select(
+        F.col(user_col).alias("entity"),
+        epoch.alias("_ep"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        val.alias("value"),
+    ).select(
+        "entity",
+        "_ep",
+        "_ts",
+        "_id",
+        "value",
+        F.row_number().over(w1).alias("_rn"),
+        F.lag("value").over(w1).alias("_prev"),
+    )
+    # change points: the run starts (rn=1 marks it explicitly — a
+    # null-safe compare against lag's null would swallow a leading
+    # null value) or the value differs null-safely from its predecessor
+    changes = marked.where(
+        (F.col("_rn") == 1) | (~F.col("value").eqNullSafe(F.col("_prev")))
+    )
+    w2 = Window.partitionBy("entity").orderBy("_ts", "_id")
+    return changes.select(
+        "entity",
+        "value",
+        F.col("_ep").alias("valid_from"),
+        F.coalesce(F.lead("_ep").over(w2), F.lit(SCD2_OPEN_END))
+        .cast("long")
+        .alias("valid_to"),
+        F.when(F.lead("_ep").over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+def reset_running_total(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_seconds: int = 3600,
+) -> DataFrame:
+    """Running total that RESETS whenever the entity goes quiet for
+    longer than ``gap_seconds`` — the gaps-and-islands cumulative
+    (basket totals per visit, usage per burst). Two window passes over
+    ONE entity shuffle: the gap flag's running sum labels sessions,
+    then the cumulative sum re-partitions by (entity, session) — a
+    refinement the existing hash distribution already satisfies, so
+    Catalyst plans a sort, not a second exchange.
+
+    Values are fixed-pointed to cents (the zscore_outliers convention)
+    so the running sums are exact int64.
+    """
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy("entity").orderBy("_ts", "_id")
+    base = events.select(
+        F.col(user_col).alias("entity"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        epoch.alias("_ep"),
+        cents.alias("_cents"),
+    )
+    flagged = base.select(
+        "entity",
+        "_ts",
+        "_id",
+        "_ep",
+        "_cents",
+        F.when(
+            F.lag("_ep").over(w).isNull()
+            | ((F.col("_ep") - F.lag("_ep").over(w)) > gap_seconds),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    with_session = flagged.select(
+        "entity",
+        "_ts",
+        "_id",
+        "_ep",
+        "_cents",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("session_idx"),
+    )
+    w_sess = Window.partitionBy("entity", "session_idx").orderBy("_ts", "_id")
+    return with_session.select(
+        "entity",
+        F.col("_id").cast("long").alias("event_id"),
+        F.col("_ep").alias("epoch_s"),
+        "session_idx",
+        F.sum("_cents")
+        .over(w_sess.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("running_cents"),
+    )
