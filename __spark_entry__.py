@@ -2215,6 +2215,101 @@ def q_reset_running_total(spark, sf_dir):
     return reset_running_total(ev)
 
 
+def q_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between customer and
+    supplier nations by ship year — four broadcast dimension hops onto
+    the fact scan, revenue in floored cents so the rollup is exact
+    int64, one partial-aggregable shuffle on (nation, nation, year)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("_ck"),
+                                      F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("_ck"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("_sk"),
+                                      F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("_sk"),
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    ).agg(F.sum(rev_cents).alias("revenue_cents"))
+
+
+def q_ewma_daily(spark, sf_dir):
+    """Per-type EWMA over the daily mean value: the smoothing recursion
+    as a LEFT FOLD over the calendar-bounded daily relation, so the
+    floats are bit-identical on any engine (the NOTES left-fold rule).
+    One corpus shuffle; the fold runs on one row per (type, day)."""
+    from yandex_tracker_exporter_spark.operators.funnel import ewma_daily
+
+    return ewma_daily(_t(spark, sf_dir, "events"))
+
+
+def q_event_pattern(spark, sf_dir):
+    """Contiguous view→click→purchase occurrences per user (stricter
+    than window_funnel's skip-tolerant semantics): streams compress to
+    initial-letter strings via the deterministic sort-inside-aggregate,
+    matches count by the replace-length trick — integer end to end,
+    one shuffle."""
+    from yandex_tracker_exporter_spark.operators.funnel import event_pattern_count
+
+    return event_pattern_count(_t(spark, sf_dir, "events"))
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (bin = clamped
+    floor(v/5), 20 bins) — the distribution profile for drift
+    monitors. One partial-aggregable shuffle on |types|×bins keys."""
+    from yandex_tracker_exporter_spark.operators.funnel import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"))
+
+
+def q_kmv_intersection(spark, sf_dir):
+    """KMV (bottom-k / theta) sketch intersections: per-type bottom-64
+    user hashes, pairwise distinct-intersection estimates in pure
+    integer arithmetic, audited against the exact intersection counts.
+    The sketch that gives SET OPERATIONS (HLL cannot), completing the
+    sketch family: HLL distinct, CMS frequency, histogram quantiles,
+    Bloom membership, KMV intersection."""
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        kmv_bottom_k,
+        kmv_intersection_estimates,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_bottom_k(ev, "user_id", "event_type")
+    est = kmv_intersection_estimates(sk)
+    a = ev.select(F.col("event_type").alias("grp_a"), "user_id").distinct()
+    b = ev.select(F.col("event_type").alias("grp_b"), "user_id").distinct()
+    exact = (
+        a.join(b, "user_id")
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return est.join(F.broadcast(exact), ["grp_a", "grp_b"]).select(
+        "grp_a", "grp_b", "est_union", "est_inter", "exact_inter"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2324,6 +2419,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_intervals": q_scd2_intervals,
     "table_profile": q_table_profile,
     "reset_running_total": q_reset_running_total,
+    "trade_volume_q7": q_trade_volume,
+    "ewma_daily": q_ewma_daily,
+    "event_pattern": q_event_pattern,
+    "value_histogram": q_value_histogram,
+    "kmv_intersection": q_kmv_intersection,
 }
 
 
@@ -4902,4 +5002,124 @@ _ORACLES["reset_running_total"] = """
                             ROWS UNBOUNDED PRECEDING)::BIGINT
                AS running_cents
     FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 5: trade volume / smoothing / patterns / KMV oracles
+# --------------------------------------------------------------------------
+
+_ORACLES["trade_volume_q7"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate)::BIGINT AS ship_year,
+           sum(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)::BIGINT)
+               ::BIGINT AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE l.l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""
+
+
+def _build_ewma_sql(alpha_milli: int = 300) -> str:
+    a = repr(alpha_milli / 1000.0)
+    b = repr(1.0 - alpha_milli / 1000.0)
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS s,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type, day_epoch
+    ), dm AS (
+        SELECT event_type, day_epoch, s::DOUBLE / n::DOUBLE AS day_mean,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_epoch) AS i
+        FROM daily
+    ), r AS (
+        SELECT event_type, day_epoch, day_mean, i, day_mean AS ewma
+        FROM dm WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.day_epoch, s.day_mean, s.i,
+               {a} * s.day_mean + {b} * r.ewma
+        FROM dm s JOIN r ON s.event_type = r.event_type AND s.i = r.i + 1
+    )
+    SELECT event_type, day_epoch, day_mean, ewma FROM r
+    """
+
+
+_ORACLES["ewma_daily"] = _build_ewma_sql()
+
+_ORACLES["event_pattern"] = """
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id::BIGINT AS user_id,
+           length(seq)::BIGINT AS seq_len,
+           ((length(seq) - length(replace(seq, 'vcp', ''))) // 3)::BIGINT
+               AS n_matches
+    FROM s
+"""
+
+_ORACLES["value_histogram"] = """
+    SELECT event_type,
+           least(greatest(floor(value / 5.0), 0), 19)::BIGINT AS bin,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type, bin
+"""
+
+_KMV_HASH = _dd_hash("user_id::VARCHAR || ':kmv'")
+
+_ORACLES["kmv_intersection"] = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type AS grp,
+               ((({_KMV_HASH}) * ({_KMV_HASH}) + ({_KMV_HASH}))
+                % 2147483647) AS hv
+        FROM events
+    ), rk AS (
+        SELECT grp, hv,
+               row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+        FROM h
+    ), sk AS (
+        SELECT grp, list(hv ORDER BY hv) AS kmv
+        FROM rk WHERE rk <= 64 GROUP BY grp
+    ), pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b, a.kmv AS ka, b.kmv AS kb
+        FROM sk a JOIN sk b ON a.grp < b.grp
+    ), m AS (
+        SELECT grp_a, grp_b, ka, kb,
+               list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS merged
+        FROM pairs
+    ), st AS (
+        SELECT grp_a, grp_b,
+               len(merged)::BIGINT AS n,
+               merged[len(merged)]::BIGINT AS theta,
+               len(list_filter(merged,
+                   x -> list_contains(ka, x) AND list_contains(kb, x)))
+                   ::BIGINT AS nboth
+        FROM m
+    ), est AS (
+        SELECT grp_a, grp_b,
+               (((n - 1) * 2147483647) // theta)::BIGINT AS est_union,
+               ((nboth * (((n - 1) * 2147483647) // theta)) // n)::BIGINT
+                   AS est_inter
+        FROM st
+    ), exact AS (
+        SELECT a.grp_a, b.grp_b, count(*)::BIGINT AS exact_inter
+        FROM (SELECT DISTINCT event_type AS grp_a, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type AS grp_b, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.grp_a < b.grp_b
+        GROUP BY a.grp_a, b.grp_b
+    )
+    SELECT est.grp_a, est.grp_b, est.est_union, est.est_inter,
+           exact.exact_inter
+    FROM est JOIN exact ON exact.grp_a = est.grp_a
+                       AND exact.grp_b = est.grp_b
 """

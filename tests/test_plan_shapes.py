@@ -181,6 +181,8 @@ def test_cohort_retention_two_aggregation_shuffles(spark):
 #:   join, same shape as ivf_topk's centroid row
 #: - term_pmi: the single-row corpus count attaches to the ≤ k² pair
 #:   rollup (tiny side AND tiny stream), never to the corpus
+#: - kmv_intersection: the |groups|² sketch-pair theta join — sketch
+#:   rows only (k ints per group), never raw data
 _NESTED_LOOP_ALLOWED = {
     "cosine_topk",
     "ivf_topk",
@@ -189,6 +191,7 @@ _NESTED_LOOP_ALLOWED = {
     "bigram_lm",
     "bm25_rank",
     "term_pmi",
+    "kmv_intersection",
 }
 
 

@@ -165,3 +165,47 @@ def test_label_centroids_single_vector_identity(spark):
     assert rows[0]["centroid_milli"] == 127_000
     assert rows[1]["centroid_milli"] == -63_000  # floor(-0.5*127 + 0.5) = -63
     assert rows[2]["centroid_milli"] == 0
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) intersection sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    """With fewer than k distinct values per group the sketch IS the
+    full hashed set, so union/intersection estimates are exact counts
+    (theta = max hash observed ≈ full-range scaling cancels collapse):
+    the small-regime behavior is pinned, not hidden."""
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        kmv_bottom_k,
+        kmv_intersection_estimates,
+    )
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(15, 45)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    sk = kmv_bottom_k(df, "user_id", "event_type", k=64)
+    out = kmv_intersection_estimates(sk, k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # below k the merged sample is the whole union: the sample Jaccard
+    # is exact, so est_inter == floor(est_union * 15/45)
+    assert 0 <= r["est_union"] * 15 - r["est_inter"] * 45 < 45
+
+
+def test_kmv_estimates_track_exact_on_harness(spark):
+    """At sf0.001 the per-type distinct-user counts exceed k: estimates
+    must land within 40% of exact (k=64 ⇒ ~1/8 relative error typical;
+    the floor here is deliberately loose but fails on any logic bug)."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["kmv_intersection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["est_inter"] >= 0
+        if r["exact_inter"] >= 50:
+            assert abs(r["est_inter"] - r["exact_inter"]) <= 0.4 * r["exact_inter"], r

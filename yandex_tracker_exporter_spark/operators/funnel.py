@@ -206,3 +206,144 @@ def event_transitions(
         F.count(F.lit(1)).alias("n_trans"),
         F.sum("_gap_s").cast("long").alias("sum_gap_s"),
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha_milli: int = 300,
+) -> DataFrame:
+    """Per-type exponentially weighted moving average over the daily
+    mean value — the smoothing every metrics dashboard applies, made
+    cross-engine exact: the recursion ewma_t = α·x_t + (1−α)·ewma_{t−1}
+    is a LEFT FOLD over the day-ordered series, built with
+    ``aggregate`` appending to an array accumulator so the whole series
+    comes out of one pass. α enters as two double literals parsed
+    identically by any engine; every step is the same fixed-order
+    IEEE +,×, so the floats match bit-for-bit (the NOTES left-fold
+    rule).
+
+    Scale shape: the corpus pays one partial-aggregable (type, day)
+    shuffle; the fold runs on the calendar-bounded daily relation
+    (one row per day per type — tiny at any corpus size, the
+    moving_avg_daily argument). Output: event_type, day_epoch,
+    day_mean, ewma.
+    """
+    alpha = alpha_milli / 1000.0
+    day_epoch = F.floor(F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))).cast(
+        "long"
+    )
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    daily = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            day_epoch.alias("day_epoch"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "day_epoch")
+        .agg(F.sum("_c").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            "day_epoch",
+            (F.col("_sum").cast("double") / F.col("_n").cast("double")).alias(
+                "day_mean"
+            ),
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day_epoch", "day_mean"))
+        ).alias("_days")
+    )
+    folded = series.select(
+        "event_type",
+        "_days",
+        F.aggregate(
+            F.col("_days"),
+            F.array().cast("array<double>"),
+            lambda acc, d: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, d["day_mean"]).otherwise(
+                        F.lit(alpha) * d["day_mean"]
+                        + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ).alias("_ewma"),
+    )
+    zipped = folded.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("_days", "_ewma")).alias("_i", "_z"),
+    )
+    return zipped.select(
+        "event_type",
+        F.col("_z._days.day_epoch").alias("day_epoch"),
+        F.col("_z._days.day_mean").alias("day_mean"),
+        F.col("_z._ewma").alias("ewma"),
+    )
+
+
+def event_pattern_count(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    pattern: str = "vcp",
+) -> DataFrame:
+    """Count CONTIGUOUS occurrences of an event-type pattern in each
+    user's stream (view→click→purchase with nothing in between) —
+    stricter than window_funnel's skip-tolerant match; the pair
+    completes the sequence-mining surface.
+
+    Each user's stream compresses to a string of type initials via the
+    sort-inside-aggregate pattern (collect structs, array_sort — the
+    deterministic ordered-collect from top_sources_agg); occurrences
+    count by the replace-length trick, all integer. One shuffle.
+
+    Output: user_id, seq_len, n_matches.
+    """
+    initial = F.substring(F.col(type_col), 1, 1)
+    per_user = events.select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), initial.alias("ch")
+        ).alias("_s"),
+    ).groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["ch"]),
+            "",
+        ).alias("_seq")
+    )
+    plen = len(pattern)
+    return per_user.select(
+        F.col("user_id").cast("long"),
+        F.length("_seq").cast("long").alias("seq_len"),
+        F.expr(
+            f"(length(_seq) - length(replace(_seq, '{pattern}', ''))) div {plen}"
+        ).alias("n_matches"),
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: int = 5,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equi-width value histogram per type: bin = clamp(floor(v / w)).
+    The one-shuffle, partial-aggregable distribution profile (bounded
+    key space |types| × bins) that feeds drift monitors."""
+    bin_col = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(float(bin_width))), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        events.select(F.col(type_col).alias("event_type"), bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -40,7 +40,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from yandex_tracker_exporter_spark.operators.dedup import _hash64
+from yandex_tracker_exporter_spark.operators.dedup import MINHASH_PRIME, _hash64
 
 HLL_P = 6
 HLL_M = 1 << HLL_P  # 64 registers
@@ -178,7 +178,7 @@ def cms_counters(
     a DuckDB oracle reproduces every counter bit-for-bit (Spark's
     built-in uses JVM-private xxHash seeds).
     """
-    from yandex_tracker_exporter_spark.operators.dedup import _hash64
+    from yandex_tracker_exporter_spark.operators.dedup import MINHASH_PRIME, _hash64
 
     salts = F.array(*[F.lit(d) for d in range(depth)])
     exploded = term_counts.select(
@@ -212,7 +212,7 @@ def cms_estimate(
     MIN over the ``depth`` counters each key hashes into. ``keys`` is
     driver-small (a top-k list) and broadcasts; ``counters`` is ≤
     depth × width rows, so the join never shuffles anything big."""
-    from yandex_tracker_exporter_spark.operators.dedup import _hash64
+    from yandex_tracker_exporter_spark.operators.dedup import MINHASH_PRIME, _hash64
 
     salts = F.array(*[F.lit(d) for d in range(depth)])
     probes = keys.select(
@@ -233,3 +233,86 @@ def cms_estimate(
     )
     joined = F.broadcast(probes).join(counters, ["salt", "bucket"])
     return joined.groupBy(term_col).agg(F.min("cnt").alias("est_cnt"))
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values (KMV / bottom-k) sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group bottom-k value hashes — the KMV (theta) distinct
+    sketch. Unlike HLL it supports SET OPERATIONS: two groups' sketches
+    merge by taking the k smallest of the union, and the intersection
+    cardinality estimates from the Jaccard of the merged sample
+    (Beyer et al. 2007). One shuffle (window rank per group); the
+    retained state is k int64 per group.
+    """
+    from pyspark.sql import Window
+
+    h = _mixed_hash(F.col(value_col).cast("string"), ":kmv")
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("_h")).distinct()
+    w = Window.partitionBy("grp").orderBy("_h")
+    return (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_intersection_estimates(
+    sketches: DataFrame,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Pairwise distinct-intersection estimates from KMV sketches.
+
+    For groups A, B: merge the two sorted bottom-k lists, keep the k
+    smallest (the union's KMV); θ = the kth value. The union estimate
+    is ``(k−1)·M div θ`` (M = hash-space size) and the intersection
+    scales it by the Jaccard of the merged sample — every step integer
+    `div`, bit-identical anywhere. The pair join is |groups|²-bounded
+    (sketch rows, never raw data).
+
+    Output: grp_a < grp_b, est_union, est_inter.
+    """
+    a = sketches.select(F.col("grp").alias("grp_a"), F.col("kmv").alias("_ka"))
+    b = sketches.select(F.col("grp").alias("grp_b"), F.col("kmv").alias("_kb"))
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union("_ka", "_kb")), 1, k
+    )
+    n_merged = F.size(merged).cast("long")
+    theta = F.element_at(merged, n_merged.cast("int"))
+    in_both = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(F.col("_ka"), x)
+            & F.array_contains(F.col("_kb"), x),
+        )
+    ).cast("long")
+    est_union = F.expr(
+        f"((_n - 1) * {MINHASH_PRIME}) div _theta"
+    )
+    staged = pairs.select(
+        "grp_a",
+        "grp_b",
+        n_merged.alias("_n"),
+        theta.alias("_theta"),
+        in_both.alias("_both"),
+    )
+    return staged.select(
+        "grp_a",
+        "grp_b",
+        est_union.alias("est_union"),
+        F.expr(
+            f"(_both * (((_n - 1) * {MINHASH_PRIME}) div _theta)) div _n"
+        ).alias("est_inter"),
+    )
