@@ -2310,6 +2310,107 @@ def q_kmv_intersection(spark, sf_dir):
     )
 
 
+def q_lm_doc_score(spark, sf_dir):
+    """Perplexity-style LM quality filter, integerized (CCNet shape):
+    the corpus-trained bigram LM broadcasts back onto each document's
+    bigrams; the mean smoothed milli-probability is the quality signal
+    (the log/perplexity transform is monotone in it). Corpus pays the
+    map-only explode + one id-keyed rollup."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import lm_doc_score
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return lm_doc_score(docs).select(
+        F.col("doc_id").cast("long"), "n_bigrams", "mean_p_milli"
+    )
+
+
+def q_top_paths(spark, sf_dir):
+    """Path mining: the 10 most frequent 3-step consecutive event
+    paths (the Sankey aggregate). One user-keyed window composes the
+    path; the rollup is |types|³-bounded; top-k is per-partition
+    TakeOrderedAndProject."""
+    from yandex_tracker_exporter_spark.operators.funnel import top_paths
+
+    return top_paths(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Step-to-step funnel conversion rates (exact milli) on top of
+    window_funnel's per-user levels — cumulative-from-the-top counts
+    over the ≤|steps|-row level relation, integer div throughout."""
+    from yandex_tracker_exporter_spark.operators.funnel import funnel_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion(ev, list(FUNNEL_STEPS), FUNNEL_WINDOW_S)
+
+
+def q_mom_revenue(spark, sf_dir):
+    """Month-over-month revenue change per customer nation in exact
+    milli (integer div on cents): broadcast dimension hops, one
+    partial-aggregable (nation, month) shuffle, then a lag window over
+    the calendar-bounded monthly relation."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))))
+        .cast("long")
+        .alias("month_epoch"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "month_epoch")
+        .agg(F.sum("_cents").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month_epoch")
+    return (
+        monthly.select(
+            "n_name",
+            "month_epoch",
+            "revenue_cents",
+            F.lag("revenue_cents").over(w).alias("_prev"),
+        )
+        .where(F.col("_prev").isNotNull())
+        .selectExpr(
+            "n_name",
+            "month_epoch",
+            "revenue_cents",
+            "((revenue_cents - _prev) * 1000) div _prev AS change_milli",
+        )
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout keys for the lineitem fact — the
+    multi-dimension clustering key behind OPTIMIZE ZORDER BY: rows
+    sorted by the interleaved key cluster on part AND supplier at
+    once, so file min/max stats prune either predicate. The audit
+    aggregates per top-byte bucket: count plus the partkey/suppkey
+    RANGES inside the bucket (tight ranges = the pruning actually
+    works). Map-only bit expression + one bounded rollup."""
+    from yandex_tracker_exporter_spark.operators.partitioning import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = li.select(
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 24).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").alias("zkey_min"),
+        F.max("zkey").alias("zkey_max"),
+        F.min("l_partkey").cast("long").alias("part_min"),
+        F.max("l_partkey").cast("long").alias("part_max"),
+        F.min("l_suppkey").cast("long").alias("supp_min"),
+        F.max("l_suppkey").cast("long").alias("supp_max"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2424,6 +2525,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_pattern": q_event_pattern,
     "value_histogram": q_value_histogram,
     "kmv_intersection": q_kmv_intersection,
+    "lm_doc_score": q_lm_doc_score,
+    "top_paths": q_top_paths,
+    "funnel_conversion": q_funnel_conversion,
+    "mom_revenue": q_mom_revenue,
+    "zorder_layout": q_zorder_layout,
 }
 
 
@@ -5123,3 +5229,130 @@ _ORACLES["kmv_intersection"] = f"""
     FROM est JOIN exact ON exact.grp_a = est.grp_a
                        AND exact.grp_b = est.grp_b
 """
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 6: LM scoring / paths / reporting / layout oracles
+# --------------------------------------------------------------------------
+
+_ORACLES["lm_doc_score"] = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
+    ), c12 AS (
+        SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT x)::BIGINT AS v
+        FROM (SELECT unnest(tk) AS x FROM t)
+    ), lm AS (
+        SELECT c12.w1, c12.w2,
+               ((c12.c12 + 1) * 1000) // (c1.c1 + v.v) AS p_milli
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ), scored AS (
+        SELECT bg.doc_id, lm.p_milli
+        FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           (sum(p_milli)::BIGINT // count(*))::BIGINT AS mean_p_milli
+    FROM scored GROUP BY doc_id
+"""
+
+_ORACLES["top_paths"] = """
+    WITH p AS (
+        SELECT concat_ws(' > ', event_type,
+                         lead(event_type, 1) OVER w,
+                         lead(event_type, 2) OVER w) AS path,
+               (lead(event_type, 2) OVER w IS NOT NULL) AS full_path
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, count(*)::BIGINT AS n_occurrences
+    FROM p WHERE full_path
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT 10
+"""
+
+
+def _build_funnel_conversion_sql() -> str:
+    """Reuses the window_funnel oracle's per-user level computation."""
+    funnel = _build_window_funnel_sql()
+    # the window_funnel oracle ends with a SELECT over its CTEs; wrap it
+    return f"""
+    WITH levels AS (
+        {funnel}
+    ), counts AS (
+        SELECT funnel_level, count(*)::BIGINT AS n
+        FROM levels WHERE funnel_level >= 1
+        GROUP BY funnel_level
+    ), reached AS (
+        SELECT funnel_level,
+               sum(n) OVER (ORDER BY funnel_level DESC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS n_reached
+        FROM counts
+    ), named AS (
+        SELECT funnel_level::BIGINT AS level,
+               (['view', 'click', 'purchase'])[funnel_level::INTEGER] AS step,
+               n_reached,
+               coalesce(lag(n_reached) OVER (ORDER BY funnel_level),
+                        n_reached) AS prev
+        FROM reached
+    )
+    SELECT level, step, n_reached,
+           ((n_reached * 1000) // prev)::BIGINT AS conv_milli
+    FROM named
+    """
+
+
+_ORACLES["funnel_conversion"] = _build_funnel_conversion_sql()
+
+_ORACLES["mom_revenue"] = """
+    WITH m AS (
+        SELECT n.n_name,
+               floor(epoch(date_trunc('month', o.o_orderdate)))::BIGINT
+                   AS month_epoch,
+               sum(floor(o.o_totalprice * 100)::BIGINT)::BIGINT
+                   AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, month_epoch
+    ), l AS (
+        SELECT n_name, month_epoch, revenue_cents,
+               lag(revenue_cents) OVER (PARTITION BY n_name
+                                        ORDER BY month_epoch) AS prev
+        FROM m
+    )
+    SELECT n_name, month_epoch, revenue_cents,
+           (((revenue_cents - prev) * 1000) // prev)::BIGINT AS change_milli
+    FROM l WHERE prev IS NOT NULL
+"""
+
+
+def _build_zorder_sql() -> str:
+    from yandex_tracker_exporter_spark.operators.partitioning import zorder_sql
+
+    zk = zorder_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return f"""
+    WITH k AS (
+        SELECT {zk} AS zkey, l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT (zkey >> 24)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_rows,
+           min(zkey)::BIGINT AS zkey_min,
+           max(zkey)::BIGINT AS zkey_max,
+           min(l_partkey)::BIGINT AS part_min,
+           max(l_partkey)::BIGINT AS part_max,
+           min(l_suppkey)::BIGINT AS supp_min,
+           max(l_suppkey)::BIGINT AS supp_max
+    FROM k GROUP BY bucket
+"""
+
+
+_ORACLES["zorder_layout"] = _build_zorder_sql()

@@ -151,3 +151,72 @@ class TestGapFillHourly:
         assert got[(h0, "b")] == 1
         assert got[(h0 + 3600, "b")] == 0
         assert got[(h0 + 7200, "b")] == 0
+
+
+def test_funnel_conversion_monotone_and_consistent(spark):
+    """Reached counts are non-increasing with level; conv_milli is the
+    exact integer ratio against the previous level; level 1 pins 1000."""
+    import __spark_entry__ as entry_mod
+
+    rows = sorted(
+        entry_mod.queries()["funnel_conversion"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["level"],
+    )
+    assert [r["step"] for r in rows] == ["view", "click", "purchase"]
+    assert rows[0]["conv_milli"] == 1000
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_reached"] <= a["n_reached"]
+        assert b["conv_milli"] == b["n_reached"] * 1000 // a["n_reached"]
+
+
+def test_top_paths_counts_consecutive_triples(spark):
+    import datetime as dt
+
+    from yandex_tracker_exporter_spark.operators.funnel import top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "purchase", "view", "click"]
+    rows = [
+        (1, i, ty, t0 + dt.timedelta(minutes=i)) for i, ty in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    got = {r["path"]: r["n_occurrences"] for r in top_paths(df).collect()}
+    assert got == {
+        "view > click > purchase": 1,
+        "click > purchase > view": 1,
+        "purchase > view > click": 1,
+    }
+
+
+def test_ewma_daily_matches_python_fold(spark):
+    """The array-accumulator fold must equal the plain Python recursion
+    bit-for-bit (same IEEE op order)."""
+    import datetime as dt
+
+    from yandex_tracker_exporter_spark.operators.funnel import ewma_daily
+
+    rows = []
+    eid = 0
+    for day in range(5):
+        for k in range(3):
+            rows.append(
+                (
+                    eid,
+                    "view",
+                    dt.datetime(2024, 1, 1 + day, 6 + k),
+                    10.0 * (day + 1) + k,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+    got = sorted(
+        (r["day_epoch"], r["day_mean"], r["ewma"])
+        for r in ewma_daily(df).collect()
+    )
+    means = [m for _, m, _ in got]
+    expect = []
+    for m in means:
+        expect.append(m if not expect else 0.3 * m + 0.7 * expect[-1])
+    assert [e for _, _, e in got] == expect

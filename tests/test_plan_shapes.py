@@ -192,6 +192,7 @@ _NESTED_LOOP_ALLOWED = {
     "bm25_rank",
     "term_pmi",
     "kmv_intersection",
+    "lm_doc_score",
 }
 
 
@@ -237,6 +238,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "term_pmi",
     "source_gini",
     "table_profile",
+    "lm_doc_score",
+    "funnel_conversion",
 }
 
 

@@ -347,3 +347,83 @@ def value_histogram(
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    depth: int = 3,
+    topk: int = 10,
+) -> DataFrame:
+    """Most-frequent ``depth``-step event paths (the Sankey/path-mining
+    aggregate): every window of ``depth`` CONSECUTIVE events in a
+    user's stream counts as one path occurrence. lead() composes the
+    path inside one user-keyed window; the rollup lands on
+    ≤ |types|^depth keys, and the top-k is per-partition
+    TakeOrderedAndProject — never a global sort.
+
+    Output: path (" > "-joined), n_occurrences.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, d).over(w) for d in range(1, depth)
+    ]
+    paths = events.select(
+        F.concat_ws(" > ", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counted.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    ).limit(topk)
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Step-to-step conversion table on top of ``window_funnel``: for
+    each funnel level, how many users reached it and what fraction of
+    the PREVIOUS level converted (exact milli, integer div). The
+    reporting layer every funnel chart draws; one extra tiny rollup
+    over the per-user levels relation.
+
+    Output: level (1-based), step, n_reached, conv_milli (level 1 =
+    1000 by definition of "reached the funnel").
+    """
+    levels = window_funnel(
+        events, steps, window_seconds, user_col, ts_col, type_col
+    )
+    counts = (
+        levels.where(F.col("funnel_level") >= 1)
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # users at level k reached every level <= k: cumulative from the top
+    w = Window.orderBy(F.col("funnel_level").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    reached = counts.select(
+        "funnel_level",
+        F.sum("_n").over(w).cast("long").alias("n_reached"),
+    )
+    w2 = Window.orderBy("funnel_level")
+    step_name = F.array(*[F.lit(s) for s in steps])
+    return reached.select(
+        F.col("funnel_level").cast("long").alias("level"),
+        F.element_at(step_name, F.col("funnel_level").cast("int")).alias("step"),
+        "n_reached",
+        F.coalesce(F.lag("n_reached").over(w2), F.col("n_reached")).alias("_prev"),
+    ).selectExpr(
+        "level",
+        "step",
+        "n_reached",
+        "(n_reached * 1000) div _prev AS conv_milli",
+    )

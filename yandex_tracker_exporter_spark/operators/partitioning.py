@@ -88,3 +88,41 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(
+    x,  # Column: first dimension (non-negative int)
+    y,  # Column: second dimension (non-negative int)
+    bits: int = 16,
+):
+    """Z-order (Morton) curve key: interleave the low ``bits`` of two
+    dimensions — the multi-dimension data-layout key behind Delta/
+    Iceberg ``OPTIMIZE ZORDER BY``. Rows sorted by this key cluster in
+    BOTH dimensions at once, so min/max file statistics prune scans on
+    either predicate — the layout story for 100 TB fact tables queried
+    by more than one column.
+
+    Pure integer shift/mask expression (whole-stage codegen, and
+    reproducible in any engine as the same 2·bits-term sum).
+    """
+    from pyspark.sql import functions as F
+
+    xm = x % (1 << bits)
+    ym = y % (1 << bits)
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        key = (
+            key
+            + F.shiftleft((F.shiftright(xm, j) % 2).cast("long"), 2 * j)
+            + F.shiftleft((F.shiftright(ym, j) % 2).cast("long"), 2 * j + 1)
+        )
+    return key
+
+
+def zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """The DuckDB-side twin of :func:`zorder_key` (same term order)."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x} >> {j}) & 1)::BIGINT << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1)::BIGINT << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"

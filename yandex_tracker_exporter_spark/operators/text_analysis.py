@@ -1097,3 +1097,52 @@ def source_gini(
         "((2 * _iwx - (n_sources + 1) * total_tokens) * 1000)"
         " div (n_sources * total_tokens) AS gini_milli",
     )
+
+
+def lm_doc_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LM-based quality scoring (the CCNet / perplexity-filter shape,
+    integerized): train the add-one bigram LM on the corpus itself,
+    then score every document by the mean smoothed probability of its
+    bigrams — low scorers are the gibberish/boilerplate candidates a
+    perplexity filter drops. The log/perplexity transform is monotone
+    in this mean, so ranking and thresholding behave identically while
+    every value stays exact int64 (milli-probabilities, integer div).
+
+    Plan: the LM tables are vocabulary²-bounded and BROADCAST back
+    onto the per-document bigram explode — the corpus pays the
+    map-only explode plus one id-keyed rollup; no corpus-scale join
+    shuffle. Output: doc_id, n_bigrams, mean_p_milli.
+    """
+    lm = bigram_lm(df, text_col)
+    toks = _tokens(F.col(text_col))
+    doc_bigrams = df.select(F.col(id_col), toks.alias("_t")).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.get(F.col("_t"), i - 1).alias("w1"),
+                    F.get(F.col("_t"), i).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).where(F.col("bg.w2").isNotNull()).select(id_col, "bg.w1", "bg.w2")
+    scored = doc_bigrams.join(
+        F.broadcast(lm.select("w1", "w2", "p_milli")), ["w1", "w2"]
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_milli").alias("_sum_p"),
+        )
+        .selectExpr(
+            f"{id_col}",
+            "n_bigrams",
+            "_sum_p div n_bigrams AS mean_p_milli",
+        )
+    )
