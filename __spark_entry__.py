@@ -2411,6 +2411,212 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline_report(spark, sf_dir):
+    """End-to-end dedup accounting — the numbers a curation run reports:
+    raw docs, exact-unique texts, near-dup cluster members, clusters.
+    (Survivors of a collapse = raw − members + clusters.) All four
+    stages land as ONE union-tagged rollup on 4 keys — no chain of
+    single-row global aggregates, no SinglePartition funnel."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    labels = duplicate_clusters(pairs, "a_id", "b_id")
+    tagged = (
+        docs.select(F.lit("1_raw").alias("stage"), F.col("doc_id").cast("string").alias("_k"))
+        .unionByName(
+            docs.select(
+                F.lit("2_exact_unique").alias("stage"), F.md5("text").alias("_k")
+            ).distinct()
+        )
+        .unionByName(
+            labels.select(
+                F.lit("3_cluster_members").alias("stage"),
+                F.col("id").cast("string").alias("_k"),
+            )
+        )
+        .unionByName(
+            labels.select(
+                F.lit("4_clusters").alias("stage"),
+                F.col("cluster_id").cast("string").alias("_k"),
+            ).distinct()
+        )
+    )
+    return tagged.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_pruning_simulation(spark, sf_dir):
+    """File-skipping simulation — the measurement that justifies
+    Z-ordering: assign lineitem rows to 4096-row "files" under two
+    layouts (natural orderkey order vs Morton key order), keep per-file
+    min/max part-key stats, and count how many files a part-key range
+    predicate must scan. Global row numbers come from
+    ``global_row_number`` (bucket + prefix sum — NEVER an
+    un-partitioned window); everything else is bounded rollups.
+    Output: ordering, n_files, n_files_scanned, n_rows_matched."""
+    from yandex_tracker_exporter_spark.operators.partitioning import (
+        global_row_number,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    keyed = li.withColumn(
+        "zkey", zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
+    )
+    lo, hi = 100, 120
+    rows_per_file = 4096
+
+    def stats(df, order_cols, bucket, ordering):
+        ranked = global_row_number(df, order_cols, bucket, out_col="_gr")
+        files = ranked.groupBy(
+            F.expr(f"(_gr - 1) div {rows_per_file}").alias("_file")
+        ).agg(
+            F.min("l_partkey").alias("_pmin"),
+            F.max("l_partkey").alias("_pmax"),
+            F.sum(
+                F.when(F.col("l_partkey").between(lo, hi), 1).otherwise(0)
+            ).alias("_hits"),
+        )
+        return files.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("_pmin") <= hi) & (F.col("_pmax") >= lo), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_files_scanned"),
+            F.sum("_hits").cast("long").alias("n_rows_matched"),
+        ).select(F.lit(ordering).alias("ordering"), "*")
+
+    # (orderkey, linenumber) ties are real in the harness data; the
+    # part/supp keys complete a total order over every column the file
+    # stats read, keeping min/max invariant under residual ties
+    natural = stats(
+        keyed,
+        [
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+        ],
+        F.expr("l_orderkey div 64"),
+        "natural",
+    )
+    zordered = stats(
+        keyed,
+        [F.col("zkey"), F.col("l_orderkey"), F.col("l_linenumber")],
+        F.expr("zkey div 4194304"),
+        "zorder",
+    )
+    return natural.unionByName(zordered)
+
+
+def q_trigram_search(spark, sf_dir):
+    """Substring search through a trigram index (the pg_trgm pattern):
+    candidate docs must contain ALL trigrams of the literal pattern
+    (explode → semi-join against the tiny pattern-trigram set → count
+    filter), then one contains() verify. The ORACLE states the pure
+    semantics — ``text LIKE '%slow query%'`` — so the equality check
+    proves the index path finds exactly the right documents."""
+    pattern = "slow query"
+    trigrams = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    docs = _t_wide(spark, sf_dir, "documents")
+    tri_arr = F.array(*[F.lit(t) for t in trigrams])
+    doc_tris = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))
+                    ),
+                    lambda i: F.substring(F.col("text"), i, 3),
+                )
+            )
+        ).alias("_tri"),
+    ).where(F.array_contains(tri_arr, F.col("_tri")))
+    cands = (
+        doc_tris.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == len(trigrams))
+    )
+    verified = docs.join(cands.select("doc_id"), "doc_id", "leftsemi").where(
+        F.contains(F.col("text"), F.lit(pattern))
+    )
+    return verified.select(F.col("doc_id").cast("long"))
+
+
+def q_encoding_audit(spark, sf_dir):
+    """Storage-encoding size audit: exact zigzag+varint byte counts for
+    delta-encoded key columns (deltas within each order's lineitems —
+    row-group-local, so the window partitions by the order key, never
+    globally). Bit lengths come from length(bin(x)) — pure integer on
+    both engines. The planning number behind choosing DELTA_BINARY_
+    PACKED-style encodings for sorted keys. Output: column, n_values,
+    raw_bytes, varint_bytes, ratio_milli."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    # (orderkey, linenumber) is NOT unique in the harness data — the
+    # extra sort keys make the order total over every column the deltas
+    # read, so the delta stream is invariant under remaining ties
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            (
+                F.abs(
+                    F.col(c)
+                    - F.coalesce(F.lag(c).over(w), F.lit(0).cast("long"))
+                )
+                * 2
+                - F.when(
+                    (
+                        F.col(c)
+                        - F.coalesce(F.lag(c).over(w), F.lit(0).cast("long"))
+                    )
+                    < 0,
+                    1,
+                ).otherwise(0)
+            ).alias(f"_z_{c}")
+            for c in ("l_orderkey", "l_partkey", "l_suppkey")
+        ],
+    )
+    tagged = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.greatest(
+                            F.lit(1),
+                            F.expr(f"(length(bin(_z_{c})) + 6) div 7"),
+                        )
+                        .cast("long")
+                        .alias("_vb"),
+                    )
+                    for c in ("l_orderkey", "l_partkey", "l_suppkey")
+                ]
+            )
+        ).alias("t")
+    ).select("t.column_name", "t._vb")
+    return tagged.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        (F.count(F.lit(1)) * 8).alias("raw_bytes"),
+        F.sum("_vb").alias("varint_bytes"),
+    ).selectExpr(
+        "column_name",
+        "n_values",
+        "raw_bytes",
+        "varint_bytes",
+        "(varint_bytes * 1000) div raw_bytes AS ratio_milli",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2530,6 +2736,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "mom_revenue": q_mom_revenue,
     "zorder_layout": q_zorder_layout,
+    "dedup_pipeline_report": q_dedup_pipeline_report,
+    "pruning_simulation": q_pruning_simulation,
+    "trigram_search": q_trigram_search,
+    "encoding_audit": q_encoding_audit,
 }
 
 
@@ -5356,3 +5566,103 @@ def _build_zorder_sql() -> str:
 
 
 _ORACLES["zorder_layout"] = _build_zorder_sql()
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 7: pipeline report / layout pruning / search / encoding
+# --------------------------------------------------------------------------
+
+_ORACLES["dedup_pipeline_report"] = f"""
+    {_dd_cluster_ctes()}
+    , labels AS (
+        SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
+    ), tagged AS (
+        SELECT '1_raw' AS stage, doc_id::VARCHAR AS k FROM documents
+        UNION ALL
+        SELECT DISTINCT '2_exact_unique', md5(text) FROM documents
+        UNION ALL
+        SELECT '3_cluster_members', id::VARCHAR FROM labels
+        UNION ALL
+        SELECT DISTINCT '4_clusters', cluster_id::VARCHAR FROM labels
+    )
+    SELECT stage, count(*)::BIGINT AS n FROM tagged GROUP BY stage
+"""
+
+
+def _build_pruning_simulation_sql(lo: int = 100, hi: int = 120, rpf: int = 4096) -> str:
+    from yandex_tracker_exporter_spark.operators.partitioning import zorder_sql
+
+    zk = zorder_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    parts = []
+    for ordering, order_by in (
+        ("natural", "l_orderkey, l_linenumber, l_partkey, l_suppkey"),
+        ("zorder", "zkey, l_orderkey, l_linenumber"),
+    ):
+        parts.append(f"""
+        SELECT '{ordering}' AS ordering, n_files, n_files_scanned,
+               n_rows_matched
+        FROM (
+            SELECT count(*)::BIGINT AS n_files,
+                   sum(CASE WHEN pmin <= {hi} AND pmax >= {lo}
+                            THEN 1 ELSE 0 END)::BIGINT AS n_files_scanned,
+                   sum(hits)::BIGINT AS n_rows_matched
+            FROM (
+                SELECT (rn - 1) // {rpf} AS f,
+                       min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                       sum(CASE WHEN l_partkey BETWEEN {lo} AND {hi}
+                                THEN 1 ELSE 0 END) AS hits
+                FROM (
+                    SELECT l_partkey,
+                           row_number() OVER (ORDER BY {order_by}) AS rn
+                    FROM k
+                ) GROUP BY f
+            )
+        )""")
+    return f"""
+    WITH k AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {zk} AS zkey
+        FROM lineitem
+    )
+    {" UNION ALL ".join(parts)}
+    """
+
+
+_ORACLES["pruning_simulation"] = _build_pruning_simulation_sql()
+
+_ORACLES["trigram_search"] = """
+    SELECT doc_id::BIGINT AS doc_id FROM documents
+    WHERE text LIKE '%slow query%'
+"""
+
+_ORACLES["encoding_audit"] = """
+    WITH d AS (
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey - coalesce(lag(l_orderkey) OVER w, 0)
+                   AS d_orderkey,
+               l_partkey - coalesce(lag(l_partkey) OVER w, 0) AS d_partkey,
+               l_suppkey - coalesce(lag(l_suppkey) OVER w, 0) AS d_suppkey
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey)
+    ), z AS (
+        SELECT column_name, zig FROM d, LATERAL (VALUES
+            ('l_orderkey', abs(d_orderkey) * 2
+                 - CASE WHEN d_orderkey < 0 THEN 1 ELSE 0 END),
+            ('l_partkey', abs(d_partkey) * 2
+                 - CASE WHEN d_partkey < 0 THEN 1 ELSE 0 END),
+            ('l_suppkey', abs(d_suppkey) * 2
+                 - CASE WHEN d_suppkey < 0 THEN 1 ELSE 0 END)
+        ) AS t(column_name, zig)
+    ), v AS (
+        SELECT column_name,
+               greatest(1, (length(bin(zig)) + 6) // 7)::BIGINT AS vb
+        FROM z
+    )
+    SELECT column_name,
+           count(*)::BIGINT AS n_values,
+           (count(*) * 8)::BIGINT AS raw_bytes,
+           sum(vb)::BIGINT AS varint_bytes,
+           ((sum(vb) * 1000) // (count(*) * 8))::BIGINT AS ratio_milli
+    FROM v GROUP BY column_name
+"""

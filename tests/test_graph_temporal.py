@@ -145,3 +145,62 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert out["x"]["n_rows"] == 4
     assert out["x"]["n_nulls"] == 1 and out["x"]["n_distinct"] == 3
     assert out["y"]["n_nulls"] == 1 and out["y"]["n_distinct"] == 2
+
+
+# ---------------------------------------------------------------------------
+# layout / search / encoding audits (batch 7)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_scans_fewer_files_than_natural(spark):
+    """The point of the simulation: under the Morton layout a part-key
+    range predicate must touch FEWER files than under natural order
+    (where every file spans the whole part-key domain)."""
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r["ordering"]: r
+        for r in entry_mod.queries()["pruning_simulation"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["natural"]["n_rows_matched"] == rows["zorder"]["n_rows_matched"]
+    assert rows["zorder"]["n_files_scanned"] < rows["natural"]["n_files_scanned"]
+
+
+def test_trigram_search_equals_contains_scan(spark):
+    """Index-path results must equal the brute-force contains() scan."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]
+        for r in entry_mod.queries()["trigram_search"](spark, sf).collect()
+    }
+    expected = {
+        r["doc_id"]
+        for r in load_table(spark, sf, "documents")
+        .where(F.col("text").contains("slow query"))
+        .collect()
+    }
+    assert got == expected and expected
+
+
+def test_encoding_audit_varint_compresses_sorted_keys(spark):
+    """Delta+varint must beat raw 8-byte encoding on the clustered
+    orderkey column (ratio well under 1000 milli) — the audit's reason
+    to exist."""
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r["column_name"]: r
+        for r in entry_mod.queries()["encoding_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["l_orderkey"]["ratio_milli"] < 300
+    for r in rows.values():
+        assert r["varint_bytes"] >= r["n_values"]  # ≥1 byte per value

@@ -228,18 +228,21 @@ def test_no_cartesian_or_nested_loop_anywhere(spark, name):
 #:   mixture_apportion precedent)
 #: - table_profile: the single-row final merge of the one-pass profile
 #:   aggregate (the watermark shape); stack() unpivots the one row
+#: - pruning_simulation: 4 = two orderings × (global_row_number's tiny
+#:   prefix-sum + the single-row file-stats merge) — all driver-small
 _SINGLE_PARTITION_ALLOWED = {
-    "incremental_watermark",
-    "global_rank",
-    "moving_avg_daily",
-    "mixture_apportion",
-    "bigram_lm",
-    "bm25_rank",
-    "term_pmi",
-    "source_gini",
-    "table_profile",
-    "lm_doc_score",
-    "funnel_conversion",
+    "incremental_watermark": 1,
+    "global_rank": 1,
+    "moving_avg_daily": 1,
+    "mixture_apportion": 1,
+    "bigram_lm": 1,
+    "bm25_rank": 1,
+    "term_pmi": 1,
+    "source_gini": 1,
+    "table_profile": 1,
+    "lm_doc_score": 1,
+    "funnel_conversion": 1,
+    "pruning_simulation": 4,
 }
 
 
@@ -285,7 +288,7 @@ def test_no_accidental_single_partition_funnel(spark, name):
     plan = _plan(df)
     n = plan.count("Exchange SinglePartition")
     if name in _SINGLE_PARTITION_ALLOWED:
-        assert n <= 1, name
+        assert n <= _SINGLE_PARTITION_ALLOWED[name], name
     else:
         assert n == 0, name
 
