@@ -2617,6 +2617,73 @@ def q_encoding_audit(spark, sf_dir):
     )
 
 
+def q_component_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution: how big do near-dup
+    families get? Labels from the shared CC pipeline roll up twice
+    (cluster → size, size → count) — both bounded aggregations; the
+    histogram is the curation dashboard's dedup-health panel."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    labels = duplicate_clusters(pairs, "a_id", "b_id")
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_size"))
+    return sizes.groupBy(F.col("_size").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman's r):
+    hub-to-hub or hub-to-leaf? Exact int64 moments, one final
+    fixed-order double expression (sqrt is IEEE-exact, unlike ln) —
+    the regression_stats discipline applied to graph science."""
+    from yandex_tracker_exporter_spark.operators.graph import (
+        degree_assortativity_moments,
+    )
+
+    return degree_assortativity_moments(_copurchase_edges(spark, sf_dir))
+
+
+def q_copurchase_recs(spark, sf_dir):
+    """Item-item co-purchase recommendations (the classic recsys
+    aggregate): parts sharing an order pair up (bounded by order width,
+    never a corpus self-join), pair counts rank per part, top-3 kept —
+    one window over the pair-count relation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("p1") != F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+    )
+    w = Window.partitionBy("p1").orderBy(
+        F.col("n_together").desc(), F.col("p2").asc()
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 3)
+        .select(
+            F.col("p1").cast("long").alias("part"),
+            F.col("p2").cast("long").alias("rec_part"),
+            "n_together",
+            F.col("_rk").cast("long").alias("rec_rank"),
+        )
+    )
+
+
+def q_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase credits the
+    latest prior non-purchase event within 1 h — windowed as-of over
+    the user stream (last(..., ignorenulls) up to the previous row),
+    one shuffle, no join."""
+    from yandex_tracker_exporter_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2740,6 +2807,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pruning_simulation": q_pruning_simulation,
     "trigram_search": q_trigram_search,
     "encoding_audit": q_encoding_audit,
+    "component_sizes": q_component_sizes,
+    "assortativity": q_assortativity,
+    "copurchase_recs": q_copurchase_recs,
+    "last_touch": q_last_touch,
 }
 
 
@@ -5665,4 +5736,102 @@ _ORACLES["encoding_audit"] = """
            sum(vb)::BIGINT AS varint_bytes,
            ((sum(vb) * 1000) // (count(*) * 8))::BIGINT AS ratio_milli
     FROM v GROUP BY column_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 8: cluster stats / assortativity / recsys / attribution
+# --------------------------------------------------------------------------
+
+_ORACLES["component_sizes"] = f"""
+    {_dd_cluster_ctes()}
+    , labels AS (
+        SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
+    ), sizes AS (
+        SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM sizes GROUP BY cluster_size
+"""
+
+_ORACLES["assortativity"] = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+          AND b.l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+    ), deg AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ), sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), j AS (
+        SELECT du.deg AS dx, dv.deg AS dy
+        FROM sym JOIN deg du ON du.node = sym.u
+                 JOIN deg dv ON dv.node = sym.v
+    ), m AS (
+        SELECT count(*)::BIGINT AS m,
+               sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+               sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy,
+               sum(dx * dy)::BIGINT AS sxy
+        FROM j
+    )
+    SELECT m, sx, sy, sxx, syy, sxy,
+           (m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / sqrt((m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               AS r
+    FROM m
+"""
+
+_ORACLES["copurchase_recs"] = """
+    WITH pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               count(*)::BIGINT AS n_together
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ), ranked AS (
+        SELECT p1, p2, n_together,
+               row_number() OVER (PARTITION BY p1
+                                  ORDER BY n_together DESC, p2 ASC) AS rk
+        FROM pairs
+    )
+    SELECT p1::BIGINT AS part, p2::BIGINT AS rec_part, n_together,
+           rk::BIGINT AS rec_rank
+    FROM ranked WHERE rk <= 3
+"""
+
+_ORACLES["last_touch"] = """
+    WITH b AS (
+        SELECT user_id, event_type, event_id, ts,
+               floor(epoch(ts))::BIGINT AS ep
+        FROM events
+    ), t AS (
+        SELECT event_type, ep,
+               last_value(CASE WHEN event_type != 'purchase'
+                               THEN struct_pack(tep := ep, tty := event_type)
+                          END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM b
+    ), conv AS (
+        SELECT CASE WHEN touch IS NOT NULL
+                         AND ep - touch.tep <= 3600
+                    THEN touch.tty ELSE 'unattributed' END
+                   AS attributed_type,
+               CASE WHEN touch IS NOT NULL
+                         AND ep - touch.tep <= 3600
+                    THEN ep - touch.tep ELSE 0 END AS gap
+        FROM t WHERE event_type = 'purchase'
+    )
+    SELECT attributed_type,
+           count(*)::BIGINT AS n_conversions,
+           sum(gap)::BIGINT AS sum_gap_s
+    FROM conv GROUP BY attributed_type
 """

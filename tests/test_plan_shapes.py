@@ -243,6 +243,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "lm_doc_score": 1,
     "funnel_conversion": 1,
     "pruning_simulation": 4,
+    "assortativity": 1,
 }
 
 

@@ -427,3 +427,69 @@ def funnel_conversion(
         "n_reached",
         "(n_reached * 1000) div _prev AS conv_milli",
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion credits the
+    user's most recent PRIOR non-conversion event within the window —
+    the marketing-analytics join every event warehouse runs. The
+    "find latest prior row" is the as-of shape done windowed:
+    ``last(non-conversion, ignorenulls)`` over the (ts, id)-ordered
+    user stream up to the previous row — one shuffle, no join at all.
+
+    Output per attributed type: n_conversions, sum_gap_s (exact
+    floored-epoch seconds), plus the 'unattributed' bucket for
+    conversions with no qualifying touch.
+    """
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    base = events.select(
+        F.col(user_col).alias("_user"),
+        F.col(type_col).alias("_type"),
+        F.col(id_col).alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        epoch.alias("_ep"),
+    )
+    w = (
+        Window.partitionBy("_user")
+        .orderBy("_ts", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("_type") != conversion_type,
+            F.struct(F.col("_ep").alias("tep"), F.col("_type").alias("tty")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = base.select(
+        "_type", "_ep", touch.alias("_touch")
+    ).where(F.col("_type") == conversion_type)
+    attributed = conv.select(
+        F.when(
+            F.col("_touch").isNotNull()
+            & ((F.col("_ep") - F.col("_touch.tep")) <= window_seconds),
+            F.col("_touch.tty"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("attributed_type"),
+        F.when(
+            F.col("_touch").isNotNull()
+            & ((F.col("_ep") - F.col("_touch.tep")) <= window_seconds),
+            F.col("_ep") - F.col("_touch.tep"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_gap"),
+    )
+    return attributed.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("_gap").alias("sum_gap_s"),
+    )

@@ -246,3 +246,71 @@ def kcore(
         .where(F.col("deg") >= k)
         .select("node", F.col("deg").alias("core_deg"))
     )
+
+
+def degree_assortativity_moments(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-assortativity moments: the exact int64 sums from which
+    Pearson's r over edge-endpoint degrees derives (Newman 2002) — is
+    this graph hub-to-hub (assortative) or hub-to-leaf? Same
+    int64-moments-then-one-float-expression discipline as
+    regression_stats, so any engine agrees bit-for-bit and the final r
+    is a single fixed-order double expression.
+
+    Each undirected edge contributes BOTH orientations (the standard
+    symmetrization). One degree aggregation + one edge join per side +
+    one global moment rollup — all partial-aggregable.
+
+    Output (single row): m (directed half-edges), sx, sy, sxx, syy,
+    sxy, r (double).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("_u").alias("node"))
+        .unionAll(e.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    both = e.unionAll(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    joined = (
+        both.join(deg.select(F.col("node").alias("_u"), F.col("deg").alias("dx")), "_u")
+        .join(deg.select(F.col("node").alias("_v"), F.col("deg").alias("dy")), "_v")
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = (
+        F.col("m").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    denx = (
+        F.col("m").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    deny = (
+        F.col("m").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        "m",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (num / F.sqrt(denx * deny)).alias("r"),
+    )
