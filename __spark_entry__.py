@@ -2684,6 +2684,79 @@ def q_last_touch(spark, sf_dir):
     return last_touch_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_weekday_seasonality(spark, sf_dir):
+    """Day-of-week seasonality index per event type in exact milli
+    (ratio-of-means identity keeps it int64; >1000 = weekday runs
+    hot). One (type, dow) shuffle; totals come from the same
+    relation."""
+    from yandex_tracker_exporter_spark.operators.funnel import weekday_seasonality
+
+    return weekday_seasonality(_t(spark, sf_dir, "events"))
+
+
+def q_conversion_latency(spark, sf_dir):
+    """First-view-to-first-purchase latency percentiles ("time to
+    convert"): conditional-min per user, exact percentiles over the
+    per-user latencies (Spark percentile ≡ DuckDB quantile_cont
+    bitwise — the value_percentiles precedent)."""
+    from yandex_tracker_exporter_spark.operators.funnel import conversion_latency
+
+    return conversion_latency(_t(spark, sf_dir, "events"))
+
+
+def q_rolling_corr(spark, sf_dir):
+    """7-day rolling Pearson r between view and click daily means:
+    int64 rolling moments over a ROWS frame on the calendar-bounded
+    daily relation, one fixed-order double expression per day (the
+    regression_stats discipline, windowed)."""
+    from yandex_tracker_exporter_spark.operators.funnel import rolling_corr_7d
+
+    return rolling_corr_7d(_t(spark, sf_dir, "events"))
+
+
+def q_hll_union(spark, sf_dir):
+    """HLL mergeability in action: pairwise distinct-user UNION
+    estimates by register max-merge — no data rescan, the same merge a
+    1000-executor cluster does between partial sketches. Audited
+    against the exact union (|A|+|B|−|A∩B|) in the same query.
+    Complements kmv_intersection (KMV intersects, HLL unions)."""
+    from yandex_tracker_exporter_spark.operators.sketches import hll_union_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_union_pairs(ev, "user_id", "event_type")
+    du = ev.select(F.col("event_type").alias("grp"), "user_id").distinct()
+    counts = du.groupBy("grp").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        du.select(F.col("grp").alias("grp_a"), "user_id")
+        .join(du.select(F.col("grp").alias("grp_b"), "user_id"), "user_id")
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(counts.select(F.col("grp").alias("grp_a"), F.col("c").alias("_ca"))),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("grp").alias("grp_b"), F.col("c").alias("_cb"))),
+            "grp_b",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            (F.col("_ca") + F.col("_cb") - F.col("_inter")).alias("exact_union"),
+        )
+    )
+    return est.join(F.broadcast(exact), ["grp_a", "grp_b"]).select(
+        "grp_a",
+        "grp_b",
+        "est_union",
+        "exact_union",
+        F.abs(F.col("est_union") - F.col("exact_union")).alias("abs_err"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2811,6 +2884,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "copurchase_recs": q_copurchase_recs,
     "last_touch": q_last_touch,
+    "weekday_seasonality": q_weekday_seasonality,
+    "conversion_latency": q_conversion_latency,
+    "rolling_corr_7d": q_rolling_corr,
+    "hll_union": q_hll_union,
 }
 
 
@@ -5835,3 +5912,153 @@ _ORACLES["last_touch"] = """
            sum(gap)::BIGINT AS sum_gap_s
     FROM conv GROUP BY attributed_type
 """
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 9: seasonality / latency / rolling corr / HLL union
+# --------------------------------------------------------------------------
+
+_ORACLES["weekday_seasonality"] = """
+    WITH d AS (
+        SELECT event_type, isodow(ts)::BIGINT AS dow,
+               floor(value * 100)::BIGINT AS c
+        FROM events
+    ), pd AS (
+        SELECT event_type, dow, sum(c)::BIGINT AS ds,
+               count(*)::BIGINT AS n_events
+        FROM d GROUP BY event_type, dow
+    ), t AS (
+        SELECT event_type, sum(ds)::BIGINT AS tsum,
+               sum(n_events)::BIGINT AS tn
+        FROM pd GROUP BY event_type
+    )
+    SELECT pd.event_type, pd.dow, pd.n_events,
+           ((pd.ds * t.tn * 1000) // (pd.n_events * t.tsum))::BIGINT
+               AS index_milli
+    FROM pd JOIN t USING (event_type)
+"""
+
+_ORACLES["conversion_latency"] = """
+    WITH b AS (
+        SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ep
+        FROM events
+    ), pu AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ep END) AS t0
+        FROM b GROUP BY user_id
+    ), lat AS (
+        SELECT b.user_id, min(b.ep - pu.t0)::BIGINT AS latency_s
+        FROM b JOIN pu ON pu.user_id = b.user_id
+        WHERE b.event_type = 'purchase'
+          AND pu.t0 IS NOT NULL AND b.ep >= pu.t0
+        GROUP BY b.user_id
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.9) AS p90_s,
+           max(latency_s)::BIGINT AS max_s
+    FROM lat
+"""
+
+_ORACLES["rolling_corr_7d"] = """
+    WITH daily AS (
+        SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS day_epoch,
+               event_type,
+               ((sum(floor(value * 100)::BIGINT)::BIGINT * 1000)
+                // count(*))::BIGINT AS mean_milli
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY day_epoch, event_type
+    ), p AS (
+        SELECT a.day_epoch, a.mean_milli AS x, b.mean_milli AS y
+        FROM daily a JOIN daily b ON a.day_epoch = b.day_epoch
+        WHERE a.event_type = 'view' AND b.event_type = 'click'
+    ), m AS (
+        SELECT day_epoch,
+               count(*) OVER w AS n_days,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM p
+        WINDOW w AS (ORDER BY day_epoch
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day_epoch, n_days::BIGINT AS n_days,
+           (n_days::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / sqrt((n_days::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * (n_days::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+               AS r
+    FROM m WHERE n_days = 7
+"""
+
+
+def _build_hll_union_sql() -> str:
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        HLL_M,
+        HLL_P,
+        HLL_RHO_MAX,
+        hll_numerator_literal,
+    )
+
+    base_hash = _dd_hash("user_id::VARCHAR || ':hll'")
+    mix = (
+        f"((({base_hash}) * ({base_hash}) + ({base_hash})) % 2147483647)"
+    )
+    return f"""
+    WITH h AS (
+        SELECT event_type AS grp, {mix} AS hv FROM events
+    ), regs AS (
+        SELECT grp, (hv % {HLL_M})::INTEGER AS reg,
+               max(CASE WHEN (hv >> {HLL_P}) = 0 THEN {HLL_RHO_MAX}
+                        ELSE {HLL_RHO_MAX} - length(bin(hv >> {HLL_P}))
+                   END)::INTEGER AS m_reg
+        FROM h GROUP BY grp, reg
+    ), groups AS (
+        SELECT DISTINCT grp FROM regs
+    ), pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b
+        FROM groups a JOIN groups b ON a.grp < b.grp
+    ), tagged AS (
+        SELECT p.grp_a, p.grp_b, r.reg, r.m_reg
+        FROM pairs p JOIN regs r ON r.grp = p.grp_a
+        UNION ALL
+        SELECT p.grp_a, p.grp_b, r.reg, r.m_reg
+        FROM pairs p JOIN regs r ON r.grp = p.grp_b
+    ), merged AS (
+        SELECT grp_a, grp_b, reg, max(m_reg) AS m_reg
+        FROM tagged GROUP BY grp_a, grp_b, reg
+    ), summed AS (
+        SELECT grp_a, grp_b,
+               sum((1::BIGINT << ({HLL_RHO_MAX} - m_reg)))::BIGINT
+                   AS s_present,
+               count(*)::BIGINT AS n_regs
+        FROM merged GROUP BY grp_a, grp_b
+    ), est AS (
+        SELECT grp_a, grp_b,
+               floor({hll_numerator_literal()}
+                     / (s_present
+                        + ({HLL_M} - n_regs)
+                          * {1 << 26}::BIGINT)::DOUBLE)::BIGINT AS est_union
+        FROM summed
+    ), du AS (
+        SELECT DISTINCT event_type AS grp, user_id FROM events
+    ), counts AS (
+        SELECT grp, count(*)::BIGINT AS c FROM du GROUP BY grp
+    ), inter AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b, count(*)::BIGINT AS i
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.grp < b.grp
+        GROUP BY a.grp, b.grp
+    ), exact AS (
+        SELECT i.grp_a, i.grp_b, (ca.c + cb.c - i.i)::BIGINT AS exact_union
+        FROM inter i
+        JOIN counts ca ON ca.grp = i.grp_a
+        JOIN counts cb ON cb.grp = i.grp_b
+    )
+    SELECT est.grp_a, est.grp_b, est.est_union, exact.exact_union,
+           abs(est.est_union - exact.exact_union)::BIGINT AS abs_err
+    FROM est JOIN exact ON exact.grp_a = est.grp_a
+                       AND exact.grp_b = est.grp_b
+    """
+
+
+_ORACLES["hll_union"] = _build_hll_union_sql()

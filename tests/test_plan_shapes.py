@@ -193,6 +193,7 @@ _NESTED_LOOP_ALLOWED = {
     "term_pmi",
     "kmv_intersection",
     "lm_doc_score",
+    "hll_union",
 }
 
 
@@ -244,6 +245,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "funnel_conversion": 1,
     "pruning_simulation": 4,
     "assortativity": 1,
+    "conversion_latency": 1,
+    "rolling_corr_7d": 1,
 }
 
 

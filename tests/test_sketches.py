@@ -209,3 +209,47 @@ def test_kmv_estimates_track_exact_on_harness(spark):
         assert r["est_inter"] >= 0
         if r["exact_inter"] >= 50:
             assert abs(r["est_inter"] - r["exact_inter"]) <= 0.4 * r["exact_inter"], r
+
+
+def test_hll_union_estimates_track_exact(spark):
+    """Register max-merge must estimate |A ∪ B| within the HLL error
+    envelope (loose 40% floor at m=64 — fails on any merge-logic bug;
+    typical error is ~5-10%). Runs at sf0.01: below ~2.5·m distinct the
+    raw estimator carries its documented small-range positive bias
+    (linear counting deliberately omitted for cross-engine parity), so
+    the envelope only applies above that floor."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["hll_union"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert len(rows) == 10  # 5 types → 10 pairs
+    checked = 0
+    for r in rows:
+        if r["exact_union"] >= 160:  # 2.5 * m
+            assert (
+                abs(r["est_union"] - r["exact_union"]) <= 0.4 * r["exact_union"]
+            ), r
+            checked += 1
+    assert checked, "fixture too small to exercise the calibrated regime"
+
+
+def test_hll_union_merge_equals_direct_union_sketch(spark):
+    """The mergeability law itself: max-merging two groups' registers
+    must give the IDENTICAL estimate as sketching the concatenated
+    values directly — not just a close one."""
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        hll_distinct,
+        hll_union_pairs,
+    )
+
+    rows = [("a", i) for i in range(500)] + [("b", i) for i in range(300, 900)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    merged = hll_union_pairs(df, "user_id", "event_type").collect()[0]
+    direct = hll_distinct(
+        df.select(F.lit("u").alias("g"), "user_id"), "user_id", ["g"],
+        out_col="est",
+    ).collect()[0]
+    assert merged["est_union"] == direct["est"]

@@ -493,3 +493,162 @@ def last_touch_attribution(
         F.count(F.lit(1)).alias("n_conversions"),
         F.sum("_gap").alias("sum_gap_s"),
     )
+
+
+def weekday_seasonality(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Day-of-week seasonality index per type: mean value on each
+    weekday relative to the type's overall mean, in exact milli —
+    ``index = (dow_sum · total_n · 1000) div (dow_n · total_sum)``
+    (the ratio-of-means identity keeps everything int64; > 1000 means
+    the weekday runs hot). The classic seasonal profile, one
+    partial-aggregable (type, dow) shuffle; the per-type totals come
+    back from the SAME relation, so nothing rescans the corpus.
+
+    Output: event_type, dow (1=Monday … 7=Sunday), n_events,
+    index_milli.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    # ISO weekday: Monday = 1 (Spark dayofweek is Sunday=1 — shifted)
+    dow = ((F.dayofweek(F.col(ts_col)) + 5) % 7 + 1).cast("long")
+    per_dow = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            dow.alias("dow"),
+            cents.alias("_c"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("_c").alias("_dow_sum"), F.count(F.lit(1)).alias("n_events"))
+    )
+    totals = per_dow.groupBy("event_type").agg(
+        F.sum("_dow_sum").alias("_tot_sum"), F.sum("n_events").alias("_tot_n")
+    )
+    return (
+        per_dow.join(F.broadcast(totals), "event_type")
+        .selectExpr(
+            "event_type",
+            "dow",
+            "n_events",
+            "(_dow_sum * _tot_n * 1000) div (n_events * _tot_sum)"
+            " AS index_milli",
+        )
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-touch-to-first-conversion latency distribution: per user,
+    seconds from the FIRST ``from_type`` to the FIRST ``to_type`` after
+    it; the percentiles marketing calls "time to convert". One
+    conditional-min aggregation per user (partial-aggregable), then
+    exact percentiles over the per-user latencies — Spark
+    ``percentile`` matches DuckDB ``quantile_cont`` bitwise (the
+    value_percentiles precedent).
+
+    Output (single row): n_converted, p50_s, p90_s, max_s.
+    """
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col("event_type").alias("_ty"),
+        epoch.alias("_ep"),
+    )
+    per_user = base.groupBy("_u").agg(
+        F.min(F.when(F.col("_ty") == from_type, F.col("_ep"))).alias("_t0")
+    )
+    later = base.where(F.col("_ty") == to_type).join(
+        F.broadcast(per_user.where(F.col("_t0").isNotNull())), "_u"
+    )
+    lat = (
+        later.where(F.col("_ep") >= F.col("_t0"))
+        .groupBy("_u")
+        .agg(F.min(F.col("_ep") - F.col("_t0")).alias("latency_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("latency_s"), F.lit(0.5)).alias("p50_s"),
+        F.percentile(F.col("latency_s"), F.lit(0.9)).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+def rolling_corr_7d(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "click",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """7-day rolling Pearson correlation between two event types' daily
+    mean values — co-movement monitoring. Integer cent sums aggregate
+    per (day, type); the two series align by day (pivot to two
+    columns); the five rolling moments accumulate over a ROWS frame in
+    exact int64 and ONE fixed-order double expression yields r per day
+    (the regression_stats discipline, windowed). The frame runs over
+    the calendar-bounded daily relation — tiny at any corpus scale
+    (the moving_avg_daily argument), through one whitelisted
+    SinglePartition exchange.
+
+    Uses daily mean in milli (exact div) as the series value so the
+    moments stay integer. Output: day_epoch, n_days (frame size), r.
+    """
+    day_epoch = F.floor(
+        F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+    ).cast("long")
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    daily = (
+        events.where(F.col("event_type").isin([type_a, type_b]))
+        .select(
+            day_epoch.alias("day_epoch"),
+            F.col("event_type").alias("_ty"),
+            cents.alias("_c"),
+        )
+        .groupBy("day_epoch", "_ty")
+        .agg(F.sum("_c").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .selectExpr("day_epoch", "_ty", "(_s * 1000) div _n AS mean_milli")
+    )
+    paired = (
+        daily.groupBy("day_epoch")
+        .pivot("_ty", [type_a, type_b])
+        .agg(F.first("mean_milli"))
+        .where(F.col(type_a).isNotNull() & F.col(type_b).isNotNull())
+        .select(
+            "day_epoch",
+            F.col(type_a).alias("_x"),
+            F.col(type_b).alias("_y"),
+        )
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(-6, 0)
+    m = paired.select(
+        "day_epoch",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days"),
+        F.sum("_x").over(w).alias("_sx"),
+        F.sum("_y").over(w).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).over(w).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).over(w).alias("_sxy"),
+    ).where(F.col("n_days") == 7)
+    num = (
+        F.col("n_days").cast("double") * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    denx = (
+        F.col("n_days").cast("double") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    deny = (
+        F.col("n_days").cast("double") * F.col("_syy").cast("double")
+        - F.col("_sy").cast("double") * F.col("_sy").cast("double")
+    )
+    return m.select(
+        "day_epoch", "n_days", (num / F.sqrt(denx * deny)).alias("r")
+    )

@@ -111,10 +111,22 @@ def hll_distinct(
     property that makes this the distinct-count path that survives
     unbounded groups at 100 TB.
     """
+    regs = hll_registers(df, value_col, group_cols)
+    return _estimate_from_registers(regs, list(group_cols), out_col)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """The per-(group, register) max-rho state — exposed separately
+    because register tables MERGE: max per register across groups is
+    the sketch of the groups' UNION (see :func:`hll_union_pairs`)."""
     groups = [F.col(c) for c in group_cols]
     h = _mixed_hash(F.col(value_col).cast("string"), HLL_SALT)
     base = df.select(*groups, h.alias("_h"))
-    regs = (
+    return (
         base.select(
             *group_cols,
             (F.col("_h") % HLL_M).cast("int").alias("_reg"),
@@ -123,6 +135,11 @@ def hll_distinct(
         .groupBy(*group_cols, "_reg")
         .agg(F.max("_rho").alias("_m_reg"))
     )
+
+
+def _estimate_from_registers(
+    regs: DataFrame, group_cols: list, out_col: str
+) -> DataFrame:
     # F.shiftleft needs a literal shift; the SQL form takes a column
     scaled = F.expr(
         f"CAST(shiftleft(1, {HLL_RHO_MAX} - _m_reg) AS BIGINT)"
@@ -137,6 +154,46 @@ def hll_distinct(
     )
     est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast("long")
     return per_group.select(*group_cols, est.alias(out_col))
+
+
+def hll_union_pairs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise distinct-UNION estimates by register merge — the HLL
+    mergeability property in action: max per register across two
+    groups' tables IS the union's sketch (no rescan of the data), the
+    same merge a 1000-executor cluster does between partial sketches.
+    Complements :func:`kmv_intersection_estimates` (KMV gives
+    intersections, HLL unions).
+
+    Register tables are |groups|×64 rows; the pair explode and merge
+    stay sketch-sized. Output: grp_a < grp_b, est_union.
+    """
+    regs = hll_registers(df, value_col, [group_col]).withColumnRenamed(
+        group_col, "_grp"
+    )
+    groups = regs.select("_grp").distinct()
+    pairs = (
+        groups.select(F.col("_grp").alias("grp_a"))
+        .join(
+            groups.select(F.col("_grp").alias("grp_b")),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+    )
+    tagged = (
+        pairs.join(regs.withColumnRenamed("_grp", "grp_a"), "grp_a")
+        .unionByName(
+            pairs.join(regs.withColumnRenamed("_grp", "grp_b"), "grp_b").select(
+                "grp_a", "grp_b", "_reg", "_m_reg"
+            )
+        )
+    )
+    merged = tagged.groupBy("grp_a", "grp_b", "_reg").agg(
+        F.max("_m_reg").alias("_m_reg")
+    )
+    return _estimate_from_registers(merged, ["grp_a", "grp_b"], "est_union")
 
 
 # ---------------------------------------------------------------------------
