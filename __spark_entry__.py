@@ -2757,6 +2757,165 @@ def q_hll_union(spark, sf_dir):
     )
 
 
+def q_dataset_card(spark, sf_dir):
+    """One-pass dataset card: every corpus-level metric (docs, tokens,
+    chars, languages, sources, exact-dup count, min/max lengths) from
+    a SINGLE global aggregation over one derived relation, then a
+    stack() unpivot to (metric, value) rows — the table_profile shape
+    applied to the corpus summary every dataset release ships."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select(
+        toks.alias("_toks"),
+        F.length("text").cast("long").alias("_chars"),
+        F.col("lang"),
+        F.col("source"),
+        F.md5("text").alias("_md5"),
+    )
+    one = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_toks").alias("_n_tokens"),
+        F.sum("_chars").alias("_n_chars"),
+        F.count_distinct("lang").alias("_n_langs"),
+        F.count_distinct("source").alias("_n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct("_md5")).alias("_n_exact_dups"),
+        F.min("_toks").alias("_min_tokens"),
+        F.max("_toks").alias("_max_tokens"),
+    )
+    metrics = [
+        ("n_docs", "_n_docs"),
+        ("n_tokens", "_n_tokens"),
+        ("n_chars", "_n_chars"),
+        ("n_langs", "_n_langs"),
+        ("n_sources", "_n_sources"),
+        ("n_exact_dups", "_n_exact_dups"),
+        ("min_tokens", "_min_tokens"),
+        ("max_tokens", "_max_tokens"),
+    ]
+    stack_args = ", ".join(f"'{m}', {c}" for m, c in metrics)
+    return one.selectExpr(
+        f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+    ).select("metric", F.col("value").cast("long"))
+
+
+def q_knn_confusion(spark, sf_dir):
+    """Confusion matrix for the kNN label vote over a 100-query panel:
+    (true_label, predicted_label, n) — the evaluation rollup that turns
+    the classifier query into a quality report. Same broadcast-probe
+    shape as knn_classify, one extra bounded aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("_qvec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("_cvec"),
+    )
+    qv = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
+    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+    scored = corpus.join(
+        F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("true_label").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        F.col("n_label").cast("long"),
+        cosine(qv, cv).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    votes = top.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_weekly_churn(spark, sf_dir):
+    """Weekly churn: users active in week W with no activity in W+1 —
+    lead() over each user's distinct active weeks, rolled up to
+    (week, n_active, n_churned, churn_milli). One per-user shuffle
+    (distinct weeks), the rest calendar-bounded. The last observed
+    week is excluded (churn there is undefined, not zero)."""
+    ev = _t(spark, sf_dir, "events")
+    # week INDEX (floored epoch div 604800): "+1 week" is plain
+    # integer arithmetic on both engines
+    m_idx = F.expr("floor(unix_timestamp(ts)) div 604800")
+    um = ev.select(F.col("user_id").alias("_u"), m_idx.alias("m")).distinct()
+    last_month = um.agg(F.max("m").alias("_last"))
+    w = Window.partitionBy("_u").orderBy("m")
+    flagged = um.select(
+        "_u",
+        "m",
+        F.lead("m").over(w).alias("_next"),
+    ).join(F.broadcast(last_month))
+    counted = (
+        flagged.where(F.col("m") < F.col("_last"))
+        .select(
+            "m",
+            F.when(
+                F.col("_next").isNull() | (F.col("_next") > F.col("m") + 1), 1
+            )
+            .otherwise(0)
+            .alias("_churned"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("_churned").cast("long").alias("n_churned"),
+        )
+    )
+    return counted.selectExpr(
+        "m AS week_idx",
+        "n_active",
+        "n_churned",
+        "(n_churned * 1000) div n_active AS churn_milli",
+    )
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    document draws 4 pseudo-random negatives via the Knuth
+    multiplicative hash over dense ids — a pure map-side projection
+    (no RNG state, no join), reproducible on any engine. Self-draws
+    re-roll by stepping once. Output: doc_id, neg_rank, neg_id."""
+    docs = _t(spark, sf_dir, "documents")
+    n_row = docs.agg(F.count(F.lit(1)).alias("_n"))
+    with_n = docs.select("doc_id").join(F.broadcast(n_row))
+    drawn = with_n.select(
+        F.col("doc_id").cast("long"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, 5)])).alias("neg_rank"),
+        F.col("_n"),
+    ).selectExpr(
+        "doc_id",
+        "CAST(neg_rank AS BIGINT) AS neg_rank",
+        "((doc_id * 2654435761 + neg_rank * 40503) % _n) AS _cand",
+        "_n",
+    )
+    return drawn.selectExpr(
+        "doc_id",
+        "neg_rank",
+        "CASE WHEN _cand = doc_id THEN (_cand + 1) % _n ELSE _cand END"
+        " AS neg_id",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -2888,6 +3047,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_latency": q_conversion_latency,
     "rolling_corr_7d": q_rolling_corr,
     "hll_union": q_hll_union,
+    "dataset_card": q_dataset_card,
+    "knn_confusion": q_knn_confusion,
+    "weekly_churn": q_weekly_churn,
+    "negative_sampling": q_negative_sampling,
 }
 
 
@@ -6062,3 +6225,104 @@ def _build_hll_union_sql() -> str:
 
 
 _ORACLES["hll_union"] = _build_hll_union_sql()
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 10: dataset card / confusion / churn / negatives
+# --------------------------------------------------------------------------
+
+_ORACLES["dataset_card"] = """
+    WITH b AS (
+        SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS toks,
+               len(text)::BIGINT AS chars, lang, source, md5(text) AS m
+        FROM documents
+    ), one AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(toks)::BIGINT AS n_tokens,
+               sum(chars)::BIGINT AS n_chars,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               count(DISTINCT source)::BIGINT AS n_sources,
+               (count(*) - count(DISTINCT m))::BIGINT AS n_exact_dups,
+               min(toks)::BIGINT AS min_tokens,
+               max(toks)::BIGINT AS max_tokens
+        FROM b
+    )
+    SELECT u.metric, u.value FROM one, LATERAL (VALUES
+        ('n_docs', n_docs), ('n_tokens', n_tokens), ('n_chars', n_chars),
+        ('n_langs', n_langs), ('n_sources', n_sources),
+        ('n_exact_dups', n_exact_dups), ('min_tokens', min_tokens),
+        ('max_tokens', max_tokens)
+    ) AS u(metric, value)
+"""
+
+
+def _build_knn_confusion_sql() -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label,
+               list_transform(embedding, x -> x::DOUBLE) AS qv
+        FROM embeddings WHERE vec_id < 100
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               list_transform(embedding, x -> x::DOUBLE) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, q.true_label, c.neighbor_id, c.n_label,
+               {_dd_cosine('qv', 'cv')} AS s
+        FROM c JOIN q ON q.query_id != c.neighbor_id
+    ), top AS (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ), votes AS (
+        SELECT query_id, true_label, n_label, count(*)::BIGINT AS v
+        FROM top WHERE rk <= 10
+        GROUP BY query_id, true_label, n_label
+    ), pred AS (
+        SELECT query_id, true_label, n_label AS pred_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, n_label ASC) AS pr
+        FROM votes
+    )
+    SELECT true_label::BIGINT AS true_label,
+           pred_label::BIGINT AS pred_label,
+           count(*)::BIGINT AS n
+    FROM pred WHERE pr = 1
+    GROUP BY true_label, pred_label
+    """
+
+
+_ORACLES["knn_confusion"] = _build_knn_confusion_sql()
+
+_ORACLES["weekly_churn"] = """
+    WITH um AS (
+        SELECT DISTINCT user_id AS u,
+               (floor(epoch(ts))::BIGINT // 604800)::BIGINT AS m
+        FROM events
+    ), lastm AS (SELECT max(m) AS last FROM um),
+    f AS (
+        SELECT u, m, lead(m) OVER (PARTITION BY u ORDER BY m) AS nxt
+        FROM um
+    ), counted AS (
+        SELECT m,
+               count(*)::BIGINT AS n_active,
+               sum(CASE WHEN nxt IS NULL OR nxt > m + 1
+                        THEN 1 ELSE 0 END)::BIGINT AS n_churned
+        FROM f, lastm WHERE m < lastm.last
+        GROUP BY m
+    )
+    SELECT m AS week_idx, n_active, n_churned,
+           ((n_churned * 1000) // n_active)::BIGINT AS churn_milli
+    FROM counted
+"""
+
+_ORACLES["negative_sampling"] = """
+    WITH n AS (SELECT count(*)::BIGINT AS nn FROM documents)
+    SELECT d.doc_id::BIGINT AS doc_id, j::BIGINT AS neg_rank,
+           CASE WHEN (d.doc_id * 2654435761 + j * 40503) % n.nn = d.doc_id
+                THEN ((d.doc_id * 2654435761 + j * 40503) % n.nn + 1) % n.nn
+                ELSE (d.doc_id * 2654435761 + j * 40503) % n.nn
+           END AS neg_id
+    FROM documents d, n, unnest(range(1, 5)) AS t(j)
+"""

@@ -194,6 +194,9 @@ _NESTED_LOOP_ALLOWED = {
     "kmv_intersection",
     "lm_doc_score",
     "hll_union",
+    "knn_confusion",
+    "weekly_churn",
+    "negative_sampling",
 }
 
 
@@ -247,6 +250,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "assortativity": 1,
     "conversion_latency": 1,
     "rolling_corr_7d": 1,
+    "dataset_card": 1,
+    "weekly_churn": 1,
+    "negative_sampling": 1,
 }
 
 
