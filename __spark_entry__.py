@@ -2916,6 +2916,98 @@ def q_negative_sampling(spark, sf_dir):
     )
 
 
+def q_pit_enrich(spark, sf_dir):
+    """Point-in-time enrichment — the warehouse pattern end to end:
+    SCD2 state built from the signup stream, then each purchase joins
+    the k-state VALID AT ITS TIMESTAMP (entity-keyed equi join +
+    interval filter; intervals per entity are few by construction).
+    Purchases before any signup land in the explicit -1 bucket.
+    Output: k_value, n_purchases."""
+    from yandex_tracker_exporter_spark.operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    state = scd2_intervals(ev.where(F.col("event_type") == "signup"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity"),
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("_ep"),
+    )
+    joined = purchases.join(
+        state,
+        (purchases.entity == state.entity)
+        & (F.col("_ep") >= F.col("valid_from"))
+        & (F.col("_ep") < F.col("valid_to")),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("value"), F.lit(-1)).cast("long").alias("k_value")
+    ).agg(F.count(F.lit(1)).alias("n_purchases"))
+
+
+def q_bpe_first_merges(spark, sf_dir):
+    """The first BPE training step: frequency-weighted adjacent
+    character-pair counts over the corpus vocabulary, top-20 merge
+    candidates (count desc, pair asc). Word frequencies aggregate
+    first, so the pair explode runs once per DISTINCT word — the
+    standard tokenizer-training optimization. Top-k plans as
+    TakeOrderedAndProject."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("weight"))
+    return counted.orderBy(F.col("weight").desc(), F.col("pair").asc()).limit(20)
+
+
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic: the 10 heaviest part keys with their
+    corpus share in exact milli — the number that decides between a
+    plain shuffle join and salting. One partial-aggregable key count,
+    per-partition top-k, single-row total broadcast onto 10 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_tot"))
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc()).limit(10)
+    return top.join(F.broadcast(total)).selectExpr(
+        "CAST(l_partkey AS BIGINT) AS l_partkey",
+        "n_rows",
+        "(n_rows * 1000) div _tot AS share_milli",
+    )
+
+
+def q_media_image_histogram(spark, sf_dir):
+    """Vision-side multimodal feature: per-channel intensity histograms
+    over REAL-decoded P6 PPM payloads, rolled up to corpus totals
+    (channel, bucket, n_pixels). The fixture's encode→decode round
+    trip lets the oracle recompute every pixel from the text
+    codepoints — the same contract as media_audio_energy, for
+    images."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        image_channel_histogram,
+        media_fixture_from_documents,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    media = media_fixture_from_documents(docs).where(F.col("kind") == "image")
+    hist = image_channel_histogram(media)
+    return hist.groupBy("channel", "bucket").agg(
+        F.sum("n_pixels").alias("n_pixels")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -3051,6 +3143,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_confusion": q_knn_confusion,
     "weekly_churn": q_weekly_churn,
     "negative_sampling": q_negative_sampling,
+    "pit_enrich": q_pit_enrich,
+    "bpe_first_merges": q_bpe_first_merges,
+    "skew_report": q_skew_report,
+    "media_image_histogram": q_media_image_histogram,
 }
 
 
@@ -6325,4 +6421,78 @@ _ORACLES["negative_sampling"] = """
                 ELSE (d.doc_id * 2654435761 + j * 40503) % n.nn
            END AS neg_id
     FROM documents d, n, unnest(range(1, 5)) AS t(j)
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 11: PIT enrich / BPE merges / skew / image histograms
+# --------------------------------------------------------------------------
+
+_ORACLES["pit_enrich"] = """
+    WITH sg AS (
+        SELECT user_id AS entity, ts, event_id,
+               floor(epoch(ts))::BIGINT AS ep,
+               json_extract_string(props, '$.k')::BIGINT AS value
+        FROM events WHERE event_type = 'signup'
+    ), m AS (
+        SELECT entity, ep, value,
+               row_number() OVER w AS rn, lag(value) OVER w AS prev
+        FROM sg WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT entity, ep, value,
+               row_number() OVER (PARTITION BY entity ORDER BY rn) AS crn
+        FROM m WHERE rn = 1 OR (value IS DISTINCT FROM prev)
+    ), iv AS (
+        SELECT entity, value, ep AS valid_from,
+               coalesce(lead(ep) OVER w2, 9999999999)::BIGINT AS valid_to
+        FROM ch WINDOW w2 AS (PARTITION BY entity ORDER BY crn)
+    ), p AS (
+        SELECT user_id AS entity, floor(epoch(ts))::BIGINT AS ep
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(iv.value, -1)::BIGINT AS k_value,
+           count(*)::BIGINT AS n_purchases
+    FROM p LEFT JOIN iv
+      ON iv.entity = p.entity
+     AND p.ep >= iv.valid_from AND p.ep < iv.valid_to
+    GROUP BY k_value
+"""
+
+_ORACLES["bpe_first_merges"] = """
+    WITH words AS (
+        SELECT w, count(*)::BIGINT AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ) GROUP BY w HAVING length(w) >= 2
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, freq
+        FROM words, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT pair, sum(freq)::BIGINT AS weight
+    FROM pairs GROUP BY pair
+    ORDER BY weight DESC, pair ASC LIMIT 20
+"""
+
+_ORACLES["skew_report"] = """
+    WITH c AS (
+        SELECT l_partkey, count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT sum(n_rows)::BIGINT AS tot FROM c)
+    SELECT l_partkey::BIGINT AS l_partkey, n_rows,
+           ((n_rows * 1000) // t.tot)::BIGINT AS share_milli
+    FROM c, t
+    ORDER BY n_rows DESC, l_partkey ASC LIMIT 10
+"""
+
+_ORACLES["media_image_histogram"] = """
+    WITH px AS (
+        SELECT ((ascii(substr(text, (j % len(text))::INTEGER + 1, 1)) * 7)
+                % 256) // 32 AS bucket,
+               j % 3 AS channel
+        FROM documents, unnest(range(0, 48)) AS t(j)
+        WHERE doc_id % 2 = 1 AND len(text) > 0
+    )
+    SELECT channel::BIGINT AS channel, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n_pixels
+    FROM px GROUP BY channel, bucket
 """

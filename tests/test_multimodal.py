@@ -272,3 +272,21 @@ def test_audio_frame_energy_exact(spark):
         for r in audio_frame_energy(df, frame_size=4).collect()
     )
     assert out == [(1, 0, 4, 86), (1, 1, 1, 49)]
+
+
+def test_image_histogram_counts_all_pixels(spark):
+    """Every decoded image contributes exactly 48 pixels (4×4×3), split
+    16 per channel — the conservation check for the histogram kernel."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from yandex_tracker_exporter_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n_images = docs.where(F.col("doc_id") % 2 == 1).count()
+    rows = entry_mod.queries()["media_image_histogram"](spark, sf).collect()
+    per_channel = {}
+    for r in rows:
+        per_channel[r["channel"]] = per_channel.get(r["channel"], 0) + r["n_pixels"]
+    assert per_channel == {0: 16 * n_images, 1: 16 * n_images, 2: 16 * n_images}

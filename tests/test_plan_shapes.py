@@ -197,6 +197,7 @@ _NESTED_LOOP_ALLOWED = {
     "knn_confusion",
     "weekly_churn",
     "negative_sampling",
+    "skew_report",
 }
 
 
@@ -253,6 +254,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "dataset_card": 1,
     "weekly_churn": 1,
     "negative_sampling": 1,
+    "skew_report": 1,
 }
 
 

@@ -583,3 +583,71 @@ def media_fixture_from_documents(docs: DataFrame) -> DataFrame:
         ]
     )
     return docs.select("doc_id", "text").mapInPandas(kernel, fixture_schema)
+
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("channel", LongType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("n_pixels", LongType(), False),
+    ]
+)
+
+
+def image_channel_histogram(df: DataFrame, bucket_width: int = 32) -> DataFrame:
+    """Per-channel pixel-intensity histograms over REAL-decoded P6 PPM
+    payloads — the color-profile feature a vision pipeline extracts
+    before training-set balancing. Channels are the interleaved R/G/B
+    planes (0/1/2), buckets are ``value div bucket_width`` (8 buckets
+    at the default). Unparseable / non-PPM payloads are skipped (the
+    quarantine posture). Map-only Arrow stage; the tiny per-image
+    histogram rows aggregate downstream if the caller wants corpus
+    totals."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, buckets, counts = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_ppm(bytes(payload)) if payload is not None else None
+                except ValueError:
+                    d = None
+                if d is None:
+                    continue
+                pix = _ppm_pixels(bytes(payload))
+                if pix.size == 0:
+                    continue
+                ch = np.arange(pix.size) % 3
+                bk = pix.astype(np.int64) // bucket_width
+                key = ch * 1000 + bk
+                uniq, cnt = np.unique(key, return_counts=True)
+                for k, c in zip(uniq, cnt):
+                    ids.append(int(media_id))
+                    chans.append(int(k // 1000))
+                    buckets.append(int(k % 1000))
+                    counts.append(int(c))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "channel": pd.array(chans, dtype="Int64"),
+                    "bucket": pd.array(buckets, dtype="Int64"),
+                    "n_pixels": pd.array(counts, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, HIST_SCHEMA)
+
+
+def _ppm_pixels(payload: bytes) -> np.ndarray:
+    """Raw interleaved RGB bytes of a P6 PPM: the pixel plane is
+    exactly width·height·3 bytes at the END of the file (the header
+    dimensions come from :func:`decode_ppm`)."""
+    try:
+        d = decode_ppm(payload)
+    except ValueError:
+        return np.array([], dtype=np.uint8)
+    n = int(d["width"]) * int(d["height"]) * 3
+    if n <= 0 or n > len(payload):
+        return np.array([], dtype=np.uint8)
+    return np.frombuffer(payload[len(payload) - n:], dtype=np.uint8)
