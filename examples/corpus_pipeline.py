@@ -148,6 +148,27 @@ def main(sf_dir: str) -> None:
     )
     print("most-distinctive corpus terms:",
           [(r.term, r.docs_led) for r in top_terms.collect()])
+
+    # 6. release hygiene: split the surviving corpus, audit sub-document
+    # leakage across the splits, score quality with the corpus-trained
+    # bigram LM, and CDC-chunk for the sub-file dedup store
+    from yandex_tracker_exporter_spark.operators.dedup import cdc_chunks
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        lm_doc_score,
+        split_leakage_audit,
+    )
+
+    kept_docs = deduped.join(docs.select("doc_id", "text"), "doc_id", "leftsemi")
+    leaks = split_leakage_audit(docs)
+    lm_scores = lm_doc_score(docs)
+    chunks_cdc = cdc_chunks(docs)
+    print("cross-split leaked windows:",
+          sorted((r.split_a, r.split_b, r.n_window_keys) for r in leaks.collect()))
+    print("LM quality: lowest-scoring doc ids:",
+          [r.doc_id for r in
+           lm_scores.orderBy("mean_p_milli", "doc_id").limit(3).collect()])
+    print("CDC chunks:", chunks_cdc.count(),
+          "(~64-char content-defined, shift-tolerant dedup keys)")
     spark.stop()
 
 
