@@ -3008,6 +3008,99 @@ def q_media_image_histogram(spark, sf_dir):
     )
 
 
+def q_robust_stats(spark, sf_dir):
+    """Robust per-segment statistics: median and MAD (median absolute
+    deviation) over value cents — the outlier-resistant twin of
+    mean/σ (zscore_outliers). Exact percentile parity both engines
+    (the value_percentiles precedent); two segment-keyed shuffles, the
+    deviations join back against the broadcast 5-row median table."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select(F.col("event_type").alias("segment"), cents.alias("_c"))
+    med = base.groupBy("segment").agg(
+        F.percentile(F.col("_c"), F.lit(0.5)).alias("median_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = base.join(F.broadcast(med), "segment").select(
+        "segment",
+        F.abs(F.col("_c").cast("double") - F.col("median_cents")).alias("_d"),
+    )
+    mad = dev.groupBy("segment").agg(
+        F.percentile(F.col("_d"), F.lit(0.5)).alias("mad_cents")
+    )
+    return med.join(mad, "segment").select(
+        "segment", "n", "median_cents", "mad_cents"
+    )
+
+
+def q_pareto_8020(spark, sf_dir):
+    """Contribution (Pareto 80/20) analysis: per region, customers'
+    nations ranked by revenue with exact running milli shares and the
+    head-flag up to 80% cumulative — the concentration profile behind
+    'which slices carry the corpus'. The window partitions by region
+    (25 nations / 5 regions — never a global funnel)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("_c")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("_c").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("revenue_cents").desc(), F.col("n_name").asc()
+    )
+    w_tot = Window.partitionBy("r_name")
+    ranked = rev.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.row_number().over(w).cast("long").alias("rank_in_region"),
+        F.sum("revenue_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+        F.sum("revenue_cents").over(w_tot).alias("_tot"),
+    )
+    return ranked.selectExpr(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        "rank_in_region",
+        "(_cum * 1000) div _tot AS cum_share_milli",
+        "CAST(CASE WHEN (_cum - revenue_cents) * 1000 < 800 * _tot"
+        " THEN 1 ELSE 0 END AS BIGINT) AS in_top80",
+    )
+
+
+def q_state_dwell_time(spark, sf_dir):
+    """Total dwell seconds per k-state across all users — the tracker
+    cycle-time generalization: SCD2 intervals from the change stream,
+    closed intervals sum their exact spans per state (the open tail is
+    excluded — unbounded dwell is undefined, not huge). One rollup on
+    ≤ |states| keys after the interval window."""
+    from yandex_tracker_exporter_spark.operators.temporal import (
+        SCD2_OPEN_END,
+        scd2_intervals,
+    )
+
+    iv = scd2_intervals(_t(spark, sf_dir, "events"))
+    return (
+        iv.where(F.col("valid_to") != SCD2_OPEN_END)
+        .groupBy(F.col("value").alias("k_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("valid_to") - F.col("valid_from")).alias("total_dwell_s"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -3147,6 +3240,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_first_merges": q_bpe_first_merges,
     "skew_report": q_skew_report,
     "media_image_histogram": q_media_image_histogram,
+    "robust_stats": q_robust_stats,
+    "pareto_8020": q_pareto_8020,
+    "state_dwell_time": q_state_dwell_time,
 }
 
 
@@ -6495,4 +6591,84 @@ _ORACLES["media_image_histogram"] = """
     SELECT channel::BIGINT AS channel, bucket::BIGINT AS bucket,
            count(*)::BIGINT AS n_pixels
     FROM px GROUP BY channel, bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 12: robust stats / Pareto contribution / dwell time
+# --------------------------------------------------------------------------
+
+_ORACLES["robust_stats"] = """
+    WITH b AS (
+        SELECT event_type AS segment, floor(value * 100)::BIGINT AS c
+        FROM events
+    ), med AS (
+        SELECT segment, quantile_cont(c, 0.5) AS median_cents,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY segment
+    ), dev AS (
+        SELECT b.segment, abs(b.c::DOUBLE - med.median_cents) AS d
+        FROM b JOIN med ON med.segment = b.segment
+    ), mad AS (
+        SELECT segment, quantile_cont(d, 0.5) AS mad_cents
+        FROM dev GROUP BY segment
+    )
+    SELECT med.segment, med.n, med.median_cents, mad.mad_cents
+    FROM med JOIN mad ON mad.segment = med.segment
+"""
+
+_ORACLES["pareto_8020"] = """
+    WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               sum(floor(o.o_totalprice * 100)::BIGINT)::BIGINT
+                   AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    ), ranked AS (
+        SELECT r_name, n_name, revenue_cents,
+               row_number() OVER w AS rank_in_region,
+               sum(revenue_cents) OVER (
+                   PARTITION BY r_name
+                   ORDER BY revenue_cents DESC, n_name ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(revenue_cents) OVER (PARTITION BY r_name) AS tot
+        FROM rev
+        WINDOW w AS (PARTITION BY r_name
+                     ORDER BY revenue_cents DESC, n_name ASC)
+    )
+    SELECT r_name, n_name, revenue_cents,
+           rank_in_region::BIGINT AS rank_in_region,
+           ((cum * 1000) // tot)::BIGINT AS cum_share_milli,
+           (CASE WHEN (cum - revenue_cents) * 1000 < 800 * tot
+                 THEN 1 ELSE 0 END)::BIGINT AS in_top80
+    FROM ranked
+"""
+
+_ORACLES["state_dwell_time"] = """
+    WITH b AS (
+        SELECT user_id AS entity, ts, event_id,
+               floor(epoch(ts))::BIGINT AS ep,
+               json_extract_string(props, '$.k')::BIGINT AS value
+        FROM events
+    ), m AS (
+        SELECT entity, ep, value,
+               row_number() OVER w AS rn, lag(value) OVER w AS prev
+        FROM b WINDOW w AS (PARTITION BY entity ORDER BY ts, event_id)
+    ), ch AS (
+        SELECT entity, ep, value,
+               row_number() OVER (PARTITION BY entity ORDER BY rn) AS crn
+        FROM m WHERE rn = 1 OR (value IS DISTINCT FROM prev)
+    ), iv AS (
+        SELECT entity, value, ep AS valid_from,
+               lead(ep) OVER w2 AS valid_to
+        FROM ch WINDOW w2 AS (PARTITION BY entity ORDER BY crn)
+    )
+    SELECT value::BIGINT AS k_value,
+           count(*)::BIGINT AS n_intervals,
+           sum(valid_to - valid_from)::BIGINT AS total_dwell_s
+    FROM iv WHERE valid_to IS NOT NULL
+    GROUP BY k_value
 """
