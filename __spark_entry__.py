@@ -3101,6 +3101,121 @@ def q_state_dwell_time(spark, sf_dir):
     )
 
 
+def q_contingency_chi2(spark, sf_dir):
+    """Chi-square contingency analysis of market segment × order
+    priority: per-cell observed counts, expected counts in exact milli
+    (R·C·1000 div T), and the integer chi² contribution
+    ((O·T − R·C)² div (R·C·T)) — association testing with no float
+    until the analyst applies the threshold. Marginals come back onto
+    the |segments|×|priorities| cell relation via broadcast."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rows_m = cells.groupBy("segment").agg(F.sum("observed").alias("_r"))
+    cols_m = cells.groupBy("priority").agg(F.sum("observed").alias("_c"))
+    total = cells.agg(F.sum("observed").alias("_t"))
+    joined = (
+        cells.join(F.broadcast(rows_m), "segment")
+        .join(F.broadcast(cols_m), "priority")
+        .join(F.broadcast(total))
+    )
+    return joined.selectExpr(
+        "segment",
+        "priority",
+        "observed",
+        "(_r * _c * 1000) div _t AS expected_milli",
+        "((observed * _t - _r * _c) * (observed * _t - _r * _c))"
+        " div (_r * _c * _t) AS chi2_contrib",
+    )
+
+
+def q_ab_test(spark, sf_dir):
+    """A/B experimentation readout: users hash-split 50/50 (the
+    split_assign machinery with an experiment salt), per-arm purchase
+    conversion in exact milli, lift, and the two-proportion z statistic
+    as ONE fixed-order double expression over integer counts (sqrt is
+    IEEE-exact — the assortativity discipline). Per-user rollup is the
+    only corpus shuffle; arms aggregate to two rows."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        _sample_bucket,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # conversion = "heavy purchaser" (> 26 purchase events): on this
+    # corpus EVERY user purchases at least once, so an any-purchase
+    # definition gives two 100% arms and a zero z-denominator (which
+    # ANSI mode raises on even for doubles — found the hard way)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("_np")
+    ).select("user_id", F.when(F.col("_np") > 26, 1).otherwise(0).alias("_conv"))
+    armed = per_user.select(
+        F.when(
+            _sample_bucket(F.col("user_id"), 2, "exp1:") == 0, F.lit("A")
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        "_conv",
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_conv").cast("long").alias("n_converted"),
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.join(F.broadcast(b))
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    denom = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    # degenerate pooled rate (0 or 1) → z defined as 0, not a crash
+    z = F.when(denom > 0.0, (pa - pb) / denom).otherwise(F.lit(0.0))
+    return j.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr("(ca * 1000) div na").alias("rate_a_milli"),
+        F.expr("(cb * 1000) div nb").alias("rate_b_milli"),
+        z.alias("z_stat"),
+    )
+
+
+def q_heatmap_hour_value(spark, sf_dir):
+    """Hour-of-day × value-band heatmap: the 2-D distribution profile
+    behind usage dashboards and drift monitors. Pure map + one
+    partial-aggregable rollup on ≤ 24×10 keys."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("long")
+    band = F.least(
+        F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
+    ).cast("long")
+    return ev.groupBy(hour.alias("hour"), band.alias("value_band")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -3243,6 +3358,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_stats": q_robust_stats,
     "pareto_8020": q_pareto_8020,
     "state_dwell_time": q_state_dwell_time,
+    "contingency_chi2": q_contingency_chi2,
+    "ab_test": q_ab_test,
+    "heatmap_hour_value": q_heatmap_hour_value,
 }
 
 
@@ -6671,4 +6789,74 @@ _ORACLES["state_dwell_time"] = """
            sum(valid_to - valid_from)::BIGINT AS total_dwell_s
     FROM iv WHERE valid_to IS NOT NULL
     GROUP BY k_value
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 13: chi-square / A-B testing / 2-D heatmap
+# --------------------------------------------------------------------------
+
+_ORACLES["contingency_chi2"] = """
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               count(*)::BIGINT AS observed
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY segment, priority
+    ), r AS (
+        SELECT segment, sum(observed)::BIGINT AS rm FROM cells
+        GROUP BY segment
+    ), col AS (
+        SELECT priority, sum(observed)::BIGINT AS cm FROM cells
+        GROUP BY priority
+    ), t AS (SELECT sum(observed)::BIGINT AS tt FROM cells)
+    SELECT cells.segment, cells.priority, cells.observed,
+           ((r.rm * col.cm * 1000) // t.tt)::BIGINT AS expected_milli,
+           (((cells.observed * t.tt - r.rm * col.cm)
+             * (cells.observed * t.tt - r.rm * col.cm))
+            // (r.rm * col.cm * t.tt))::BIGINT AS chi2_contrib
+    FROM cells
+    JOIN r USING (segment) JOIN col USING (priority) CROSS JOIN t
+"""
+
+
+def _build_ab_test_sql() -> str:
+    bucket = _dd_hash("'exp1:' || user_id::VARCHAR")
+    return f"""
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) > 26
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ), armed AS (
+        SELECT CASE WHEN ({bucket}) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               conv
+        FROM pu
+    ), arms AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+        FROM armed GROUP BY arm
+    ), a AS (SELECT n AS na, c AS ca FROM arms WHERE arm = 'A'),
+    b AS (SELECT n AS nb, c AS cb FROM arms WHERE arm = 'B')
+    SELECT na, ca, nb, cb,
+           ((ca * 1000) // na)::BIGINT AS rate_a_milli,
+           ((cb * 1000) // nb)::BIGINT AS rate_b_milli,
+           CASE WHEN sqrt(((ca + cb)::DOUBLE / (na + nb)::DOUBLE)
+                  * (1.0 - (ca + cb)::DOUBLE / (na + nb)::DOUBLE)
+                  * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)) > 0.0
+                THEN (ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE)
+                     / sqrt(((ca + cb)::DOUBLE / (na + nb)::DOUBLE)
+                            * (1.0 - (ca + cb)::DOUBLE / (na + nb)::DOUBLE)
+                            * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE))
+                ELSE 0.0 END AS z_stat
+    FROM a CROSS JOIN b
+"""
+
+
+_ORACLES["ab_test"] = _build_ab_test_sql()
+
+_ORACLES["heatmap_hour_value"] = """
+    SELECT hour(ts)::BIGINT AS hour,
+           least(greatest(floor(value / 10.0), 0), 9)::BIGINT AS value_band,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY hour, value_band
 """

@@ -198,6 +198,8 @@ _NESTED_LOOP_ALLOWED = {
     "weekly_churn",
     "negative_sampling",
     "skew_report",
+    "contingency_chi2",
+    "ab_test",
 }
 
 
@@ -255,6 +257,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "weekly_churn": 1,
     "negative_sampling": 1,
     "skew_report": 1,
+    "contingency_chi2": 1,
 }
 
 
