@@ -3216,6 +3216,65 @@ def q_heatmap_hour_value(spark, sf_dir):
     )
 
 
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per type (the TWAP/telemetry
+    aggregate): each reading holds until the user's next event, so it
+    weighs by its exact duration — Σ(cents·Δt) and Σ(Δt) accumulate in
+    int64 (one lead window + one rollup) and the average divides once
+    at the end in milli. Open tails carry no duration (excluded, not
+    guessed)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = ev.select(
+        F.col("event_type"),
+        cents.alias("_c"),
+        (F.lead(epoch).over(w) - epoch).alias("_dt"),
+    ).where(F.col("_dt").isNotNull())
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.sum(F.col("_c") * F.col("_dt")).alias("_wsum"),
+            F.sum("_dt").alias("total_held_s"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_readings",
+            "total_held_s",
+            "(_wsum * 1000) div total_held_s AS twap_milli_cents",
+        )
+    )
+
+
+def q_cluster_balance(spark, sf_dir):
+    """ANN index health: size balance of the k-means partitions the
+    IVF path probes — per-cluster share in exact milli plus the
+    max/mean imbalance ratio every row carries (a lopsided index
+    makes nprobe recall collapse on hot clusters). Composes the
+    integer-exact kmeans assignment; rollups are k-bounded."""
+    from yandex_tracker_exporter_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_quantized(emb, k=8, iters=2)
+    sizes = assigned.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    tot = sizes.agg(
+        F.sum("n_vectors").alias("_t"), F.max("n_vectors").alias("_mx"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return sizes.join(F.broadcast(tot)).selectExpr(
+        "cluster",
+        "n_vectors",
+        "(n_vectors * 1000) div _t AS share_milli",
+        "(_mx * _k * 1000) div _t AS max_over_mean_milli",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -3361,6 +3420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contingency_chi2": q_contingency_chi2,
     "ab_test": q_ab_test,
     "heatmap_hour_value": q_heatmap_hour_value,
+    "twap_by_type": q_twap,
+    "cluster_balance": q_cluster_balance,
 }
 
 
@@ -6860,3 +6921,47 @@ _ORACLES["heatmap_hour_value"] = """
            count(*)::BIGINT AS n_events
     FROM events GROUP BY hour, value_band
 """
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 14: TWAP / index balance
+# --------------------------------------------------------------------------
+
+_ORACLES["twap_by_type"] = """
+    WITH h AS (
+        SELECT event_type,
+               floor(value * 100)::BIGINT AS c,
+               lead(floor(epoch(ts))::BIGINT) OVER w
+                   - floor(epoch(ts))::BIGINT AS dt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_readings,
+           sum(dt)::BIGINT AS total_held_s,
+           ((sum(c * dt)::BIGINT * 1000) // sum(dt)::BIGINT)::BIGINT
+               AS twap_milli_cents
+    FROM h WHERE dt IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+def _build_cluster_balance_sql(k: int = 8, iters: int = 2) -> str:
+    tail = f"""
+    , sizes AS (
+        SELECT cluster, count(*)::BIGINT AS n_vectors
+        FROM a{iters} GROUP BY cluster
+    ), tot AS (
+        SELECT sum(n_vectors)::BIGINT AS t, max(n_vectors)::BIGINT AS mx,
+               count(*)::BIGINT AS kk
+        FROM sizes
+    )
+    SELECT sizes.cluster, sizes.n_vectors,
+           ((sizes.n_vectors * 1000) // tot.t)::BIGINT AS share_milli,
+           ((tot.mx * tot.kk * 1000) // tot.t)::BIGINT AS max_over_mean_milli
+    FROM sizes CROSS JOIN tot
+    """
+    return _build_kmeans_sql(k=k, iters=iters, tail=tail)
+
+
+_ORACLES["cluster_balance"] = _build_cluster_balance_sql()

@@ -200,6 +200,7 @@ _NESTED_LOOP_ALLOWED = {
     "skew_report",
     "contingency_chi2",
     "ab_test",
+    "cluster_balance",
 }
 
 
@@ -258,6 +259,7 @@ _SINGLE_PARTITION_ALLOWED = {
     "negative_sampling": 1,
     "skew_report": 1,
     "contingency_chi2": 1,
+    "cluster_balance": 1,
 }
 
 
