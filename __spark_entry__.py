@@ -5800,11 +5800,12 @@ _ORACLES["split_leakage"] = f"""
                     ELSE 'test' END AS split,
                regexp_split_to_array(trim(text), '\\s+') AS tk
         FROM documents
+        WHERE len(trim(text)) > 0
     ), w AS (
         SELECT split,
                md5(array_to_string(tk[(wi * 16 + 1):(wi * 16 + 16)], ' '))
                    AS key
-        FROM s, unnest(range(0, greatest((len(tk) + 15) // 16, 1))) AS t(wi)
+        FROM s, unnest(range(0, (len(tk) + 15) // 16)) AS t(wi)
     ), ps AS (
         SELECT key, split, count(*)::BIGINT AS n FROM w GROUP BY key, split
     ), x AS (
@@ -6179,10 +6180,17 @@ def _build_funnel_conversion_sql() -> str:
     return f"""
     WITH levels AS (
         {funnel}
-    ), counts AS (
+    ), observed AS (
         SELECT funnel_level, count(*)::BIGINT AS n
         FROM levels WHERE funnel_level >= 1
         GROUP BY funnel_level
+    ), counts AS (
+        -- every level 1..len(steps), 0-defaulted: a level no user stops
+        -- exactly at must still appear (ADVICE r4: otherwise level k's
+        -- conversion silently divides by level k-2)
+        SELECT al.funnel_level, coalesce(o.n, 0)::BIGINT AS n
+        FROM (SELECT unnest(range(1, 4))::BIGINT AS funnel_level) al
+        LEFT JOIN observed o USING (funnel_level)
     ), reached AS (
         SELECT funnel_level,
                sum(n) OVER (ORDER BY funnel_level DESC
@@ -6197,7 +6205,8 @@ def _build_funnel_conversion_sql() -> str:
         FROM reached
     )
     SELECT level, step, n_reached,
-           ((n_reached * 1000) // prev)::BIGINT AS conv_milli
+           CASE WHEN prev = 0 THEN 0
+                ELSE (n_reached * 1000) // prev END::BIGINT AS conv_milli
     FROM named
     """
 

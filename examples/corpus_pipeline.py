@@ -158,10 +158,10 @@ def main(sf_dir: str) -> None:
         split_leakage_audit,
     )
 
-    kept_docs = deduped.join(docs.select("doc_id", "text"), "doc_id", "leftsemi")
-    leaks = split_leakage_audit(docs)
-    lm_scores = lm_doc_score(docs)
-    chunks_cdc = cdc_chunks(docs)
+    kept_docs = docs.join(deduped.select("doc_id"), "doc_id", "leftsemi")
+    leaks = split_leakage_audit(kept_docs)
+    lm_scores = lm_doc_score(kept_docs)
+    chunks_cdc = cdc_chunks(kept_docs)
     print("cross-split leaked windows:",
           sorted((r.split_a, r.split_b, r.n_window_keys) for r in leaks.collect()))
     print("LM quality: lowest-scoring doc ids:",

@@ -396,15 +396,28 @@ def funnel_conversion(
     over the per-user levels relation.
 
     Output: level (1-based), step, n_reached, conv_milli (level 1 =
-    1000 by definition of "reached the funnel").
+    1000 by definition of "reached the funnel"). Every level
+    1..len(steps) is present in the output even when no user stops
+    EXACTLY at it (the observed max-level counts are left-joined onto
+    the full level dimension with 0 defaults) — otherwise a missing
+    middle level would silently compute level k's conversion against
+    level k-2. A level whose previous level has 0 users reports
+    conv_milli = 0 (vacuous conversion; also keeps integer div
+    ANSI-safe).
     """
     levels = window_funnel(
         events, steps, window_seconds, user_col, ts_col, type_col
     )
-    counts = (
+    observed = (
         levels.where(F.col("funnel_level") >= 1)
         .groupBy("funnel_level")
         .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    all_levels = events.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("long").alias("funnel_level")
+    )
+    counts = all_levels.join(F.broadcast(observed), "funnel_level", "left").select(
+        "funnel_level", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
     )
     # users at level k reached every level <= k: cumulative from the top
     w = Window.orderBy(F.col("funnel_level").desc()).rowsBetween(
@@ -425,7 +438,8 @@ def funnel_conversion(
         "level",
         "step",
         "n_reached",
-        "(n_reached * 1000) div _prev AS conv_milli",
+        "CASE WHEN _prev = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (n_reached * 1000) div _prev END AS conv_milli",
     )
 
 

@@ -183,7 +183,7 @@ def pagerank(
 def kcore(
     edges: DataFrame,
     k: int = 3,
-    rounds: int = 8,
+    rounds: int = 64,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
@@ -193,12 +193,18 @@ def kcore(
     subgraph mining, community seeding) between per-node degree and
     full community detection.
 
-    The peeling loop is run for a FIXED number of synchronous rounds so
-    a SQL oracle can unroll the identical recurrence as a CTE chain
-    (the pagerank/kmeans pattern for oracle-checking ITERATIVE
-    algorithms); a pytest asserts the fixpoint is reached within the
+    The peeling loop runs until a round removes no nodes (the true
+    fixpoint — each convergence check is one count() over the
+    checkpointed node-sized alive vector, driver-small), bounded by
+    ``rounds`` as a safety cap. NOTE THE BOUND: a graph whose peeling
+    needs more than ``rounds`` synchronous rounds returns a SUPERSET of
+    the true k-core; the default cap of 64 covers any graph whose
+    peeling depth is < 64, and the early-exit means the common case
+    stops as soon as the alive count is stable (ADVICE r4). The SQL
+    oracle unrolls the identical recurrence as a fixed CTE chain; a
+    pytest asserts the fixpoint is reached within the oracle's unroll
     budget on the harness graphs — at the fixpoint extra rounds are
-    no-ops, so the fixed unroll equals true k-core.
+    no-ops, so fixed unroll ≡ early-exit loop ≡ true k-core.
 
     Scale shape per round: the edge list stays put (checkpointed once);
     the alive-node vector (one id per node) drives two semi-joins and
@@ -234,13 +240,19 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
+    prev_n = alive.count()
     for _ in range(rounds):
         deg = _degrees(alive)
         alive = (
             deg.where(F.col("deg") >= k)
             .select("node")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        n = alive.count()
+        if n == prev_n:
+            # no node removed ⇒ degrees unchanged next round ⇒ fixpoint
+            break
+        prev_n = n
     return (
         _degrees(alive)
         .where(F.col("deg") >= k)

@@ -288,7 +288,13 @@ def cms_estimate(
             % F.lit(width)
         ).cast("int"),
     )
-    joined = F.broadcast(probes).join(counters, ["salt", "bucket"])
+    # LEFT join from the probe side (ADVICE r4): a probed key whose
+    # bucket row is absent has a ZERO counter, and the min must see it —
+    # an inner join would silently drop the 0 (over-estimating) or drop
+    # the key entirely when every bucket is empty (it should report 0).
+    joined = probes.join(F.broadcast(counters), ["salt", "bucket"], "left").select(
+        term_col, F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt")
+    )
     return joined.groupBy(term_col).agg(F.min("cnt").alias("est_cnt"))
 
 

@@ -939,17 +939,20 @@ def split_leakage_audit(
     """
     assigned = split_assign(df, id_col)
     toks = _tokens(F.col(text_col))
-    # integer ceil-div, not float ceil: keeps the window count exact in
-    # any engine
-    n_windows = (
-        (F.size(toks) + F.lit(window_tokens - 1)) / F.lit(window_tokens)
-    ).cast("int")
-    exploded = assigned.select(
+    # integer ceil-div (ADVICE r4: true `div`, not float-divide-then
+    # -cast) keeps the window count exact in any engine; zero-token docs
+    # are dropped BEFORE the explode so an empty doc in two splits does
+    # not register a leaked md5('') window
+    sized = assigned.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        "split", toks.alias("_t"), F.size(toks).alias("_sz")
+    )
+    n_windows = F.expr(f"(_sz + {window_tokens - 1}) div {window_tokens}").cast(
+        "int"
+    )
+    exploded = sized.where(F.col("_sz") > 0).select(
         "split",
-        toks.alias("_t"),
-        F.explode(F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0)))).alias(
-            "_w"
-        ),
+        "_t",
+        F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("_w"),
     ).select(
         "split",
         F.md5(
