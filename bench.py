@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ...}. The same line is also written
+to BENCH_SUMMARY.json next to this file, so a consumer that misses the
+stdout line (progress-bar \r splicing, truncated pipe) still gets the
+artifact.
 
 Timing counts full execution of each query (count() on the executors)
 after a warm-up pass of the session AND of the Python UDF workers (the
@@ -79,7 +82,14 @@ def main() -> None:
         app_name="yte-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            # progress bars write \r-terminated fragments that can splice
+            # into the summary line and break the driver's JSON parse
+            # (observed: BENCH_r04.json "parsed": null) — keep stdout clean
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -155,7 +165,23 @@ def main() -> None:
     # an inflated artifact is self-documenting (quiet box ≈ 1-2 here).
     if loadavg_start is not None:
         out["loadavg_1m_at_start"] = loadavg_start
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Durable copy first: the summary survives even if stdout is spliced
+    # by stray \r fragments or the process is killed mid-print.
+    summary_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
+    )
+    try:
+        with open(summary_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    # …then the JSON as the absolute last stdout line: flush both streams,
+    # lead with a newline so any unterminated \r fragment can't prefix it.
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -165,3 +165,33 @@ def test_backends_share_wire_format(spark, tmp_path):
 
     via_hadoop = HadoopFileStateStore(spark, f"file://{plain_path}")
     assert via_hadoop.get("issues") == TS
+
+
+def test_yaml_state_file_roundtrip(tmp_path):
+    """A .yaml path switches the serializer (reference
+    state/serializers.py declares YAML in its abstract surface): same
+    get/set/delete/flush contract, YAML on disk, crash-safe tmp+rename."""
+    yaml = pytest.importorskip("yaml")
+    path = str(tmp_path / "watermarks.yaml")
+    store = state_store_factory("local", path=path)
+    store.set("issues", TS)
+    store.set("comments", TS)
+    store.delete("comments")
+    store.flush()
+
+    with open(path, encoding="utf-8") as fh:
+        on_disk = yaml.safe_load(fh.read())
+    assert on_disk == {"issues": TS.isoformat()}
+    assert FileStateStore(path).get("issues") == TS
+
+
+def test_yaml_and_json_stores_interchangeable(tmp_path):
+    """The document is the same key→ISO map under either serializer —
+    only the encoding differs."""
+    pytest.importorskip("yaml")
+    jstore = FileStateStore(str(tmp_path / "s.json"))
+    ystore = FileStateStore(str(tmp_path / "s.yaml"))
+    for store in (jstore, ystore):
+        store.set("issues", TS)
+        store.flush()
+    assert jstore.get("issues") == ystore.get("issues") == TS

@@ -32,18 +32,41 @@ import os
 import tempfile
 
 
+def _state_serializer(path: str):
+    """(dumps, loads) pair chosen by file extension — the reference's
+    serializer layer (``state/serializers.py``: JSON implemented, YAML
+    declared in the abstract surface). ``.yaml``/``.yml`` paths use
+    PyYAML safe load/dump when available; everything else is JSON."""
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # type: ignore[import-untyped]
+        except ImportError as exc:  # pragma: no cover - env without pyyaml
+            raise ImportError(
+                "YAML state files need the 'pyyaml' package; use a .json "
+                "path or install pyyaml"
+            ) from exc
+        return (
+            lambda data: yaml.safe_dump(data, default_flow_style=False),
+            yaml.safe_load,
+        )
+    return json.dumps, json.loads
+
+
 class FileStateStore:
-    """JSON file state store with the reference's get/set/delete/flush API."""
+    """File state store with the reference's get/set/delete/flush API.
+    JSON by default; a ``.yaml``/``.yml`` path switches the serializer
+    (same key→ISO-timestamp document either way)."""
 
     def __init__(self, path: str) -> None:
         self.path = path
         self._cache: dict[str, str] | None = None
+        self._dumps, self._loads = _state_serializer(path)
 
     def _read(self) -> dict[str, str]:
         if self._cache is None:
             if os.path.exists(self.path):
                 with open(self.path, encoding="utf-8") as fh:
-                    self._cache = json.load(fh)
+                    self._cache = self._loads(fh.read()) or {}
             else:
                 self._cache = {}
         return self._cache
@@ -54,7 +77,7 @@ class FileStateStore:
         fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
         try:
             with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                json.dump(data, fh)
+                fh.write(self._dumps(data))
             os.replace(tmp, self.path)
         finally:
             if os.path.exists(tmp):
@@ -114,7 +137,7 @@ class HadoopFileStateStore(FileStateStore):
                 stream = fs.open(p)
                 sink = jvm.java.io.ByteArrayOutputStream()
                 jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, True)
-                self._cache = json.loads(sink.toString("UTF-8"))
+                self._cache = self._loads(sink.toString("UTF-8")) or {}
             else:
                 self._cache = {}
         return self._cache
@@ -129,7 +152,7 @@ class HadoopFileStateStore(FileStateStore):
         fs, hpath, _ = self._fs()
         tmp, bak = self.path + ".tmp", self.path + ".bak"
         out = fs.create(hpath(tmp), True)
-        out.write(bytearray(json.dumps(data).encode("utf-8")))
+        out.write(bytearray(self._dumps(data).encode("utf-8")))
         out.close()
         live = hpath(self.path)
         if fs.exists(hpath(bak)):
