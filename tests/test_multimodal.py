@@ -290,3 +290,52 @@ def test_image_histogram_counts_all_pixels(spark):
     for r in rows:
         per_channel[r["channel"]] = per_channel.get(r["channel"], 0) + r["n_pixels"]
     assert per_channel == {0: 16 * n_images, 1: 16 * n_images, 2: 16 * n_images}
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png uses filter row % 5, so a 4×5 image exercises every
+    PNG scanline filter; the decoder must invert each exactly. Also
+    covers CRC rejection and the non-RGB guard."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _decode_payload_real,
+        _png_raster,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(4, 5), (1, 7), (9, 6)]:
+        pix = rng.randint(0, 256, size=w * h * 3).astype(np.uint8).tobytes()
+        payload = encode_png(w, h, pix)
+        assert _png_raster(payload).tobytes() == pix
+        d = decode_png(payload)
+        assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+        assert d["n_elements"] == w * h * 3
+        assert d["content_checksum"] == sum(pix)
+    # a flipped byte breaks the chunk CRC → quarantine (None), not raise
+    corrupt = bytearray(encode_png(4, 5, bytes(range(60))))
+    corrupt[40] ^= 0xFF
+    assert _decode_payload_real(bytes(corrupt)) is None
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+
+def test_png_histogram_conserves_pixels(spark):
+    """Every non-empty doc contributes exactly 60 raster bytes (4×5×3),
+    20 per channel, through the COMPRESSED decode path — the same
+    conservation law as the PPM histogram."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from yandex_tracker_exporter_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n_images = docs.where(F.length("text") > 0).count()
+    rows = entry_mod.queries()["media_png_histogram"](spark, sf).collect()
+    per_channel = {}
+    for r in rows:
+        per_channel[r["channel"]] = per_channel.get(r["channel"], 0) + r["n_pixels"]
+    assert per_channel == {0: 20 * n_images, 1: 20 * n_images, 2: 20 * n_images}

@@ -11,11 +11,13 @@ two decode modes exist:
 
 - ``decode="fake"`` — deterministic metadata-derived features (the
   original stub; real Spark plumbing, fake content).
-- ``decode="real"`` — pure-Python parsers for three codec-free public
-  formats: **WAV** (RIFF PCM audio), **PPM** (P6 binary portable
-  pixmap), and **Y4M** (YUV4MPEG2 uncompressed video). These decode
-  actual payload bytes end-to-end in-sandbox; a PIL/ffmpeg kernel for
-  compressed formats plugs into the same dispatch table.
+- ``decode="real"`` — pure-Python parsers for four public formats:
+  **WAV** (RIFF PCM audio), **PPM** (P6 binary portable pixmap),
+  **Y4M** (YUV4MPEG2 uncompressed video), and **PNG** (8-bit RGB,
+  zlib DEFLATE via stdlib + all five scanline filters — a real
+  COMPRESSED format decoded in-sandbox). These decode actual payload
+  bytes end-to-end; a PIL/ffmpeg kernel for JPEG/MP4 plugs into the
+  same dispatch table.
 
 Unparseable payloads yield null features instead of failing the task —
 the corrupt-row quarantine posture of SURVEY §2 F8, which is the only
@@ -231,6 +233,161 @@ def decode_y4m(payload: bytes) -> dict:
     }
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left/up/
+    up-left) closest to the linear estimate a+b-c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit RGB (color type 2) PNG; ``pixels`` is width*height*3 bytes.
+    Scanline ``r`` uses filter ``r % 5``, so a round trip exercises all
+    five PNG filters (None/Sub/Up/Average/Paeth) — the fixture builder
+    for the real-COMPRESSED-format decode path (stdlib zlib DEFLATE)."""
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pixels[r * stride:(r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            pred = (
+                0 if ft == 0
+                else a if ft == 1
+                else b if ft == 2
+                else (a + b) // 2 if ft == 3
+                else _paeth(a, b, c)
+            )
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int) -> np.ndarray:
+    """Undo the per-scanline filters of a decompressed 8-bit RGB IDAT
+    stream; returns the interleaved RGB raster as uint8."""
+    stride = width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad raster size after inflate")
+    prev = [0] * stride
+    out = []
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        if ft == 0:
+            cur = list(line)
+        elif ft == 2:  # Up — vectorizable, and the common filter
+            cur = [(v + p) & 0xFF for v, p in zip(line, prev)]
+        elif ft in (1, 3, 4):
+            cur = [0] * stride
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                pred = (
+                    a if ft == 1
+                    else (a + b) // 2 if ft == 3
+                    else _paeth(a, b, c)
+                )
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out.append(cur)
+        prev = cur
+    return np.array(out, dtype=np.uint8).reshape(-1)
+
+
+def _png_raster(payload: bytes) -> np.ndarray:
+    """Interleaved RGB bytes of an 8-bit color-type-2 PNG: chunk walk
+    with CRC verification → concatenated-IDAT inflate → unfilter."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size:pos + 12 + size])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, bit_depth, color_type, _, _, interlace = ihdr
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced RGB PNG supported")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG inflate failed: {exc}") from exc
+    return _png_unfilter(raw, width, height)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit RGB PNG (the one compressed format decodable with
+    stdlib only): signature + CRC-checked chunk walk + DEFLATE + the
+    five scanline filters. Same feature contract as the other decoders
+    (exact integer checksum → oracle-reproducible)."""
+    raster = _png_raster(payload)
+    (width, height) = _png_dims(payload)
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "n_elements": int(raster.size),
+        "content_checksum": int(raster.astype(np.int64).sum()),
+    }
+
+
+def _png_dims(payload: bytes) -> tuple[int, int]:
+    if payload[:8] != PNG_SIG or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG payload")
+    width, height = struct.unpack(">II", payload[16:24])
+    return int(width), int(height)
+
+
 def _decode_payload_real(payload: bytes | None) -> dict | None:
     """Magic-byte dispatch to the pure-Python decoders; ``None`` for
     null/unparseable payloads (quarantine posture, not task failure)."""
@@ -243,6 +400,8 @@ def _decode_payload_real(payload: bytes | None) -> dict | None:
             return decode_ppm(payload)
         if payload[:9] == b"YUV4MPEG2":
             return decode_y4m(payload)
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)
     except (ValueError, struct.error, IndexError):
         return None
     return None
@@ -585,6 +744,47 @@ def media_fixture_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(kernel, fixture_schema)
 
 
+def png_fixture_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic COMPRESSED-image corpus from ``documents``: every
+    non-empty doc becomes a 4×5 8-bit RGB PNG whose 60 raster bytes are
+    ``(cp*7) % 256`` cycled over the text codepoints — the same pixel
+    law as the PPM fixture, but round-tripped through DEFLATE and all
+    five PNG scanline filters (row ``r`` encodes with filter ``r % 5``).
+    Because decode must invert the filters exactly to recover the
+    raster, an oracle computing the histogram straight from the text
+    codepoints proves the whole compressed path bit-exact."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue
+                cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
+                pix = ((np.resize(cps, 60) * 7) % 256).astype(np.uint8)
+                ids.append(int(doc_id))
+                kinds.append("image")
+                payloads.append(encode_png(4, 5, pix.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    fixture_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(kernel, fixture_schema)
+
+
 HIST_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -595,27 +795,37 @@ HIST_SCHEMA = StructType(
 )
 
 
+def _image_raster(payload: bytes) -> np.ndarray:
+    """Interleaved RGB bytes of any supported image payload (P6 PPM or
+    8-bit RGB PNG); empty array for anything else — the quarantine
+    posture shared by every media kernel."""
+    try:
+        if payload[:2] == b"P6":
+            return _ppm_pixels(payload)
+        if payload[:8] == PNG_SIG:
+            return _png_raster(payload)
+    except (ValueError, struct.error, IndexError):
+        pass
+    return np.array([], dtype=np.uint8)
+
+
 def image_channel_histogram(df: DataFrame, bucket_width: int = 32) -> DataFrame:
-    """Per-channel pixel-intensity histograms over REAL-decoded P6 PPM
-    payloads — the color-profile feature a vision pipeline extracts
-    before training-set balancing. Channels are the interleaved R/G/B
-    planes (0/1/2), buckets are ``value div bucket_width`` (8 buckets
-    at the default). Unparseable / non-PPM payloads are skipped (the
-    quarantine posture). Map-only Arrow stage; the tiny per-image
-    histogram rows aggregate downstream if the caller wants corpus
-    totals."""
+    """Per-channel pixel-intensity histograms over REAL-decoded image
+    payloads (P6 PPM and 8-bit RGB PNG) — the color-profile feature a
+    vision pipeline extracts before training-set balancing. Channels
+    are the interleaved R/G/B planes (0/1/2), buckets are ``value div
+    bucket_width`` (8 buckets at the default). Unparseable / non-image
+    payloads are skipped (the quarantine posture). Map-only Arrow
+    stage; the tiny per-image histogram rows aggregate downstream if
+    the caller wants corpus totals."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, chans, buckets, counts = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    d = decode_ppm(bytes(payload)) if payload is not None else None
-                except ValueError:
-                    d = None
-                if d is None:
+                if payload is None:
                     continue
-                pix = _ppm_pixels(bytes(payload))
+                pix = _image_raster(bytes(payload))
                 if pix.size == 0:
                     continue
                 ch = np.arange(pix.size) % 3
