@@ -84,3 +84,28 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_an_oracle():
+    """Contract invariant: no queries() entry ships without its DuckDB
+    oracle (the weaker rows-only driver check is never the plan)."""
+    missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+
+
+def test_manifest_matches_contract():
+    """QUERIES_MANIFEST.json (the driver-protocol sweep evidence) must
+    list exactly the live contract — a stale manifest is worse than
+    none. Regenerate with tools/make_manifest.py after contract changes."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "QUERIES_MANIFEST.json")
+    with open(path) as fh:
+        manifest = json.load(fh)
+    assert set(manifest["queries"]) == set(entry_mod.queries())
+    bad = {
+        k: v["status"]
+        for k, v in manifest["queries"].items()
+        if v["status"] not in ("verified", "no-oracle")
+    }
+    assert not bad, f"manifest records failures: {bad}"
