@@ -1059,7 +1059,9 @@ def q_quantize_embeddings(spark, sf_dir):
         quantize_embeddings,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # _t_wide: 64 transform+floor ops per row is enough per-row CPU for
+    # the single-file harness scan to serialize (measured 1.6 -> 1.1 s)
+    emb = _t_wide(spark, sf_dir, "embeddings")
     out = quantize_embeddings(emb, "embedding", "vec_id")
     return out.select(
         F.col("vec_id").cast("long"),
@@ -1458,8 +1460,14 @@ def q_knn_classify(spark, sf_dir):
     """kNN label vote: predict each query vector's label from the
     majority label of its 10 nearest cosine neighbors (the labeling /
     weak-supervision use of similarity search). Ties break to the
-    smaller label; integer outputs only, so parity is exact."""
-    emb = _t(spark, sf_dir, "embeddings")
+    smaller label; integer outputs only, so parity is exact.
+
+    _t_wide on the corpus: the broadcast-panel scorer is linear in the
+    corpus but every cosine is a 64-element HOF fold — on the harness
+    single-file scan that serialized the whole probe on one core
+    (measured 1.2 -> 0.5 s; the same finding made the 10x scale check's
+    knn run FASTER than sf0.1)."""
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
     )
@@ -2687,8 +2695,11 @@ def q_copurchase_recs(spark, sf_dir):
     """Item-item co-purchase recommendations (the classic recsys
     aggregate): parts sharing an order pair up (bounded by order width,
     never a corpus self-join), pair counts rank per part, top-3 kept —
-    one window over the pair-count relation."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    one window over the pair-count relation. _t_wide: the 600k-row
+    single-file harness scan serialized the pair-join's map side
+    (measured 3.2 -> 1.7 s); at real scale the split count makes the
+    repartition a no-op."""
+    li = _t_wide(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
     pairs = (
@@ -2842,8 +2853,10 @@ def q_knn_confusion(spark, sf_dir):
     """Confusion matrix for the kNN label vote over a 100-query panel:
     (true_label, predicted_label, n) — the evaluation rollup that turns
     the classifier query into a quality report. Same broadcast-probe
-    shape as knn_classify, one extra bounded aggregation."""
-    emb = _t(spark, sf_dir, "embeddings")
+    shape as knn_classify, one extra bounded aggregation. _t_wide on
+    the corpus for the same reason as knn_classify, at 5x the panel
+    width (measured 3.7 -> 0.8 s at sf0.1)."""
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
