@@ -240,17 +240,29 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
+    # Convergence check every TWO peeling rounds: the rounds inside a
+    # block chain lazily (one job per block — the count is the
+    # materializing action; an eager checkpoint would double the job
+    # count), and since the alive set shrinks monotonically, an equal
+    # count across a block proves no round inside it removed anything —
+    # the fixpoint. Checking every round was measured to cost one full
+    # job of per-job overhead per round at harness scale for no extra
+    # safety.
     prev_n = alive.count()
-    for _ in range(rounds):
-        deg = _degrees(alive)
-        alive = (
-            deg.where(F.col("deg") >= k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
+    done = 0
+    while done < rounds:
+        step = min(2, rounds - done)
+        for _ in range(step):
+            deg = _degrees(alive)
+            alive = (
+                deg.where(F.col("deg") >= k)
+                .select("node")
+                .localCheckpoint(eager=False)
+            )
+        done += step
         n = alive.count()
         if n == prev_n:
-            # no node removed ⇒ degrees unchanged next round ⇒ fixpoint
+            # no node removed in the block ⇒ fixpoint
             break
         prev_n = n
     return (
