@@ -171,6 +171,56 @@ def test_funnel_conversion_monotone_and_consistent(spark):
         assert b["conv_milli"] == b["n_reached"] * 1000 // a["n_reached"]
 
 
+def test_funnel_conversion_emits_skipped_levels(spark):
+    """ADVICE r4 regression: when no user stops EXACTLY at a middle
+    level (here every user reaches view+purchase but the funnel's
+    'click' level has no exact-stoppers), the level must still appear
+    with n_reached carried down from above, and level 3's conversion
+    must divide by level 2 — not level 1. The oracle mirrors the engine
+    CTE shape, so only a unit test can catch this class of bug."""
+    import datetime as dt
+
+    from yandex_tracker_exporter_spark.operators.funnel import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # 3 users complete the whole funnel; 1 user stops at level 1
+    for u in range(3):
+        rows += [
+            (u, t0, "view"),
+            (u, t0 + dt.timedelta(seconds=10), "click"),
+            (u, t0 + dt.timedelta(seconds=20), "purchase"),
+        ]
+    rows.append((99, t0, "view"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["level"]: (r["step"], r["n_reached"], r["conv_milli"])
+        for r in funnel_conversion(df, ["view", "click", "purchase"], 3600).collect()
+    }
+    assert set(out) == {1, 2, 3}, "missing funnel levels in output"
+    assert out[1] == ("view", 4, 1000)
+    # nobody stops exactly at click, but 3 users REACHED it
+    assert out[2] == ("click", 3, 750)
+    # conversion vs level 2 (1000), not vs level 1 (would be 750)
+    assert out[3] == ("purchase", 3, 1000)
+
+
+def test_funnel_conversion_empty_events_all_levels_zero(spark):
+    """Degenerate input: all levels present with 0 users and conv 0
+    (the prev=0 guard; an unguarded integer div would raise under
+    ANSI)."""
+    from yandex_tracker_exporter_spark.operators.funnel import funnel_conversion
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["level"]: (r["n_reached"], r["conv_milli"])
+        for r in funnel_conversion(df, ["view", "click", "purchase"], 3600).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 0), 3: (0, 0)}
+
+
 def test_top_paths_counts_consecutive_triples(spark):
     import datetime as dt
 

@@ -56,6 +56,24 @@ def test_kcore_contract_rounds_reach_fixpoint(spark):
     assert r8 == r9 and r8
 
 
+def test_kcore_deep_peeling_reaches_true_fixpoint(spark):
+    """ADVICE r4 regression: a long path needs ~n/2 peeling rounds (the
+    two endpoints fall off each round), more than the old fixed 8-round
+    unroll — which would have returned the surviving middle as a FALSE
+    2-core. The default cap + early exit must peel it to empty."""
+    n = 24
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert kcore(df, k=2).count() == 0
+    # and a ring (a true 2-core) attached to a long tail keeps exactly
+    # the ring, however deep the tail peeling runs
+    ring = [(100, 101), (101, 102), (102, 100)]
+    tail = [(102, 200)] + [(200 + i, 201 + i) for i in range(20)]
+    df2 = spark.createDataFrame(ring + tail, ["src", "dst"])
+    out = {r["node"] for r in kcore(df2, k=2).collect()}
+    assert out == {100, 101, 102}
+
+
 # ---------------------------------------------------------------------------
 # SCD2
 # ---------------------------------------------------------------------------

@@ -111,6 +111,17 @@ def test_split_leakage_counts_cross_split_windows(spark):
     assert got == expected
 
 
+def test_split_leakage_ignores_empty_docs(spark):
+    """ADVICE r4 regression: empty / whitespace-only docs in different
+    splits must NOT register as a leaked md5('') window — they carry no
+    content to leak. Enough empty ids that the 90/5/5 hash split
+    guarantees at least two splits are hit."""
+    rows = [(i, "   " if i % 2 else "") for i in range(60)]
+    rows += [(1000 + i, f"solo text {i} with no duplication here") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert split_leakage_audit(df).count() == 0
+
+
 def test_term_pmi_tiny_corpus(spark):
     """Hand-checked PMI on a 4-doc corpus: a perfectly co-occurring
     pair scores N·1000/(c·c) > 1000; a never-co-occurring pair is

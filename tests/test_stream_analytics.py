@@ -63,6 +63,24 @@ def test_cms_exact_when_no_collisions(spark):
     assert est == {"w0": 1, "w1": 2, "w2": 3, "w3": 4}
 
 
+def test_cms_estimate_unseen_key_reports_zero(spark):
+    """ADVICE r4 regression: a probed key that was never inserted hits
+    buckets with NO counter row — those must read as 0 (min over depth
+    counters sees the zero), and the key must appear in the output with
+    est 0 instead of silently vanishing (the old inner join dropped
+    it, or worse, over-estimated from the populated buckets only)."""
+    words = ["alpha"] * 5 + ["beta"] * 3
+    terms = spark.createDataFrame([(w,) for w in words], ["term"])
+    counters = cms_counters(terms.groupBy("term").count(), count_col="count")
+    keys = spark.createDataFrame([("alpha",), ("never-seen",)], ["term"])
+    est = {r["term"]: r["est_cnt"] for r in cms_estimate(keys, counters).collect()}
+    assert set(est) == {"alpha", "never-seen"}
+    assert est["alpha"] >= 5
+    # in a 4x512 table 2 distinct inserted terms cannot cover all 4 of
+    # an unseen key's buckets, so at least one counter is 0 -> min is 0
+    assert est["never-seen"] == 0
+
+
 def test_cms_counter_table_is_bounded(spark):
     """The sketch state never exceeds depth × width rows regardless of
     vocabulary size — the fixed-state scaling argument."""
