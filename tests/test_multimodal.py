@@ -238,9 +238,21 @@ def test_codec_properties():
         assert d["duration_ms"] == n_frames * 1000 // fps
         assert d["content_checksum"] == sum(sum(f) for f in frames)
 
+    from yandex_tracker_exporter_spark.multimodal import _png_raster, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 8), st.integers(1, 12), st.binary(min_size=0, max_size=288))
+    def png_roundtrip(w, h, extra):
+        # heights up to 12 exercise every filter (row % 5) at least twice
+        pix = (extra * (w * h * 3 // max(len(extra), 1) + 1))[: w * h * 3]
+        if len(pix) < w * h * 3:
+            pix = pix + bytes(w * h * 3 - len(pix))
+        assert _png_raster(encode_png(w, h, pix)).tobytes() == pix
+
     wav_roundtrip()
     ppm_roundtrip()
     y4m_roundtrip()
+    png_roundtrip()
 
 
 def test_audio_frame_energy_exact(spark):

@@ -71,6 +71,45 @@ def test_micro_batch_upsert_availablenow(spark, tmp_path):
     assert latest.count() == expected
 
 
+def test_streaming_upsert_state_batch_order_independent(spark, tmp_path):
+    """The streaming_upsert_state contract query's core claim: the
+    final table state is identical whether the file source slices the
+    feed into many micro-batches or swallows it in one, because
+    latest-wins resolves on the data-level updated_seq, never on the
+    batch id. Run the same staged feed both ways and compare the
+    deduped relations row-for-row."""
+    src = load_table(spark, SF_DIR, "events").limit(200)
+    base = src.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.lit(0).alias("updated_seq"),
+    )
+    updates = src.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "event_type",
+        (F.col("value") * 2).alias("value"),
+        F.lit(1).alias("updated_seq"),
+    )
+    incoming = str(tmp_path / "in")
+    base.repartition(4).write.mode("overwrite").parquet(incoming)
+    updates.coalesce(1).write.mode("append").parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+
+    finals = []
+    for label, mfpt in (("sliced", 1), ("single", None)):
+        out = str(tmp_path / f"out_{label}")
+        ckpt = str(tmp_path / f"ckpt_{label}")
+        stream = read_event_stream(
+            spark, incoming, schema, max_files_per_trigger=mfpt
+        )
+        run_micro_batch_upsert(stream, out, ckpt, keys=["event_id"])
+        final = latest_version_dedup(
+            spark.read.parquet(out), ["event_id"],
+            version_col="updated_seq", tiebreak_col="version",
+        ).select("event_id", "event_type", "value", "updated_seq")
+        finals.append(sorted(tuple(r) for r in final.collect()))
+    assert finals[0] == finals[1]
+    assert finals[0], "feed must not be empty"
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     incoming, schema, _ = _stage_event_files(spark, tmp_path)
     stream = read_event_stream(spark, incoming, schema, max_files_per_trigger=1)
