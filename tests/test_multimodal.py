@@ -334,6 +334,39 @@ def test_png_codec_roundtrip_all_filters():
         decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
 
 
+def test_resize_images_nearest_neighbor_exact(spark):
+    """Resize picks exact source pixels (dst*in//out index math): a 4×4
+    image with distinct per-pixel values resized to 2×2 must contain
+    pixels (0,0), (0,2), (2,0), (2,2) — and a PNG carrying the SAME
+    raster must resize to the SAME bytes (codec-independent). Corrupt
+    payloads are skipped."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        encode_png,
+        encode_ppm,
+        resize_images,
+    )
+
+    raster = np.arange(48, dtype=np.uint8)  # 4x4x3, all distinct
+    rows = [
+        (1, bytearray(encode_ppm(4, 4, raster.tobytes()))),
+        (2, bytearray(encode_png(4, 4, raster.tobytes()))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert set(out) == {1, 2}, "corrupt payload must be skipped"
+    img = raster.reshape(4, 4, 3)
+    expected = img[[0, 2]][:, [0, 2], :].tobytes()
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r["width"], r["height"]) == (2, 2)
+        assert bytes(r["payload"]).endswith(expected)
+        assert r["content_checksum"] == sum(expected)
+    assert bytes(out[1]["payload"]) == bytes(out[2]["payload"])
+
+
 def test_png_histogram_conserves_pixels(spark):
     """Every non-empty doc contributes exactly 60 raster bytes (4×5×3),
     20 per channel, through the COMPRESSED decode path — the same

@@ -701,6 +701,70 @@ def metadata_stats(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("content_checksum", LongType(), False),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """Nearest-neighbor resize over REAL-decoded image payloads (P6 PPM
+    or 8-bit RGB PNG) — the thumbnail/normalization step a vision
+    pipeline runs before feature extraction. Source indices use exact
+    integer math (``src = dst * in_dim // out_dim``), so the output
+    raster is byte-deterministic in any engine; resized images re-encode
+    as P6 PPM (the cheapest at-rest form for a downstream decode).
+    Non-image / corrupt payloads are skipped (quarantine posture).
+    Map-only Arrow stage, no shuffle; the scan prunes to
+    (media_id, payload)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, payloads, sums = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:2] == b"P6":
+                        dims = decode_ppm(b)
+                    elif b[:8] == PNG_SIG:
+                        dims = decode_png(b)
+                    else:
+                        continue
+                except (ValueError, struct.error, IndexError):
+                    continue
+                ras = _image_raster(b)
+                if ras.size == 0:
+                    continue
+                w, h = int(dims["width"]), int(dims["height"])
+                img = ras.reshape(h, w, 3)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out = np.ascontiguousarray(img[yi][:, xi, :])
+                ids.append(int(media_id))
+                ws.append(out_w)
+                hs.append(out_h)
+                payloads.append(encode_ppm(out_w, out_h, out.tobytes()))
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "payload": payloads,
+                    "content_checksum": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def media_fixture_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media corpus from the ``documents`` table: even
     doc_ids become 8 kHz mono 16-bit WAVs whose PCM samples are derived
