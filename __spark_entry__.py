@@ -1399,7 +1399,14 @@ def _dedup_labels(spark, sf_dir):
     of join/iteration order, which is what lets a recursive DuckDB CTE
     reproduce the iterative min-label propagation bit-for-bit
     (operators/dedup.py:duplicate_clusters)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    # prune entries from stopped sessions: their checkpointed blocks die
+    # with the old JVM context, but the py4j references would otherwise
+    # pin dict entries forever in long-lived processes (test suites,
+    # tools that cycle SparkSessions)
+    for stale in [k for k in _DEDUP_LABELS_CACHE if k[0] != app]:
+        _DEDUP_LABELS_CACHE.pop(stale, None)
+    key = (app, sf_dir)
     cached = _DEDUP_LABELS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -3366,6 +3373,8 @@ def q_streaming_upsert_state(spark, sf_dir):
     Output per event_type: n_events, value_cents (exact integer cents
     after the correction pass).
     """
+    import hashlib
+    import shutil
     import tempfile
 
     from yandex_tracker_exporter_spark.operators.dedup import latest_version_dedup
@@ -3375,7 +3384,13 @@ def q_streaming_upsert_state(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    workdir = tempfile.mkdtemp(prefix="yte_stream_upsert_")
+    # deterministic per-sf workdir, wiped at query start: repeated bench
+    # / driver invocations reuse ONE directory instead of leaking a full
+    # staged copy of the events table per call (the previous run's
+    # output is no longer read once its collect completed)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    workdir = os.path.join(tempfile.gettempdir(), f"yte_stream_upsert_{tag}")
+    shutil.rmtree(workdir, ignore_errors=True)
     in_dir, out_dir, ckpt = (
         f"{workdir}/in",
         f"{workdir}/out",
@@ -6329,7 +6344,8 @@ def _build_funnel_conversion_sql() -> str:
         -- exactly at must still appear (ADVICE r4: otherwise level k's
         -- conversion silently divides by level k-2)
         SELECT al.funnel_level, coalesce(o.n, 0)::BIGINT AS n
-        FROM (SELECT unnest(range(1, 4))::BIGINT AS funnel_level) al
+        FROM (SELECT unnest(range(1, {len(FUNNEL_STEPS) + 1}))::BIGINT
+                  AS funnel_level) al
         LEFT JOIN observed o USING (funnel_level)
     ), reached AS (
         SELECT funnel_level,
@@ -6338,7 +6354,8 @@ def _build_funnel_conversion_sql() -> str:
         FROM counts
     ), named AS (
         SELECT funnel_level::BIGINT AS level,
-               (['view', 'click', 'purchase'])[funnel_level::INTEGER] AS step,
+               ([{", ".join(f"'{s}'" for s in FUNNEL_STEPS)}])
+                   [funnel_level::INTEGER] AS step,
                n_reached,
                coalesce(lag(n_reached) OVER (ORDER BY funnel_level),
                         n_reached) AS prev

@@ -141,8 +141,10 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Parse a P6 PPM header (whitespace/comment tolerant) + raster."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, raster_offset) of a P6 PPM header
+    (whitespace/comment tolerant) — header-only, never touches the
+    raster."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     pos, tokens = 2, []
@@ -159,7 +161,20 @@ def decode_ppm(payload: bytes) -> dict:
                 pos += 1
             tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
     width, height, maxval = tokens
+    return width, height, maxval, pos
+
+
+def _ppm_dims(payload: bytes) -> tuple[int, int]:
+    w, h, _, _ = _ppm_header(payload)
+    return w, h
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a P6 PPM header (whitespace/comment tolerant) + raster."""
+    width, height, maxval, pos = _ppm_header(payload)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     raster = payload[pos:pos + width * height * 3]
@@ -501,9 +516,10 @@ _DECODED_FIELDS = [f.name for f in DECODED_SCHEMA.fields if f.name != "media_id"
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Full real-decode surface: parse every payload with the WAV/PPM/Y4M
-    decoders and emit header fields + content checksum. Map-only (one
-    Arrow stage, no shuffle); scans prune to (media_id, payload)."""
+    """Full real-decode surface: parse every payload with the
+    WAV/PPM/Y4M/PNG decoders and emit header fields + content checksum.
+    Map-only (one Arrow stage, no shuffle); scans prune to
+    (media_id, payload)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -730,19 +746,21 @@ def resize_images(df: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
                 if payload is None:
                     continue
                 b = bytes(payload)
+                # header-only dims first (cheap), then decode the raster
+                # ONCE — dims via decode_ppm/decode_png would re-run the
+                # full inflate+unfilter+checksum a second time per image
                 try:
                     if b[:2] == b"P6":
-                        dims = decode_ppm(b)
+                        w, h = _ppm_dims(b)
                     elif b[:8] == PNG_SIG:
-                        dims = decode_png(b)
+                        w, h = _png_dims(b)
                     else:
                         continue
                 except (ValueError, struct.error, IndexError):
                     continue
                 ras = _image_raster(b)
-                if ras.size == 0:
+                if ras.size != w * h * 3 or ras.size == 0:
                     continue
-                w, h = int(dims["width"]), int(dims["height"])
                 img = ras.reshape(h, w, 3)
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w

@@ -266,9 +266,10 @@ def cms_estimate(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Point-query the sketch for a small key set: the estimate is the
-    MIN over the ``depth`` counters each key hashes into. ``keys`` is
-    driver-small (a top-k list) and broadcasts; ``counters`` is ≤
-    depth × width rows, so the join never shuffles anything big."""
+    MIN over the ``depth`` counters each key hashes into. ``counters``
+    is ≤ depth × width rows and BROADCASTS as the build side of a
+    probe-side LEFT join (``keys`` is a driver-small top-k list), so
+    nothing big ever shuffles and absent bucket rows read as counter 0."""
     from yandex_tracker_exporter_spark.operators.dedup import MINHASH_PRIME, _hash64
 
     salts = F.array(*[F.lit(d) for d in range(depth)])

@@ -949,7 +949,10 @@ def split_leakage_audit(
     n_windows = F.expr(f"(_sz + {window_tokens - 1}) div {window_tokens}").cast(
         "int"
     )
-    exploded = sized.where(F.col("_sz") > 0).select(
+    # the trim-length filter above guarantees _sz >= 1 (split of a
+    # non-empty string always yields at least one token), so n_windows
+    # >= 1 and the sequence below is never empty
+    exploded = sized.select(
         "split",
         "_t",
         F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("_w"),
