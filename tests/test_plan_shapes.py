@@ -363,6 +363,42 @@ def test_media_audio_energy_two_arrow_stages(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_media_png_histogram_two_arrow_stages(spark):
+    """PNG fixture synthesis + histogram extraction are exactly two
+    Arrow mapInPandas stages (the audio-energy contract, compressed
+    path); the only exchange is the final (channel, bucket) rollup."""
+    df = entry_mod.queries()["media_png_histogram"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_labels_consumers_read_materialized_relation(spark):
+    """The materialization contract: dedup_labels' returned plan is a
+    scan of the checkpointed relation (no LSH/CC recompute in the
+    plan), and a consumer like component_sizes adds only its own
+    bounded rollup exchanges on top of the same scan."""
+    labels_plan = _plan(entry_mod.queries()["dedup_labels"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in labels_plan
+    assert "MapInPandas" not in labels_plan and "SortMergeJoin" not in labels_plan
+    consumer_plan = _plan(entry_mod.queries()["component_sizes"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in consumer_plan
+    assert "MapInPandas" not in consumer_plan
+
+
+def test_streaming_upsert_state_reads_back_batch_plan(spark):
+    """The streaming query's RETURNED relation is a plain batch read of
+    the upserted table (the stream already ran inside the query):
+    parquet scan → latest-wins window → rollup, with no Python stage."""
+    df = entry_mod.queries()["streaming_upsert_state"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Scan parquet" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # one exchange for the per-event_id window, one for the event_type
+    # rollup — nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_dup_window_ratio_hash_keys_only(spark):
     """Sub-document dedup: windows must travel as md5 keys (explode →
     window-hash count → hash join back → doc aggregate — exactly three
