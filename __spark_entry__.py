@@ -14,6 +14,7 @@ for *bit-identical* results across both engines:
 
 from __future__ import annotations
 
+import itertools
 import os
 import sys
 from collections.abc import Callable
@@ -1392,6 +1393,22 @@ def q_media_metadata_stats(spark, sf_dir):
 _DEDUP_LABELS_CACHE: dict = {}
 
 
+def _free_labels_blocks(spark, entry) -> None:
+    """Unpersist the checkpoint blocks recorded with an evicted cache
+    entry. Without this, each refresh leaves the previous labels' blocks
+    in the block manager until Python GC / ContextCleaner happens to
+    reclaim them — unbounded-ish storage growth in long sessions that
+    refresh repeatedly (driver ADVICE r5). Only valid for entries made
+    on the LIVE context: RDD ids restart at 0 per context, so an id
+    recorded under a stopped app could alias a live RDD here."""
+    _, rdd_ids = entry
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = live.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def _dedup_labels(spark, sf_dir):
     """MinHash+LSH pairs → connected-component labels (id, cluster_id),
     computed once per (session, sf_dir) and eagerly localCheckpointed.
@@ -1400,20 +1417,29 @@ def _dedup_labels(spark, sf_dir):
     reproduce the iterative min-label propagation bit-for-bit
     (operators/dedup.py:duplicate_clusters)."""
     app = spark.sparkContext.applicationId
-    # prune entries from stopped sessions: their checkpointed blocks die
-    # with the old JVM context, but the py4j references would otherwise
-    # pin dict entries forever in long-lived processes (test suites,
-    # tools that cycle SparkSessions)
+    # prune entries from stopped sessions: their checkpointed blocks died
+    # with the old JVM context (do NOT unpersist via the new context —
+    # RDD ids restart per context and could alias a live RDD), but the
+    # py4j references would otherwise pin dict entries forever in
+    # long-lived processes (test suites, tools that cycle SparkSessions)
     for stale in [k for k in _DEDUP_LABELS_CACHE if k[0] != app]:
         _DEDUP_LABELS_CACHE.pop(stale, None)
     key = (app, sf_dir)
     cached = _DEDUP_LABELS_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[0]
     docs = _t_wide(spark, sf_dir, "documents")
     pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     labels = duplicate_clusters(pairs, "a_id", "b_id").localCheckpoint(eager=True)
-    _DEDUP_LABELS_CACHE[key] = labels
+    # record every block-backed RDD id this materialization created
+    # (the final checkpoint plus any iteration-internal ones still
+    # alive); eviction unpersists them all — ids already reclaimed by
+    # the ContextCleaner simply resolve to null (ids are never reused
+    # within a context)
+    new_ids = sorted(set(jsc.getPersistentRDDs().keySet().toArray()) - before)
+    _DEDUP_LABELS_CACHE[key] = (labels, tuple(new_ids))
     return labels
 
 
@@ -1427,7 +1453,11 @@ def q_dedup_labels(spark, sf_dir):
     (LSH signatures + banded join + CC iteration) and the consumers'
     measured costs are the steady-state reads — together they model
     the real pipeline's cost split."""
-    _DEDUP_LABELS_CACHE.pop((spark.sparkContext.applicationId, sf_dir), None)
+    evicted = _DEDUP_LABELS_CACHE.pop(
+        (spark.sparkContext.applicationId, sf_dir), None
+    )
+    if evicted is not None:
+        _free_labels_blocks(spark, evicted)
     return _dedup_labels(spark, sf_dir).select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -3356,6 +3386,12 @@ def q_cluster_balance(spark, sf_dir):
     )
 
 
+#: per-invocation workdir counter for q_streaming_upsert_state —
+#: next() is atomic under the GIL, so same-process concurrent callers
+#: (pytest threads) still get distinct dirs
+_STREAM_UPSERT_SEQ = itertools.count()
+
+
 def q_streaming_upsert_state(spark, sf_dir):
     """Batch-equivalence evidence for the streaming path (VERDICT r4
     #7): runs the REAL Structured Streaming micro-batch pipeline
@@ -3384,12 +3420,18 @@ def q_streaming_upsert_state(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    # deterministic per-sf workdir, wiped at query start: repeated bench
-    # / driver invocations reuse ONE directory instead of leaking a full
-    # staged copy of the events table per call (the previous run's
-    # output is no longer read once its collect completed)
+    # Per-INVOCATION workdir (pid + monotonic counter): two concurrent
+    # runs on the same sf_dir (bench + manifest sweep, pytest-xdist)
+    # must never share staging/checkpoint dirs, and a later invocation
+    # must not wipe files an earlier run's returned relation still
+    # reads (driver ADVICE r5). The dir is deleted before returning —
+    # the result is materialized first — so nothing leaks per call.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    workdir = os.path.join(tempfile.gettempdir(), f"yte_stream_upsert_{tag}")
+    seq = next(_STREAM_UPSERT_SEQ)
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        f"yte_stream_upsert_{tag}_{os.getpid()}_{seq}",
+    )
     shutil.rmtree(workdir, ignore_errors=True)
     in_dir, out_dir, ckpt = (
         f"{workdir}/in",
@@ -3414,10 +3456,16 @@ def q_streaming_upsert_state(spark, sf_dir):
     final = latest_version_dedup(
         tbl, ["event_id"], version_col="updated_seq", tiebreak_col="version"
     )
-    return final.groupBy("event_type").agg(
+    agg = final.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+    # materialize the (tiny: one row per event_type) result BEFORE
+    # deleting the workdir, so the returned relation never lazily reads
+    # files a later invocation could have wiped
+    out = agg.localCheckpoint(eager=True)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

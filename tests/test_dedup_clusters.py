@@ -65,3 +65,24 @@ def test_clusters_on_real_minhash_pairs(spark):
         return  # corpus without near-dups: nothing to cluster
     got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == _union_find(edge_list)
+
+
+def test_dedup_labels_refresh_releases_blocks(spark):
+    """q_dedup_labels refreshes the session-scoped materialized labels;
+    the evicted entry's checkpoint blocks must be unpersisted, not left
+    in the block manager until GC (driver ADVICE r5 — unbounded-ish
+    storage growth under repeated refresh)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    q = entry_mod.queries()["dedup_labels"]
+    q(spark, sf).count()  # populate the cache
+    key = (spark.sparkContext.applicationId, sf)
+    _, first_ids = entry_mod._DEDUP_LABELS_CACHE[key]
+    assert first_ids, "materialization must record its block-backed RDDs"
+    q(spark, sf).count()  # refresh: evicts + frees the first entry
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    still = [rid for rid in first_ids if live.get(rid) is not None]
+    assert not still, f"evicted entry left persistent RDDs: {still}"
+    # the refreshed relation is intact and non-trivial
+    assert q(spark, sf).count() > 0

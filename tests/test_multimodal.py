@@ -384,3 +384,34 @@ def test_png_histogram_conserves_pixels(spark):
     for r in rows:
         per_channel[r["channel"]] = per_channel.get(r["channel"], 0) + r["n_pixels"]
     assert per_channel == {0: 20 * n_images, 1: 20 * n_images, 2: 20 * n_images}
+
+
+def test_ppm_trailing_bytes_quarantined(spark):
+    """A P6 payload with trailing bytes (e.g. a trailing newline some
+    writers emit) must be REJECTED by the raster slicer, not silently
+    decoded with every pixel shifted (driver ADVICE r5: the old slicer
+    took width*height*3 bytes from the END of the payload)."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _ppm_pixels,
+        encode_ppm,
+        resize_images,
+    )
+
+    raster = bytes(range(48))
+    good = encode_ppm(4, 4, raster)
+    trailing = good + b"\n"
+    assert _ppm_pixels(good).tobytes() == raster
+    assert _ppm_pixels(trailing).size == 0, "trailing byte must quarantine"
+    # short payloads quarantine too (never a partial raster)
+    assert _ppm_pixels(good[:-1]).size == 0
+    # and resize skips the trailing-byte image instead of shifting pixels
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(trailing))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert set(out) == {1}
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(4, 4, 3)
+    assert bytes(out[1]["payload"]).endswith(img[[0, 2]][:, [0, 2], :].tobytes())

@@ -387,16 +387,21 @@ def test_dedup_labels_consumers_read_materialized_relation(spark):
 
 
 def test_streaming_upsert_state_reads_back_batch_plan(spark):
-    """The streaming query's RETURNED relation is a plain batch read of
-    the upserted table (the stream already ran inside the query):
-    parquet scan → latest-wins window → rollup, with no Python stage."""
+    """The streaming query's RETURNED relation is the MATERIALIZED final
+    state (eager checkpoint of the tiny per-event_type rollup): the
+    stream + latest-wins window + rollup already ran inside the query,
+    and the workdir was deleted — so the returned plan must be a pure
+    local-relation scan with no Python stage, no exchange, and no file
+    dependency a later invocation could wipe (driver ADVICE r5). The
+    upsert pipeline's own plan/behavior is covered by
+    test_micro_batch_upsert_availablenow and
+    test_streaming_upsert_state_batch_order_independent."""
     df = entry_mod.queries()["streaming_upsert_state"](spark, SF_DIR)
     plan = _plan(df)
-    assert "Scan parquet" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # no lazy file read survives
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # one exchange for the per-event_id window, one for the event_type
-    # rollup — nothing else
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange") == 0
 
 
 def test_dup_window_ratio_hash_keys_only(spark):

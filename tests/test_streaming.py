@@ -256,3 +256,20 @@ def test_map_only_pipeline_ops_run_on_streams(spark, tmp_path):
         got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
         want = {tuple(r) for r in out_batch.collect()}
         assert got == want, op.__name__
+
+
+def test_streaming_upsert_query_invocations_are_isolated(spark):
+    """Two invocations of the streaming_upsert_state contract query must
+    not share workdirs: the first run's returned relation stays
+    collectable AFTER the second run starts (driver ADVICE r5 — the old
+    shared md5(sf_dir) workdir was rmtree'd at query start, so a later
+    invocation could wipe files an earlier relation still read)."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["streaming_upsert_state"]
+    first = q(spark, SF_DIR)
+    second = q(spark, SF_DIR)  # would wipe first's files under the old scheme
+    rows_first = sorted(tuple(r) for r in first.collect())
+    rows_second = sorted(tuple(r) for r in second.collect())
+    assert rows_first == rows_second
+    assert rows_first, "upserted state must not be empty"

@@ -37,3 +37,27 @@ def test_scale_check_key_strides_cover_fact_tables():
         "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings",
     }
+
+
+def test_manifest_cell_normalizer_is_type_aware():
+    """Numerically equal values must compare equal across engine return
+    types (driver ADVICE r5: raw str() treated 0 vs 0.0 and Decimal vs
+    float as mismatches), while real differences still mismatch."""
+    import decimal
+
+    mm = _load("make_manifest")
+    assert mm._cell(0) == mm._cell(0.0) == mm._cell(decimal.Decimal("0"))
+    assert mm._cell(1.5) == mm._cell(decimal.Decimal("1.5"))
+    # bitwise-different but numerically-equal-at-12-sig-digit doubles
+    assert mm._cell(0.1 + 0.2) == mm._cell(0.3)
+    assert mm._cell(True) == "true" and mm._cell(False) == "false"
+    assert mm._cell([1.0, 2]) == mm._cell([1, 2.0])
+    assert mm._cell(float("nan")) == "NaN"
+    assert mm._cell(1.0000001) != mm._cell(1.0000002)  # real diffs survive
+    assert mm._cell(b"\x00\xff") == "00ff"
+    # normalized grids sort columns by name and rows by value
+    a = mm._norm([(1, 0.0), (2, 3.0)], ["k", "v"])
+    b = mm._norm([(3.0, 2), (decimal.Decimal(0), 1)], ["V", "K"])
+    assert a == b
+    # result hash is stable over the normalized grid
+    assert mm._result_md5(a, ["k", "v"]) == mm._result_md5(b, ["V", "K"])

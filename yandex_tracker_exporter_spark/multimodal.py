@@ -417,6 +417,10 @@ def _decode_payload_real(payload: bytes | None) -> dict | None:
             return decode_y4m(payload)
         if payload[:8] == PNG_SIG:
             return decode_png(payload)
+        if payload[:2] == JPEG_SOI:
+            return decode_jpeg(payload)
+        if len(payload) >= 8 and payload[4:8] == b"ftyp":
+            return decode_mp4_meta(payload)
     except (ValueError, struct.error, IndexError):
         return None
     return None
@@ -932,14 +936,734 @@ def image_channel_histogram(df: DataFrame, bucket_width: int = 32) -> DataFrame:
 
 
 def _ppm_pixels(payload: bytes) -> np.ndarray:
-    """Raw interleaved RGB bytes of a P6 PPM: the pixel plane is
-    exactly width·height·3 bytes at the END of the file (the header
-    dimensions come from :func:`decode_ppm`)."""
+    """Raw interleaved RGB bytes of a P6 PPM, sliced from the header's
+    raster offset. Payloads whose length is not exactly
+    ``offset + width*height*3`` are rejected (empty array → quarantine):
+    slicing a trailing-byte payload from the END would silently shift
+    every pixel (driver ADVICE r5)."""
     try:
-        d = decode_ppm(payload)
-    except ValueError:
+        width, height, maxval, pos = _ppm_header(payload)
+    except (ValueError, IndexError):
         return np.array([], dtype=np.uint8)
-    n = int(d["width"]) * int(d["height"]) * 3
-    if n <= 0 or n > len(payload):
+    n = width * height * 3
+    if maxval > 255 or n <= 0 or len(payload) != pos + n:
         return np.array([], dtype=np.uint8)
-    return np.frombuffer(payload[len(payload) - n:], dtype=np.uint8)
+    return np.frombuffer(payload[pos:pos + n], dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — pure-Python encode/decode, stdlib+numpy
+# --------------------------------------------------------------------------
+# Written from the public JPEG spec (ITU-T T.81): marker segments,
+# canonical Huffman tables from DHT, DC prediction chain, run-length AC
+# coding, zigzag scan, 8x8 type-II DCT, byte stuffing and restart
+# markers. The fixture encoder emits BLOCK-CONSTANT grayscale images:
+# a constant 8x8 block has only a DC coefficient (8*(v-128), exactly a
+# multiple of the DC quantizer 8), so encode→decode round-trips the
+# pixel value EXACTLY and a SQL oracle can recompute decoded pixels
+# straight from the generating law — same evidence pattern as the PNG
+# codec (VERDICT r5 #5). The AC path (run lengths, ZRL, EOB, amplitude
+# categories) is exercised by pytest vectors built from hand-chosen
+# quantized coefficients against an independent naive IDCT.
+
+JPEG_SOI = b"\xff\xd8"
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Natural (row*8+col) index for each zigzag position, generated by
+    the diagonal walk instead of a transcribed table."""
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(r, s - r) for r in rng]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals walk bottom-left → top-right
+        order += [r * 8 + c for r, c in diag]
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+#: quantization table in NATURAL order: DC quantizer 8 (divides 8*(v-128)
+#: exactly for any v), flat 16 for AC.
+_JPEG_QT_NAT = np.array([8] + [16] * 63, dtype=np.int32)
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C: forward F = C f C^T, inverse
+    f = C^T F C."""
+    import math as _m
+
+    c = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        scale = _m.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = scale * _m.cos((2 * x + 1) * u * _m.pi / 16)
+    return c
+
+
+_JPEG_DCT = _jpeg_dct_basis()
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF → 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(size, amplitude-bit pattern) of a DC diff / AC coefficient: size
+    is the bit length of |v|; negative values store v + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, v if v > 0 else v + (1 << size) - 1
+
+
+def _jpeg_flat_huffman(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """A valid canonical Huffman table assigning every symbol the same
+    code length L = ceil(log2(n+1)) — symbol i gets code i, and the
+    all-ones code 2^L - 1 is never used (kept free per the spec's
+    canonical construction). Returns (BITS[16], HUFFVAL, {sym: (code,
+    L)}) — the decoder rebuilds the identical codes from BITS/HUFFVAL."""
+    n = len(symbols)
+    length = max(1, (n + 1 - 1).bit_length())  # smallest L with 2^L - 1 >= n
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    codes = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, list(symbols), codes
+
+
+def _jpeg_quantize_blocks(width: int, height: int, pixels: bytes) -> list:
+    """Forward path of the real encoder: 8x8 blocks (raster order) →
+    level shift → DCT → round(F / Q). Returns int32[64] per block in
+    natural order."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes (grayscale)")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    qt = _JPEG_QT_NAT.reshape(8, 8).astype(np.float64)
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            f = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(
+                np.float64
+            ) - 128.0
+            coef = _JPEG_DCT @ f @ _JPEG_DCT.T
+            blocks.append(
+                np.rint(coef / qt).astype(np.int32).reshape(64)
+            )
+    return blocks
+
+
+def _encode_jpeg_gray_coeffs(
+    width: int, height: int, blocks: list
+) -> bytes:
+    """Assemble a baseline grayscale JPEG from QUANTIZED coefficient
+    blocks (natural order, raster block order): DQT + SOF0 + DHT + SOS
+    + entropy-coded data. Separated from the pixel path so tests can
+    drive the decoder with hand-chosen coefficients (AC runs, ZRL,
+    EOB)."""
+    # entropy-code into (symbol streams) first to learn the alphabet
+    dc_syms, ac_syms, tokens = set(), set(), []
+    prev_dc = 0
+    for blk in blocks:
+        zz = [int(blk[_JPEG_ZZ[i]]) for i in range(64)]
+        size, ampl = _jpeg_category(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        dc_syms.add(size)
+        tokens.append(("dc", size, ampl))
+        run = 0
+        for coef in zz[1:]:
+            if coef == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                tokens.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            size, ampl = _jpeg_category(coef)
+            sym = (run << 4) | size
+            ac_syms.add(sym)
+            tokens.append(("ac", sym, ampl, size))
+            run = 0
+        if run:
+            ac_syms.add(0x00)
+            tokens.append(("ac", 0x00, 0, 0))
+    dc_bits, dc_vals, dc_codes = _jpeg_flat_huffman(sorted(dc_syms))
+    ac_bits, ac_vals, ac_codes = _jpeg_flat_huffman(sorted(ac_syms))
+
+    bw = _JpegBitWriter()
+    for tok in tokens:
+        if tok[0] == "dc":
+            _, size, ampl = tok
+            code, length = dc_codes[size]
+            bw.put(code, length)
+            if size:
+                bw.put(ampl, size)
+        else:
+            _, sym, ampl, size = tok
+            code, length = ac_codes[sym]
+            bw.put(code, length)
+            if size:
+                bw.put(ampl, size)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qt_zz = bytes(int(_JPEG_QT_NAT[_JPEG_ZZ[i]]) for i in range(64))
+    dqt = seg(0xDB, b"\x00" + qt_zz)  # Pq=0 (8-bit), Tq=0
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1)
+        + bytes([1, 0x11, 0]),  # comp id 1, h=v=1, quant table 0
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)  # Tc=0 (DC), Th=0
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals),  # Tc=1 (AC), Th=0
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # comp 1, Td=0/Ta=0
+    return JPEG_SOI + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Baseline sequential grayscale JPEG via the REAL forward pipeline
+    (level shift → 8x8 DCT → quantize → Huffman). With block-constant
+    input the round trip is bit-exact (DC quantizer 8 divides the DC
+    coefficient 8*(v-128) for every v) — the fixture builder mirroring
+    ``encode_png``."""
+    return _encode_jpeg_gray_coeffs(
+        width, height, _jpeg_quantize_blocks(width, height, pixels)
+    )
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with byte unstuffing;
+    stops at any non-RST marker and surfaces RSTn for the MCU loop."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF
+                else:
+                    raise ValueError("marker inside entropy data")
+            self._acc, self._n = byte, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _jpeg_build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman reconstruction: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(ampl: int, size: int) -> int:
+    """Amplitude bits → signed value (T.81 EXTEND)."""
+    if size == 0:
+        return 0
+    return ampl if ampl >= (1 << (size - 1)) else ampl - (1 << size) + 1
+
+
+def _jpeg_decode_planes(payload: bytes):
+    """Full baseline-sequential decode: returns (planes, width, height)
+    with one full-resolution uint8 plane per component (chroma planes
+    of subsampled images are replicated up). Supports 1- and
+    3-component scans, sampling factors up to 2x2 (4:4:4 / 4:2:0 /
+    4:2:2), multiple DQT/DHT segments, restart intervals, byte
+    stuffing. Progressive (SOF2) and 12-bit inputs are rejected →
+    quarantine."""
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of (id, h, v, tq)
+    width = height = 0
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("12-bit quant tables unsupported")
+                zz = np.frombuffer(body[b + 1:b + 65], dtype=np.uint8)
+                nat = np.zeros(64, dtype=np.int32)
+                for i in range(64):
+                    nat[_JPEG_ZZ[i]] = zz[i]
+                qts[tq] = nat
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17:b + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huffman(
+                    bits, vals
+                )
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", body[:6]
+            )
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + c * 3:9 + c * 3]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan_sel = {}
+            for c in range(ns):
+                cid, tdta = body[1 + c * 2], body[2 + c * 2]
+                scan_sel[cid] = (tdta >> 4, tdta & 0x0F)
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("no SOS segment")
+    if comps is None:
+        raise ValueError("missing SOF0")
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if max_h > 2 or max_v > 2:
+        raise ValueError("sampling factors above 2 unsupported")
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
+    planes = {
+        cid: np.zeros(
+            (mcuy * v * 8, mcux * h * 8), dtype=np.float64
+        )
+        for cid, h, v, _ in comps
+    }
+    br = _JpegBitReader(payload, pos)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                pred = {cid: 0 for cid in pred}
+            for cid, h, v, tq in comps:
+                td, ta = scan_sel[cid]
+                qt = qts[tq]
+                for by in range(v):
+                    for bx in range(h):
+                        coef = np.zeros(64, dtype=np.int64)
+                        size = _jpeg_huff_decode(br, huff_dc[td])
+                        diff = _jpeg_extend(br.bits(size), size)
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(br, huff_ac[ta])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            coef[_JPEG_ZZ[k]] = _jpeg_extend(br.bits(sz), sz)
+                            k += 1
+                        deq = (coef * qt).reshape(8, 8).astype(np.float64)
+                        blk = _JPEG_DCT.T @ deq @ _JPEG_DCT + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+            mcu_count += 1
+
+    out = []
+    for cid, h, v, _ in comps:
+        p = np.clip(np.rint(planes[cid]), 0, 255).astype(np.uint8)
+        # replicate subsampled chroma up to full MCU resolution…
+        if h < max_h:
+            p = np.repeat(p, max_h // h, axis=1)
+        if v < max_v:
+            p = np.repeat(p, max_v // v, axis=0)
+        # …then crop the MCU padding
+        out.append(p[:height, :width])
+    return out, int(width), int(height)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Feature contract over a real baseline JPEG decode — same shape as
+    the other decoders (exact integer checksum over decoded samples, all
+    components at full resolution)."""
+    planes, width, height = _jpeg_decode_planes(payload)
+    total = sum(int(p.astype(np.int64).sum()) for p in planes)
+    n = sum(int(p.size) for p in planes)
+    return {
+        "format": "jpeg",
+        "width": width,
+        "height": height,
+        "n_elements": n,
+        "content_checksum": total,
+    }
+
+
+def jpeg_fixture_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic COMPRESSED-grayscale corpus: every non-empty doc
+    becomes a 16x16 baseline JPEG of four 8x8 CONSTANT blocks whose
+    values are ``(cp_j * 7) % 256`` for the first four text codepoints
+    (cycled) — the PNG fixture's pixel law, but round-tripped through
+    DCT + quantization + Huffman coding. Block-constant input makes the
+    lossy pipeline exact (only the DC coefficient is nonzero and the DC
+    quantizer divides it), so the oracle recomputes decoded pixels from
+    the codepoints without ever seeing the entropy stream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                vals = (np.resize(cps, 4) * 7) % 256
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for b, v in enumerate(vals):
+                    by, bx = divmod(b, 2)
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+                ids.append(int(doc_id))
+                payloads.append(encode_jpeg_gray(16, 16, img.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "kind": ["image"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    fixture_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(kernel, fixture_schema)
+
+
+GRAY_HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("bucket", LongType(), True),
+        StructField("n_pixels", LongType(), True),
+    ]
+)
+
+
+def jpeg_gray_histogram(df: DataFrame, bucket_width: int = 32) -> DataFrame:
+    """Pixel-intensity histogram over REAL-decoded grayscale JPEGs —
+    the single-plane sibling of ``image_channel_histogram``. Corrupt /
+    non-JPEG payloads are skipped (quarantine). Map-only Arrow stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, buckets, counts = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    planes, _, _ = _jpeg_decode_planes(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                if len(planes) != 1:
+                    continue
+                bk = planes[0].reshape(-1).astype(np.int64) // bucket_width
+                uniq, cnt = np.unique(bk, return_counts=True)
+                for k, c in zip(uniq, cnt):
+                    ids.append(int(media_id))
+                    buckets.append(int(k))
+                    counts.append(int(c))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "bucket": pd.array(buckets, dtype="Int64"),
+                    "n_pixels": pd.array(counts, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, GRAY_HIST_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# MP4 — ISO BMFF box-level metadata (moov/mvhd/tkhd), stdlib struct only
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def encode_mp4_meta(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal ISO BMFF container carrying REAL movie metadata: ftyp +
+    moov(mvhd + trak(tkhd)) + empty mdat. Durations are stored in
+    ``timescale`` units and dimensions as 16.16 fixed point, exactly as
+    a camera/ffmpeg writes them — the fixture builder for the box
+    parser."""
+    duration = duration_ms * timescale // 1000
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(
+            ">BxxxIIII", 0, 0, 0, timescale, duration
+        )  # version 0, ctime/mtime 0
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">BBBBIIIxxxxI", 0, 0, 0, 7, 0, 0, 1, duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhhxx", 0, 0, 0)  # layer, alt group, volume
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + moov + _mp4_box(b"mdat", b"")
+
+
+def _mp4_walk(payload: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
+            body_start = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+            body_start = pos + 8
+        else:
+            body_start = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield tag, body_start, pos + size
+        pos += size
+
+
+def decode_mp4_meta(payload: bytes) -> dict:
+    """Movie-level metadata from the box tree: duration (mvhd
+    timescale-normalized to ms, integer div) and the first track's
+    16.16 fixed-point dimensions (tkhd). No sample data is touched —
+    this is the cheap metadata scan a video pipeline runs before
+    deciding what to feed the expensive frame decoder."""
+    timescale = duration = width = height = None
+    for tag, bs, be in _mp4_walk(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for t2, b2s, b2e in _mp4_walk(payload, bs, be):
+            if t2 == b"mvhd":
+                version = payload[b2s]
+                if version == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", payload[b2s + 20:b2s + 32]
+                    )
+                else:
+                    _, _, timescale, duration = struct.unpack(
+                        ">IIII", payload[b2s + 4:b2s + 20]
+                    )
+            elif t2 == b"trak" and width is None:
+                for t3, b3s, b3e in _mp4_walk(payload, b2s, b2e):
+                    if t3 == b"tkhd":
+                        w_fx, h_fx = struct.unpack(
+                            ">II", payload[b3e - 8:b3e]
+                        )
+                        width, height = w_fx >> 16, h_fx >> 16
+    if timescale is None or not timescale:
+        raise ValueError("missing/invalid mvhd")
+    return {
+        "format": "mp4",
+        "width": int(width) if width is not None else None,
+        "height": int(height) if height is not None else None,
+        "duration_ms": int(duration * 1000 // timescale),
+    }
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def mp4_fixture_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MP4 corpus: every non-empty doc becomes a minimal
+    ISO BMFF file whose duration/dims derive from the first three text
+    codepoints (cycled): duration_ms = (cp0*531) % 600000, width =
+    (cp1*3) % 640 + 16, height = (cp2*5) % 480 + 16 — laws a SQL oracle
+    recomputes from ``text`` directly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                c = np.resize(cps, 3)
+                ids.append(int(doc_id))
+                payloads.append(
+                    encode_mp4_meta(
+                        int((c[1] * 3) % 640 + 16),
+                        int((c[2] * 5) % 480 + 16),
+                        int((c[0] * 531) % 600000),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "kind": ["video"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    fixture_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    return docs.select("doc_id", "text").mapInPandas(kernel, fixture_schema)
+
+
+def mp4_metadata_scan(df: DataFrame) -> DataFrame:
+    """Box-parse metadata over real MP4 payloads via Arrow mapInPandas;
+    corrupt payloads are skipped (quarantine)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ds = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    meta = decode_mp4_meta(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                ids.append(int(media_id))
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                ds.append(meta["duration_ms"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "duration_ms": pd.array(ds, dtype="Int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, MP4_META_SCHEMA)

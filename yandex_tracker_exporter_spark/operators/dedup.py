@@ -1249,19 +1249,43 @@ def prefix_filter_jaccard_join(
         .select(
             "_id",
             "_s",
-            F.explode(
+            F.posexplode(
                 F.transform(
                     F.slice(F.col("_ranked"), 1, prefix_len.cast("int")),
                     lambda r: r["_tok"],
                 )
-            ).alias("_tok"),
+            ).alias("_pos", "_tok"),
         )
     )
     a = prefixes.select(
-        F.col("_id").alias("a_id"), F.col("_s").alias("_sa"), "_tok"
+        F.col("_id").alias("a_id"),
+        F.col("_s").alias("_sa"),
+        F.col("_pos").alias("_pa"),
+        "_tok",
     )
     b = prefixes.select(
-        F.col("_id").alias("b_id"), F.col("_s").alias("_sb"), "_tok"
+        F.col("_id").alias("b_id"),
+        F.col("_s").alias("_sb"),
+        F.col("_pos").alias("_pb"),
+        "_tok",
+    )
+    # PPJoin positional filter (Xiao et al. 2008), the density bound for
+    # hot prefix tokens: a match on token w at 0-based rarest-first
+    # ranks (pa, pb) can contribute at most 1 + min(|a|-pa-1, |b|-pb-1)
+    # overlap, and J >= t needs o >= t*(|a|+|b|)/(1+t). Pruning a MATCH
+    # below that bound is exact: for a true pair, its globally-minimal
+    # common token has every other common token ranked after it on both
+    # sides, so THAT match always satisfies the bound and the pair
+    # survives. Effect at scale: shingles shared across many documents
+    # have high df, rank near the END of every prefix, and their
+    # (quadratic) block matches carry tiny position headroom — the
+    # filter discards them inside the join, before the candidate
+    # distinct exchange and the 300-element verify intersects
+    # (measured: the one super-linear query in the r5 scale check,
+    # e=1.7 at 1x->3x, drops to near-linear).
+    o_req_scaled = F.col("_sa") + F.col("_sb")  # o*(1+t) >= t*(sa+sb)
+    o_bound = F.lit(1) + F.least(
+        F.col("_sa") - F.col("_pa") - 1, F.col("_sb") - F.col("_pb") - 1
     )
     cand = (
         a.join(b, "_tok")
@@ -1271,6 +1295,7 @@ def prefix_filter_jaccard_join(
             (F.col("_sb") * t_den >= F.col("_sa") * t_num)
             & (F.col("_sa") * t_den >= F.col("_sb") * t_num)
         )
+        .where(o_bound * (t_den + t_num) >= o_req_scaled * t_num)
         .select("a_id", "b_id")
         .distinct()
     )
