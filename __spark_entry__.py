@@ -3468,6 +3468,53 @@ def q_streaming_upsert_state(spark, sf_dir):
     return out
 
 
+def q_media_jpeg_histogram(spark, sf_dir):
+    """Histogram over REAL baseline-JPEG decodes (VERDICT r5 #5): every
+    non-empty doc becomes a 16x16 grayscale JPEG of four 8x8 constant
+    blocks (values ``(cp_j*7)%256``), and the decode path must parse the
+    markers, rebuild the canonical Huffman tables from DHT, walk the DC
+    prediction chain, dequantize, and run the 8x8 IDCT to recover the
+    pixels. Block-constant input makes the lossy pipeline exact (only
+    DC survives and the DC quantizer divides it), so the oracle
+    recomputes decoded pixels straight from the text codepoints — the
+    PNG evidence pattern, extended to an entropy-coded DCT format. The
+    AC path (runs/ZRL/EOB) is covered by pytest vectors against an
+    independent naive IDCT."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        jpeg_fixture_from_documents,
+        jpeg_gray_histogram,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    hist = jpeg_gray_histogram(jpeg_fixture_from_documents(docs))
+    return hist.groupBy("bucket").agg(F.sum("n_pixels").alias("n_pixels"))
+
+
+def q_media_mp4_metadata(spark, sf_dir):
+    """ISO-BMFF box-parse metadata scan (VERDICT r5 #5, second step):
+    every non-empty doc becomes a minimal real MP4 (ftyp + moov(mvhd +
+    trak(tkhd)) + mdat) whose duration/dims derive from the first three
+    codepoints; the engine walks the box tree, reads mvhd
+    timescale/duration and tkhd 16.16 dimensions, and rolls up per
+    duration-minute bucket. The oracle recomputes the same laws from
+    ``text`` — equality proves the box walk and fixed-point decode."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        mp4_fixture_from_documents,
+        mp4_metadata_scan,
+    )
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    meta = mp4_metadata_scan(mp4_fixture_from_documents(docs))
+    return meta.groupBy(
+        F.expr("duration_ms div 60000").alias("dur_min")
+    ).agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cycle_time_sessionize": q_cycle_time,
     "latest_version_dedup": q_latest_version,
@@ -3618,6 +3665,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twap_by_type": q_twap,
     "cluster_balance": q_cluster_balance,
     "streaming_upsert_state": q_streaming_upsert_state,
+    "media_jpeg_histogram": q_media_jpeg_histogram,
+    "media_mp4_metadata": q_media_mp4_metadata,
 }
 
 
@@ -4708,16 +4757,21 @@ def _build_ivf_topk_sql() -> str:
 
 
 def _dd_gen_plane_dot(vec: str, plane_idx: int, dim: int = 64) -> str:
-    """<vec, plane_{plane_idx}> with the plane generated ARITHMETICALLY in
-    SQL — the same Knuth-scramble integer recurrence as
-    ``operators.similarity._plane_component``, so the literal the Spark
-    plan bakes in and the value DuckDB computes are the identical double
-    (integer ops are exact; /2^31 and -0.5 are exact in IEEE754)."""
+    """<vec, plane_{plane_idx}> with the plane embedded as LITERALS
+    generated by ``operators.similarity._plane_component`` — repr
+    round-trips each double exactly, so the value the Spark plan bakes
+    in and the one DuckDB parses are the identical IEEE754 double. (The
+    family is md5-hash based, so it cannot be regenerated arithmetically
+    in SQL like the old lattice-correlated Knuth recurrence was.)"""
+    from yandex_tracker_exporter_spark.operators.similarity import _plane_component
+
+    plane = "[" + ", ".join(
+        repr(_plane_component(plane_idx, d)) for d in range(dim)
+    ) + "]"
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(range(1, {dim} + 1), "
-        f"i -> {vec}[i] * (((({plane_idx}*4099 + (i-1)*8191 + 1) * 2654435761) "
-        f"% 2147483648) / 2147483648 - 0.5))), (acc, x) -> acc + x)"
+        f"d -> {vec}[d]::DOUBLE * ({plane}::DOUBLE[])[d])), (acc, x) -> acc + x)"
     )
 
 
@@ -7212,4 +7266,42 @@ _ORACLES["streaming_upsert_state"] = """
     SELECT event_type, count(*)::BIGINT AS n_events,
            sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents
     FROM final GROUP BY event_type
+"""
+
+# JPEG fixture: four constant 8x8 blocks per non-empty doc, block j's
+# value = (codepoint_j * 7) % 256 cycled over the text. The oracle never
+# sees the DCT, the quantizer, or the Huffman stream — equality proves
+# the engine decoded the entropy-coded format exactly (block-constant
+# input is the regime where baseline JPEG is lossless: only the DC
+# coefficient is nonzero and the DC quantizer divides it).
+_ORACLES["media_jpeg_histogram"] = """
+    WITH px AS (
+        SELECT ((ascii(substr(text, (j % len(text))::INTEGER + 1, 1)) * 7)
+                % 256) // 32 AS bucket
+        FROM documents, unnest(range(0, 4)) AS t(j)
+        WHERE len(text) > 0
+    )
+    SELECT bucket::BIGINT AS bucket, (count(*) * 64)::BIGINT AS n_pixels
+    FROM px GROUP BY bucket
+"""
+
+# MP4 fixture laws: duration_ms = (cp0*531) % 600000, width =
+# (cp1*3) % 640 + 16, height = (cp2*5) % 480 + 16 (codepoints cycled).
+# The oracle recomputes them from text; the engine must recover them
+# from the real box tree (mvhd timescale/duration, tkhd 16.16 dims).
+_ORACLES["media_mp4_metadata"] = """
+    WITH c AS (
+        SELECT ((ascii(substr(text, 1, 1)) * 531) % 600000) AS duration_ms,
+               ((ascii(substr(text, (1 % len(text))::INTEGER + 1, 1)) * 3)
+                % 640 + 16) AS width,
+               ((ascii(substr(text, (2 % len(text))::INTEGER + 1, 1)) * 5)
+                % 480 + 16) AS height
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT (duration_ms // 60000)::BIGINT AS dur_min,
+           count(*)::BIGINT AS n_videos,
+           sum(width)::BIGINT AS sum_width,
+           sum(height)::BIGINT AS sum_height,
+           max(duration_ms)::BIGINT AS max_duration_ms
+    FROM c GROUP BY dur_min
 """

@@ -652,3 +652,148 @@ def test_sessionize_matches_bruteforce(spark, seed):
     }
     assert got == _sessionize_ref(rows)
     assert not any(e == 777 for e, _ in got), "open session must be excluded"
+
+
+# ---------------------------------------------------------------------------
+# sequence / retention family (round-6 widening)
+# ---------------------------------------------------------------------------
+
+
+def _pattern_count_ref(rows, pattern):
+    by_user = defaultdict(list)
+    for i, (u, y, t) in enumerate(rows):
+        by_user[u].append((t, i, y))
+    out = {}
+    for u, evts in by_user.items():
+        evts.sort()
+        seq = "".join(y[0] for _, _, y in evts)
+        # the replace-length trick counts NON-overlapping left-to-right
+        # occurrences — exactly str.count's contract
+        out[u] = (len(seq), seq.count(pattern))
+    return out
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_event_pattern_count_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.funnel import (
+        event_pattern_count,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(25),
+            rng.choice(["view", "click", "purchase"]),
+            rng.randrange(0, 200),
+        )
+        for _ in range(300)
+    ]
+    # overlap bait: "vcvcp" must count ONE "vcp", not two
+    rows += [(990, "view", 1), (990, "click", 2), (990, "view", 3),
+             (990, "click", 4), (990, "purchase", 5)]
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in event_pattern_count(_mk_events(spark, rows), pattern="vcp").collect()
+    }
+    assert got == _pattern_count_ref(rows, "vcp")
+    assert got[990] == (5, 1)
+
+
+def _top_paths_ref(rows, depth, topk):
+    by_user = defaultdict(list)
+    for i, (u, y, t) in enumerate(rows):
+        by_user[u].append((t, i, y))
+    counts = defaultdict(int)
+    for evts in by_user.values():
+        evts.sort()
+        types = [y for _, _, y in evts]
+        for i in range(len(types) - depth + 1):
+            counts[" > ".join(types[i:i + depth])] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return dict(ranked[:topk])
+
+
+@pytest.mark.parametrize("seed", [18])
+def test_top_paths_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.funnel import top_paths
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(20),
+            rng.choice(["a", "b", "c"]),
+            rng.randrange(0, 150),
+        )
+        for _ in range(400)
+    ]
+    got = {
+        r["path"]: r["n_occurrences"]
+        for r in top_paths(_mk_events(spark, rows), depth=3, topk=10).collect()
+    }
+    assert got == _top_paths_ref(rows, 3, 10)
+
+
+def _value_histogram_ref(rows, bin_width=5, n_bins=20):
+    out = defaultdict(int)
+    for y, v in rows:
+        b = min(max(math.floor(v / bin_width), 0), n_bins - 1)
+        out[(y, b)] += 1
+    return dict(out)
+
+
+@pytest.mark.parametrize("seed", [19])
+def test_value_histogram_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.funnel import value_histogram
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice(["x", "y"]),
+            rng.uniform(-10, 150),  # includes below-0 and above-range clamps
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r["event_type"], r["bin"]): r["n_events"]
+        for r in value_histogram(df).collect()
+    }
+    assert got == _value_histogram_ref(rows)
+
+
+def _cohort_retention_ref(rows):
+    import datetime as dt
+
+    def monday(epoch):
+        d = dt.datetime.fromtimestamp(epoch, dt.timezone.utc).date()
+        return d - dt.timedelta(days=d.weekday())
+
+    by_user = defaultdict(set)
+    for u, t in rows:
+        by_user[u].add(monday(t))
+    out = defaultdict(int)
+    for weeks in by_user.values():
+        cohort = min(weeks)
+        for wk in weeks:
+            out[(cohort.isoformat(), (wk - cohort).days // 7)] += 1
+    return dict(out)
+
+
+@pytest.mark.parametrize("seed", [20])
+def test_cohort_retention_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.funnel import cohort_retention
+
+    rng = random.Random(seed)
+    # epochs spanning ~10 weeks from a fixed origin
+    rows = [
+        (rng.randrange(40), 1_700_000_000 + rng.randrange(0, 86400 * 70))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ep long").select(
+        "user_id", F.col("ep").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    assert got == _cohort_retention_ref(rows)

@@ -415,3 +415,204 @@ def test_ppm_trailing_bytes_quarantined(spark):
     assert set(out) == {1}
     img = np.frombuffer(raster, dtype=np.uint8).reshape(4, 4, 3)
     assert bytes(out[1]["payload"]).endswith(img[[0, 2]][:, [0, 2], :].tobytes())
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    """Block-constant grayscale input round-trips the REAL baseline JPEG
+    pipeline (DCT → quantize → Huffman → decode) bit-exactly: only the
+    DC coefficient is nonzero and the DC quantizer divides it — the
+    regime that makes the lossy codec oracle-checkable."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _jpeg_decode_planes,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for b, v in enumerate([0, 255, 128, 37]):
+        by, bx = divmod(b, 2)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    payload = encode_jpeg_gray(16, 16, img.tobytes())
+    planes, w, h = _jpeg_decode_planes(payload)
+    assert (w, h) == (16, 16) and len(planes) == 1
+    assert np.array_equal(planes[0], img)
+    d = decode_jpeg(payload)
+    assert d["n_elements"] == 256
+    assert d["content_checksum"] == int(img.astype(np.int64).sum())
+
+
+def test_jpeg_ac_path_vs_independent_idct():
+    """The AC decode path (run lengths, ZRL, EOB, amplitude categories,
+    dequant, full IDCT) against a NAIVE triple-loop math.cos IDCT —
+    an implementation deliberately not shaped like the decoder's
+    matrix-multiply."""
+    import math
+    import random
+
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _encode_jpeg_gray_coeffs,
+        _jpeg_decode_planes,
+        _JPEG_QT_NAT,
+    )
+
+    rng = random.Random(42)
+    blocks = []
+    for _ in range(4):
+        blk = np.zeros(64, dtype=np.int32)
+        blk[0] = rng.randint(-64, 64)
+        for _ in range(10):
+            blk[rng.randint(1, 63)] = rng.randint(-30, 30)
+        # force a long zero run so ZRL (16-zero escape) is exercised
+        blk[1:40] = 0
+        blk[49] = rng.randint(1, 20)
+        blocks.append(blk)
+    payload = _encode_jpeg_gray_coeffs(16, 16, blocks)
+    planes, _, _ = _jpeg_decode_planes(payload)
+
+    def naive_idct(coef_nat):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = math.sqrt(0.125) if u == 0 else 0.5
+                        cv = math.sqrt(0.125) if v == 0 else 0.5
+                        s += (
+                            cu * cv
+                            * coef_nat[u * 8 + v] * _JPEG_QT_NAT[u * 8 + v]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[x, y] = s
+        return np.clip(np.rint(out + 128), 0, 255).astype(np.uint8)
+
+    ref = np.zeros((16, 16), dtype=np.uint8)
+    for b, blk in enumerate(blocks):
+        by, bx = divmod(b, 2)
+        ref[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = naive_idct(blk)
+    diff = np.abs(planes[0].astype(int) - ref.astype(int))
+    assert diff.max() <= 1  # float summation order can differ at .5 ties
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """3-component 4:2:0 decode (chroma upsampled to full resolution)
+    and DRI/RSTn restart chains with DC-predictor resets."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _encode_jpeg_coeffs,
+        _jpeg_decode_planes,
+    )
+
+    def const_block(v):
+        blk = np.zeros(64, dtype=np.int32)
+        blk[0] = v - 128  # DC quantizer 8 divides 8*(v-128)
+        return blk
+
+    y_vals = [40, 90, 160, 220]
+    payload = _encode_jpeg_coeffs(
+        16, 16,
+        [
+            (1, 2, 2, [const_block(v) for v in y_vals]),
+            (2, 1, 1, [const_block(77)]),
+            (3, 1, 1, [const_block(200)]),
+        ],
+    )
+    planes, w, h = _jpeg_decode_planes(payload)
+    assert len(planes) == 3 and (w, h) == (16, 16)
+    yexp = np.zeros((16, 16), dtype=np.uint8)
+    for b, v in enumerate(y_vals):
+        by, bx = divmod(b, 2)
+        yexp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    assert np.array_equal(planes[0], yexp)
+    assert planes[1].shape == (16, 16) and (planes[1] == 77).all()
+    assert (planes[2] == 200).all()
+
+    blocks = [const_block(v) for v in [10, 20, 250, 130]]
+    restart = _encode_jpeg_coeffs(16, 16, [(1, 1, 1, blocks)], restart_interval=1)
+    assert b"\xff\xd0" in restart
+    planes, _, _ = _jpeg_decode_planes(restart)
+    exp = np.zeros((16, 16), dtype=np.uint8)
+    for b, v in enumerate([10, 20, 250, 130]):
+        by, bx = divmod(b, 2)
+        exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    assert np.array_equal(planes[0], exp)
+
+
+def test_jpeg_corrupt_payloads_quarantined(spark):
+    """Truncated / non-JPEG / progressive payloads must yield null or be
+    skipped — never crash the scan (the F8 quarantine posture)."""
+    import numpy as np
+    import pytest as _pt
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        jpeg_gray_histogram,
+    )
+
+    img = np.full((8, 8), 55, dtype=np.uint8)
+    good = encode_jpeg_gray(8, 8, img.tobytes())
+    for bad in (good[:20], b"\xff\xd8\xff\xd9", b"not a jpeg"):
+        with _pt.raises(ValueError):
+            decode_jpeg(bad)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:20])), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = jpeg_gray_histogram(df).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    assert sum(r["n_pixels"] for r in rows) == 64
+
+
+def test_jpeg_histogram_conserves_pixels(spark):
+    """Every non-empty doc contributes exactly 256 decoded pixels (four
+    constant 8x8 blocks) through the COMPRESSED entropy-coded path."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from yandex_tracker_exporter_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n_images = docs.where(F.length("text") > 0).count()
+    rows = entry_mod.queries()["media_jpeg_histogram"](spark, sf).collect()
+    assert sum(r["n_pixels"] for r in rows) == 256 * n_images
+
+
+def test_mp4_box_metadata_roundtrip(spark):
+    """encode → box-walk decode recovers duration (timescale-normalized)
+    and 16.16 dims exactly; corrupt boxes quarantine."""
+    import pytest as _pt
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_mp4_meta,
+        encode_mp4_meta,
+        mp4_metadata_scan,
+    )
+
+    m = decode_mp4_meta(encode_mp4_meta(640, 480, 123456))
+    assert m == {
+        "format": "mp4", "width": 640, "height": 480, "duration_ms": 123456,
+    }
+    # 90 kHz timescale: duration numerically exact via integer div
+    m = decode_mp4_meta(encode_mp4_meta(17, 19, 599999, timescale=90000))
+    assert (m["width"], m["height"]) == (17, 19)
+    assert abs(m["duration_ms"] - 599999) <= 1
+    with _pt.raises(ValueError):
+        decode_mp4_meta(b"\x00\x00\x00\x08mdat")  # no moov
+    good = encode_mp4_meta(320, 240, 60000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:30])), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mp4_metadata_scan(df).collect()}
+    assert set(rows) == {1}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["duration_ms"]) == (
+        320, 240, 60000,
+    )

@@ -127,9 +127,11 @@ def build_big(spark, factor: int) -> None:
         print(f"built {t}", flush=True)
 
 
-def time_queries(spark, qs, sf_dir: str, runs: int) -> dict[str, float]:
+def time_queries(
+    spark, qs, sf_dir: str, runs: int, subset: list[str] | None = None
+) -> dict[str, float]:
     out: dict[str, float] = {}
-    for name in QUERY_SUBSET:
+    for name in subset or QUERY_SUBSET:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm codegen / checkpoint caches
         best = None
@@ -148,6 +150,9 @@ def time_queries(spark, qs, sf_dir: str, runs: int) -> dict[str, float]:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # optional: restrict to named queries (re-measuring one operator
+    # after a fix shouldn't cost the full 20-query double sweep)
+    subset = sys.argv[3:] or None
 
     from yandex_tracker_exporter_spark.session import get_spark
 
@@ -169,15 +174,15 @@ def main() -> None:
     build_big(spark, factor)
     qs = m.queries()
     print("timing small…", flush=True)
-    small = time_queries(spark, qs, SF_SMALL, runs)
+    small = time_queries(spark, qs, SF_SMALL, runs, subset)
     print("timing big…", flush=True)
     # fresh dedup-labels cache entry per sf_dir is automatic (keyed dict)
-    big = time_queries(spark, qs, BIG, runs)
+    big = time_queries(spark, qs, BIG, runs, subset)
 
     import math
 
     rows = []
-    for name in QUERY_SUBSET:
+    for name in subset or QUERY_SUBSET:
         ratio = big[name] / small[name] if small[name] > 0 else float("nan")
         # growth exponent vs the data factor: t_big/t_small = factor**e
         exp = math.log(ratio) / math.log(factor) if ratio > 0 else float("nan")

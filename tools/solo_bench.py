@@ -26,7 +26,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-import bench as bench_mod  # the shared session/hygiene protocol
+# module-level: the warm-up pandas_udf's stringified type hints
+# ("pd.Series", via `from __future__ import annotations`) resolve
+# against this module's globals
+import pandas as pd  # noqa: E402
+
+import bench as bench_mod  # noqa: E402  (shared session/hygiene protocol)
 
 
 def main() -> None:
@@ -47,8 +52,6 @@ def main() -> None:
         loadavg = float(open("/proc/loadavg").read().split()[0])
     except OSError:
         loadavg = None
-
-    import pandas as pd
 
     import __spark_entry__ as entry_mod
     from yandex_tracker_exporter_spark.session import get_spark

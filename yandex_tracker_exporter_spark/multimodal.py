@@ -11,12 +11,15 @@ two decode modes exist:
 
 - ``decode="fake"`` — deterministic metadata-derived features (the
   original stub; real Spark plumbing, fake content).
-- ``decode="real"`` — pure-Python parsers for four public formats:
+- ``decode="real"`` — pure-Python parsers for six public formats:
   **WAV** (RIFF PCM audio), **PPM** (P6 binary portable pixmap),
-  **Y4M** (YUV4MPEG2 uncompressed video), and **PNG** (8-bit RGB,
-  zlib DEFLATE via stdlib + all five scanline filters — a real
-  COMPRESSED format decoded in-sandbox). These decode actual payload
-  bytes end-to-end; a PIL/ffmpeg kernel for JPEG/MP4 plugs into the
+  **Y4M** (YUV4MPEG2 uncompressed video), **PNG** (8-bit RGB, zlib
+  DEFLATE via stdlib + all five scanline filters), **JPEG** (baseline
+  sequential DCT: canonical Huffman from DHT, DC prediction, zigzag,
+  dequant, 8x8 IDCT, 4:2:0/4:2:2/4:4:4 sampling, restart markers),
+  and **MP4** (ISO BMFF box-level metadata: mvhd duration/timescale,
+  tkhd 16.16 dimensions). These decode actual payload bytes
+  end-to-end; a PIL/ffmpeg kernel for other codecs plugs into the
   same dispatch table.
 
 Unparseable payloads yield null features instead of failing the task —
@@ -1023,6 +1026,14 @@ class _JpegBitWriter:
                     self.out.append(0x00)
                 self._acc, self._n = 0, 0
 
+    def align_marker(self, marker: int) -> None:
+        """Pad to a byte boundary with 1-bits and emit a bare marker
+        (RSTn) — markers are never byte-stuffed."""
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, marker])
+
     def flush(self) -> bytes:
         if self._n:
             pad = 8 - self._n
@@ -1078,21 +1089,33 @@ def _jpeg_quantize_blocks(width: int, height: int, pixels: bytes) -> list:
     return blocks
 
 
-def _encode_jpeg_gray_coeffs(
-    width: int, height: int, blocks: list
+def _encode_jpeg_coeffs(
+    width: int,
+    height: int,
+    comps: list,
+    restart_interval: int = 0,
 ) -> bytes:
-    """Assemble a baseline grayscale JPEG from QUANTIZED coefficient
-    blocks (natural order, raster block order): DQT + SOF0 + DHT + SOS
-    + entropy-coded data. Separated from the pixel path so tests can
-    drive the decoder with hand-chosen coefficients (AC runs, ZRL,
-    EOB)."""
-    # entropy-code into (symbol streams) first to learn the alphabet
+    """Assemble a baseline JPEG from QUANTIZED coefficient blocks:
+    DQT + SOF0 + DHT + (DRI) + SOS + interleaved entropy-coded data
+    with optional restart markers.
+
+    ``comps`` is a list of (comp_id, h, v, blocks): blocks are int[64]
+    arrays in NATURAL order, supplied in MCU-major order (for each MCU,
+    the component's v*h blocks raster-wise). Separated from the pixel
+    path so tests can drive the decoder with hand-chosen coefficients
+    (AC runs, ZRL, EOB, subsampled components, restart chains)."""
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
     dc_syms, ac_syms, tokens = set(), set(), []
-    prev_dc = 0
-    for blk in blocks:
+    pred = {c[0]: 0 for c in comps}
+    idx = {c[0]: 0 for c in comps}
+
+    def emit_block(cid, blk) -> None:
         zz = [int(blk[_JPEG_ZZ[i]]) for i in range(64)]
-        size, ampl = _jpeg_category(zz[0] - prev_dc)
-        prev_dc = zz[0]
+        size, ampl = _jpeg_category(zz[0] - pred[cid])
+        pred[cid] = zz[0]
         dc_syms.add(size)
         tokens.append(("dc", size, ampl))
         run = 0
@@ -1112,9 +1135,31 @@ def _encode_jpeg_gray_coeffs(
         if run:
             ac_syms.add(0x00)
             tokens.append(("ac", 0x00, 0, 0))
+
+    mcu_count = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                tokens.append(
+                    ("rst", (mcu_count // restart_interval - 1) % 8)
+                )
+                for cid in pred:
+                    pred[cid] = 0
+            for cid, h, v, blocks in comps:
+                for _ in range(h * v):
+                    emit_block(cid, blocks[idx[cid]])
+                    idx[cid] += 1
+            mcu_count += 1
+    for cid, h, v, blocks in comps:
+        if idx[cid] != len(blocks):
+            raise ValueError(f"component {cid}: block count mismatch")
+
     dc_bits, dc_vals, dc_codes = _jpeg_flat_huffman(sorted(dc_syms))
     ac_bits, ac_vals, ac_codes = _jpeg_flat_huffman(sorted(ac_syms))
-
     bw = _JpegBitWriter()
     for tok in tokens:
         if tok[0] == "dc":
@@ -1123,12 +1168,14 @@ def _encode_jpeg_gray_coeffs(
             bw.put(code, length)
             if size:
                 bw.put(ampl, size)
-        else:
+        elif tok[0] == "ac":
             _, sym, ampl, size = tok
             code, length = ac_codes[sym]
             bw.put(code, length)
             if size:
                 bw.put(ampl, size)
+        else:  # restart marker
+            bw.align_marker(0xD0 + tok[1])
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1138,16 +1185,29 @@ def _encode_jpeg_gray_coeffs(
     dqt = seg(0xDB, b"\x00" + qt_zz)  # Pq=0 (8-bit), Tq=0
     sof0 = seg(
         0xC0,
-        struct.pack(">BHHB", 8, height, width, 1)
-        + bytes([1, 0x11, 0]),  # comp id 1, h=v=1, quant table 0
+        struct.pack(">BHHB", 8, height, width, len(comps))
+        + b"".join(bytes([cid, (h << 4) | v, 0]) for cid, h, v, _ in comps),
     )
     dht = seg(
         0xC4,
         b"\x00" + bytes(dc_bits) + bytes(dc_vals)  # Tc=0 (DC), Th=0
         + b"\x10" + bytes(ac_bits) + bytes(ac_vals),  # Tc=1 (AC), Th=0
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # comp 1, Td=0/Ta=0
-    return JPEG_SOI + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(
+        0xDA,
+        bytes([len(comps)])
+        + b"".join(bytes([cid, 0x00]) for cid, _, _, _ in comps)
+        + bytes([0, 63, 0]),
+    )
+    return JPEG_SOI + dqt + sof0 + dht + dri + sos + scan + b"\xff\xd9"
+
+
+def _encode_jpeg_gray_coeffs(
+    width: int, height: int, blocks: list
+) -> bytes:
+    """Single-component wrapper (the fixture path)."""
+    return _encode_jpeg_coeffs(width, height, [(1, 1, 1, blocks)])
 
 
 def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:

@@ -32,12 +32,26 @@ from pyspark.sql import functions as F
 
 #: Deterministic pseudo-random hyperplane component for (plane j, dim d):
 #: Knuth-multiplicative scramble of the index, mapped to [-0.5, 0.5).
-_KNUTH = 2654435761
-_MOD = 2147483648  # 2^31
-
-
 def _plane_component(j: int, d: int) -> float:
-    return ((j * 4099 + d * 8191 + 1) * _KNUTH % _MOD) / _MOD - 0.5
+    """Component d of deterministic hyperplane j, uniform in [-0.5, 0.5).
+
+    md5 of "plane:j:d" — full avalanche, so the planes of a band are
+    statistically independent. The previous linear-congruential family
+    ((j*4099 + d*8191 + 1)*K mod 2^31) had lattice correlations ACROSS
+    d for fixed j, which correlated the 12 planes of a band: measured on
+    the sf0.1 corpus (+ planted copies), band buckets concentrated into
+    ~1,000 of 4,096 keys and candidate pairs ran 226k where independent
+    planes give 36k at the SAME planted recall (1.0) — a 6x candidate
+    overhead purely from generator quality. Values are computed once in
+    Python and embedded as double literals in BOTH engines (repr
+    round-trips exactly), so the family change stays bit-consistent
+    everywhere including the DuckDB oracles."""
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.md5(f"plane:{j}:{d}".encode()).digest()[:8], "big"
+    )
+    return h / 2.0**64 - 0.5
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -424,19 +438,36 @@ def _neardup_prep_kernel(num_planes: int, num_bands: int, dim: int):
 
     @F.pandas_udf("struct<nrm: double, buckets: array<int>>")
     def prep(vecs: pd.Series) -> pd.DataFrame:
-        nrms, buckets = [], []
-        bits = (1 << np.arange(num_planes, dtype=np.int64))
-        for v in vecs:
-            if v is None:
-                nrms.append(None)
-                buckets.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            nrms.append(math.sqrt(np.add.accumulate(x * x)[-1]))
-            proj = np.add.accumulate(planes * x[None, :], axis=1)[:, -1]
-            signs = (proj >= 0).reshape(num_bands, num_planes)
-            buckets.append((signs * bits[None, :]).sum(axis=1).astype(np.int32))
-        return pd.DataFrame({"nrm": nrms, "buckets": buckets})
+        # Batch the whole Arrow chunk through ONE accumulate call per
+        # sub-batch instead of a per-vector Python loop (measured ~3x on
+        # the prep stage). Bit-exactness is preserved: accumulate along
+        # the last axis performs the identical sequential left fold per
+        # (vector, plane) row as the per-vector form. Sub-batches of 128
+        # bound the (B, n_total, dim) float64 temporary to ~6 MB.
+        nrms = np.full(len(vecs), np.nan)
+        buckets: list = [None] * len(vecs)
+        bits = 1 << np.arange(num_planes, dtype=np.int64)
+        idx = [i for i, v in enumerate(vecs) if v is not None]
+        for lo in range(0, len(idx), 128):
+            rows = idx[lo:lo + 128]
+            x = np.stack(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in rows]
+            )
+            nrm = np.sqrt(np.add.accumulate(x * x, axis=1)[:, -1])
+            proj = np.add.accumulate(
+                planes[None, :, :] * x[:, None, :], axis=2
+            )[:, :, -1]
+            signs = (proj >= 0).reshape(len(rows), num_bands, num_planes)
+            keys = (signs * bits[None, None, :]).sum(axis=2).astype(np.int32)
+            for j, i in enumerate(rows):
+                nrms[i] = nrm[j]
+                buckets[i] = keys[j]
+        return pd.DataFrame(
+            {
+                "nrm": [None if b is None else n for n, b in zip(nrms, buckets)],
+                "buckets": buckets,
+            }
+        )
 
     # the kernel IS pure, but posexplode makes Catalyst infer
     # size(buckets)>0 / isnotnull constraints and push them below the
