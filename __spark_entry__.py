@@ -1432,7 +1432,12 @@ def _dedup_labels(spark, sf_dir):
     pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
-    labels = duplicate_clusters(pairs, "a_id", "b_id").localCheckpoint(eager=True)
+    # NO outer localCheckpoint: duplicate_clusters runs EAGERLY (its
+    # driver loop counts every round) and its final round is already an
+    # eager localCheckpoint, so the returned relation is a thin
+    # projection over resident blocks — an outer checkpoint would be a
+    # redundant second materialization (measured ~0.5-1.0 s per refresh)
+    labels = duplicate_clusters(pairs, "a_id", "b_id")
     # record every block-backed RDD id this materialization created
     # (the final checkpoint plus any iteration-internal ones still
     # alive); eviction unpersists them all — ids already reclaimed by

@@ -797,3 +797,185 @@ def test_cohort_retention_matches_bruteforce(spark, seed):
         for r in cohort_retention(df).collect()
     }
     assert got == _cohort_retention_ref(rows)
+
+
+# ---------------------------------------------------------------------------
+# text-statistics family (round-6 widening #2)
+# ---------------------------------------------------------------------------
+
+
+def _toks_ref(text):
+    """The repo tokenizer's exact semantics: split(trim(text), \\s+) —
+    trimmed-empty input yields [''] (one empty token), like Spark."""
+    t = text.strip()
+    return t.split() if t else [""]
+
+
+def _bigram_lm_ref(texts):
+    c12, c1, vocab = defaultdict(int), defaultdict(int), set()
+    for tx in texts:
+        t = _toks_ref(tx)
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(vocab)
+    return {
+        (a, b): (n, c1[a], v, ((n + 1) * 1000) // (c1[a] + v))
+        for (a, b), n in c12.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [21])
+def test_bigram_lm_matches_bruteforce(spark, seed):
+    """Seeds the prefix-count subtlety: c1 counts w1 as a BIGRAM PREFIX
+    (tokens with a successor), not raw unigrams — a doc-final token
+    must not inflate c1. Includes single-token and empty docs."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import bigram_lm
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25)))
+        for _ in range(80)
+    ]
+    texts += ["solo", "", "   "]  # 1-token and empty docs
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["c1"], r["v"], r["p_milli"])
+        for r in bigram_lm(df).collect()
+    }
+    assert got == _bigram_lm_ref(texts)
+
+
+def _bm25_ref(docs, terms, k1=1.2, b=0.75, topk=10):
+    toks = {i: _toks_ref(t) for i, t in docs}
+    n = float(len(toks))
+    sum_dl = float(sum(len(ts) for ts in toks.values()))
+    avgdl = sum_dl / n
+    dfs = [
+        float(sum(1 for ts in toks.values() if term in ts)) for term in terms
+    ]
+    out = []
+    for i, ts in sorted(toks.items()):
+        dl = float(len(ts))
+        s = 0.0
+        for term, dfv in zip(terms, dfs):
+            tf = float(ts.count(term))
+            idf_r = (n - dfv + 0.5) / (dfv + 0.5)
+            denom = tf + k1 * (1.0 - b + b * (dl / avgdl))
+            s = s + idf_r * ((tf * (k1 + 1.0)) / denom)
+        out.append((i, int(dl), s))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:topk]
+
+
+@pytest.mark.parametrize("seed", [22])
+def test_bm25_rank_matches_bruteforce_bitexact(spark, seed):
+    """Same fixed-association float order as the engine — scores must be
+    BIT-identical, not approximately equal (that is the whole
+    cross-engine design)."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import bm25_rank
+
+    rng = random.Random(seed)
+    vocab = ["table", "join", "window", "scan", "sort", "agg", "x", "y"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["dl"], r["score"])
+        for r in bm25_rank(df, ("table", "join", "window")).collect()
+    ]
+    assert got == _bm25_ref(docs, ("table", "join", "window"))
+
+
+def _pmi_ref(docs, top_k=20):
+    sets = {i: set(_toks_ref(t)) for i, t in docs}
+    dfreq = defaultdict(int)
+    for s in sets.values():
+        for t in s:
+            dfreq[t] += 1
+    top = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    topset = {t for t, _ in top}
+    n_docs = len(sets)
+    c_ab = defaultdict(int)
+    for s in sets.values():
+        present = sorted(s & topset)
+        for i, a in enumerate(present):
+            for b in present[i + 1:]:
+                c_ab[(a, b)] += 1
+    return {
+        (a, b): (
+            dfreq[a], dfreq[b], n, n_docs,
+            (n * n_docs * 1000) // (dfreq[a] * dfreq[b]),
+        )
+        for (a, b), n in c_ab.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_term_pmi_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        term_cooccurrence_pmi,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i:02d}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 20))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["term_a"], r["term_b"]): (
+            r["c_a"], r["c_b"], r["c_ab"], r["n_docs"], r["pmi_milli"],
+        )
+        for r in term_cooccurrence_pmi(df).collect()
+    }
+    assert got == _pmi_ref(docs)
+
+
+def _dup_window_ref(docs, window_tokens=16):
+    windows = {}
+    for i, t in docs:
+        toks = _toks_ref(t)
+        n_chunks = max(1, -(-len(toks) // window_tokens))
+        windows[i] = [
+            " ".join(toks[w * window_tokens:(w + 1) * window_tokens])
+            for w in range(n_chunks)
+        ]
+    occurs = defaultdict(set)
+    for i, ws in windows.items():
+        for w in ws:
+            occurs[w].add(i)
+    out = {}
+    for i, ws in windows.items():
+        dup = sum(1 for w in ws if len(occurs[w]) >= 2)
+        out[i] = (len(ws), dup, dup / len(ws))
+    return out
+
+
+@pytest.mark.parametrize("seed", [24])
+def test_dup_window_ratio_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        duplicated_window_ratio,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(16))
+    docs = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 50)))
+        # a third of the docs carry the exact boilerplate window FIRST
+        # (aligned at a window boundary, so it is the duplicated one)
+        docs.append((i, (boiler + " " + body) if i % 3 == 0 else body))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in duplicated_window_ratio(df).collect()
+    }
+    assert got == _dup_window_ref(docs)
+    assert any(v[1] > 0 for v in got.values()), "boilerplate must be flagged"
