@@ -979,3 +979,210 @@ def test_dup_window_ratio_matches_bruteforce(spark, seed):
     }
     assert got == _dup_window_ref(docs)
     assert any(v[1] > 0 for v in got.values()), "boilerplate must be flagged"
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing / smoothing family (round-6 widening #3)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_ref(text, window=8, mod=64):
+    cps = [ord(c) for c in text] if text else [0]
+    n = len(text)
+    cuts = []
+    if n >= window:
+        for i in range(1, n - window + 2):  # 1-based window starts
+            h = 0
+            for j in range(window):
+                h = (h * 131 + cps[i - 1 + j]) % P31
+            if h % mod == 0:
+                cuts.append(i + window - 1)
+    ends = sorted(set(cuts) | {n})
+    out, prev = [], 0
+    for idx, e in enumerate(ends, 1):
+        h = 0
+        for c in cps[prev:e]:
+            h = (h * 131 + c) % P31
+        out.append((idx, prev + 1, e - prev, h))
+        prev = e
+    return out
+
+
+@pytest.mark.parametrize("seed", [25])
+def test_cdc_chunks_matches_bruteforce(spark, seed):
+    """Rolling-hash cut points, the final cut at n, the cut==n dedup,
+    sub-window docs (single chunk), and the empty-doc zero-length
+    chunk with hash 0."""
+    from yandex_tracker_exporter_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(seed)
+    docs = [
+        (i, "".join(rng.choice("abcdefgh ") for _ in range(rng.randrange(0, 400))))
+        for i in range(40)
+    ]
+    docs += [(100, ""), (101, "tiny"), (102, "exactly8")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = defaultdict(list)
+    for r in cdc_chunks(df).collect():
+        got[r["doc_id"]].append(
+            (r["chunk_idx"], r["start"], r["chunk_len"], r["chunk_hash"])
+        )
+    want = {i: _cdc_ref(t) for i, t in docs}
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+    assert any(len(v) > 1 for v in want.values()), "fixture must cut somewhere"
+
+
+def _winnow_ref(text, k=9, window=4):
+    cps = [ord(c) for c in text]
+    n = len(cps)
+    if n >= k:
+        hs = []
+        for i in range(n - k + 1):
+            h = 0
+            for c in cps[i:i + k]:
+                h = (h * 131 + c) % P31
+            hs.append(h)
+    else:
+        h = 0
+        for c in cps:
+            h = (h * 131 + c) % P31
+        hs = [h]
+    if len(hs) >= window:
+        mins = [min(hs[j:j + window]) for j in range(len(hs) - window + 1)]
+    else:
+        mins = [min(hs)]
+    return sorted(set(mins))
+
+
+def _winnow_pairs_ref(docs, max_df=10, min_shared=3):
+    fps = {i: set(_winnow_ref(t)) for i, t in docs}
+    dfreq = defaultdict(int)
+    for s in fps.values():
+        for fp in s:
+            dfreq[fp] += 1
+    rare = {i: {fp for fp in s if dfreq[fp] <= max_df} for i, s in fps.items()}
+    out = {}
+    ids = sorted(rare)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            shared = len(rare[a] & rare[b])
+            if shared >= min_shared:
+                out[(a, b)] = shared
+    return out
+
+
+@pytest.mark.parametrize("seed", [26])
+def test_winnow_pairs_matches_bruteforce(spark, seed):
+    """Winnowing fingerprint selection (window minima, dedup), the
+    stop-fingerprint df cap, and the min-shared threshold — including
+    a boilerplate span present in MORE than max_df docs, whose
+    fingerprints must carry no dedup signal."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        winnow_duplicate_pairs,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(seed)
+    boiler = "".join(rng.choice("qrstuv") for _ in range(40))
+    docs = []
+    for i in range(30):
+        body = "".join(rng.choice("abcdefgh ") for _ in range(rng.randrange(20, 120)))
+        # 12 docs (> max_df 10) share the same boilerplate prefix
+        docs.append((i, (boiler + body) if i < 12 else body))
+    # one planted near-dup pair sharing a long unique span
+    span = "".join(rng.choice("wxyz") for _ in range(60))
+    docs += [(200, span + "tailA"), (201, "headB" + span)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp_got = {
+        r["doc_id"]: sorted(r["fingerprints"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert fp_got == {i: _winnow_ref(t) for i, t in docs}
+    got = {
+        (r["a_id"], r["b_id"]): r["shared_fps"]
+        for r in winnow_duplicate_pairs(df).collect()
+    }
+    want = _winnow_pairs_ref(docs)
+    assert got == want
+    assert (200, 201) in want, "planted span pair must qualify"
+
+
+def _pack_ref(docs, budget=2048, num_shards=32):
+    out = {}
+    by_shard = defaultdict(list)
+    for i, t in sorted(docs):
+        by_shard[i % num_shards].append((i, len(_toks_ref(t))))
+    for shard, items in by_shard.items():
+        running = 0
+        for i, n in items:  # already in doc_id order
+            running += n
+            out[i] = (shard, (running - n) // budget, n)
+    return out
+
+
+@pytest.mark.parametrize("seed", [27])
+def test_pack_token_budget_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        pack_token_budget,
+    )
+
+    rng = random.Random(seed)
+    docs = [
+        (i, " ".join("w" for _ in range(rng.randrange(1, 900))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_idx"], r["n_tokens"])
+        for r in pack_token_budget(df).collect()
+    }
+    assert got == _pack_ref(docs)
+    assert max(b for _, b, _ in got.values()) >= 1, "fixture must overflow a bin"
+
+
+def _ewma_ref(rows, alpha_milli=300):
+    alpha = alpha_milli / 1000.0
+    daily = defaultdict(lambda: [0, 0])  # (type, day) -> [sum_cents, n]
+    for y, ep, v in rows:
+        cell = daily[(y, ep // 86400 * 86400)]
+        cell[0] += math.floor(v * 100)
+        cell[1] += 1
+    by_type = defaultdict(list)
+    for (y, day), (s, n) in daily.items():
+        by_type[y].append((day, float(s) / float(n)))
+    out = {}
+    for y, days in by_type.items():
+        days.sort()
+        prev = None
+        for day, mean in days:
+            e = mean if prev is None else alpha * mean + (1.0 - alpha) * prev
+            out[(y, day)] = (mean, e)
+            prev = e
+    return out
+
+
+@pytest.mark.parametrize("seed", [28])
+def test_ewma_daily_matches_bruteforce_bitexact(spark, seed):
+    """The EWMA left fold must be BIT-identical (same fixed-order IEEE
+    ops), not approximately equal."""
+    from yandex_tracker_exporter_spark.operators.funnel import ewma_daily
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice(["a", "b"]),
+            1_700_000_000 + rng.randrange(0, 86400 * 20),
+            rng.uniform(0, 500),
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ep long, value double").select(
+        "event_type", F.col("ep").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        (r["event_type"], r["day_epoch"]): (r["day_mean"], r["ewma"])
+        for r in ewma_daily(df).collect()
+    }
+    assert got == _ewma_ref(rows)

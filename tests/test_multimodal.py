@@ -616,3 +616,99 @@ def test_mp4_box_metadata_roundtrip(spark):
     assert (rows[1]["width"], rows[1]["height"], rows[1]["duration_ms"]) == (
         320, 240, 60000,
     )
+
+
+def test_jpeg_mp4_decoders_never_crash_on_fuzz():
+    """Quarantine hardening: arbitrary byte soup, truncations of valid
+    files, and bit flips must raise ValueError/struct.error (→ null in
+    the scan kernels), never hang or raise anything else."""
+    import random
+    import struct as _struct
+
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_jpeg,
+        decode_mp4_meta,
+        encode_jpeg_gray,
+        encode_mp4_meta,
+    )
+
+    rng = random.Random(7)
+    img = np.full((16, 16), 99, dtype=np.uint8)
+    good_jpeg = encode_jpeg_gray(16, 16, img.tobytes())
+    good_mp4 = encode_mp4_meta(320, 240, 5000)
+    ok = (ValueError, _struct.error, IndexError)
+    for payload in (
+        [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+         for _ in range(50)]
+        + [good_jpeg[:k] for k in range(0, len(good_jpeg), 7)]
+        + [good_mp4[:k] for k in range(0, len(good_mp4), 7)]
+    ):
+        for decoder in (decode_jpeg, decode_mp4_meta):
+            try:
+                decoder(payload)
+            except ok:
+                pass  # quarantine path
+    # single-bit flips over the whole valid JPEG: decode either succeeds
+    # (flip in padding/amplitude) or quarantines — no other outcome
+    for pos in range(0, len(good_jpeg), 3):
+        flipped = bytearray(good_jpeg)
+        flipped[pos] ^= 0x10
+        try:
+            decode_jpeg(bytes(flipped))
+        except ok:
+            pass
+
+
+def test_jpeg_422_subsampling():
+    """4:2:2 (h=2, v=1 luma): two Y blocks + one Cb + one Cr per MCU,
+    chroma replicated horizontally only."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _encode_jpeg_coeffs,
+        _jpeg_decode_planes,
+    )
+
+    def const_block(v):
+        blk = np.zeros(64, dtype=np.int32)
+        blk[0] = v - 128
+        return blk
+
+    payload = _encode_jpeg_coeffs(
+        16, 8,
+        [
+            (1, 2, 1, [const_block(50), const_block(180)]),
+            (2, 1, 1, [const_block(60)]),
+            (3, 1, 1, [const_block(210)]),
+        ],
+    )
+    planes, w, h = _jpeg_decode_planes(payload)
+    assert (w, h) == (16, 8) and len(planes) == 3
+    assert (planes[0][:, :8] == 50).all() and (planes[0][:, 8:] == 180).all()
+    assert planes[1].shape == (8, 16) and (planes[1] == 60).all()
+    assert (planes[2] == 210).all()
+
+
+def test_jpeg_hostile_header_guards():
+    """A hostile SOF claiming 65500x65500 must quarantine BEFORE the
+    plane allocation (memory-bomb guard), and a corrupt DC category
+    above 15 bits must not overflow the predictor chain."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    good = bytearray(
+        encode_jpeg_gray(16, 16, bytes(np.arange(256, dtype=np.uint8)))
+    )
+    i = good.find(b"\xff\xc0")
+    _struct.pack_into(">HH", good, i + 5, 65500, 65500)
+    with _pt.raises(ValueError):
+        decode_jpeg(bytes(good))

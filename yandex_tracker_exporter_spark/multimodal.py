@@ -1374,11 +1374,33 @@ def _jpeg_decode_planes(payload: bytes):
         raise ValueError("no SOS segment")
     if comps is None:
         raise ValueError("missing SOF0")
+    # cross-reference validation (fuzz hardening): a corrupt file can
+    # name tables or components that were never defined — every such
+    # dangling reference must quarantine, not KeyError
+    if not (1 <= len(comps) <= 4) or width <= 0 or height <= 0:
+        raise ValueError("bad SOF0 dimensions/components")
+    if len({c[0] for c in comps}) != len(comps):
+        raise ValueError("duplicate component ids")
+    for cid, h, v, tq in comps:
+        if h < 1 or v < 1:
+            raise ValueError("zero sampling factor")
+        if tq not in qts:
+            raise ValueError("undefined quant table")
+        if cid not in scan_sel:
+            raise ValueError("SOS does not cover component")
+        td, ta = scan_sel[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("undefined Huffman table")
 
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     if max_h > 2 or max_v > 2:
         raise ValueError("sampling factors above 2 unsupported")
+    # memory-bomb guard: a hostile SOF can claim 65535x65535 and make
+    # the plane allocation below explode before a single entropy byte
+    # is read — cap decoded samples (64M ~ an 8192x8192 RGB frame)
+    if width * height * len(comps) > (1 << 26):
+        raise ValueError("image dimensions exceed decode cap")
     mcux = -(-width // (8 * max_h))
     mcuy = -(-height // (8 * max_v))
     planes = {
@@ -1402,6 +1424,10 @@ def _jpeg_decode_planes(payload: bytes):
                     for bx in range(h):
                         coef = np.zeros(64, dtype=np.int64)
                         size = _jpeg_huff_decode(br, huff_dc[td])
+                        if size > 15:  # baseline DC categories are <= 11;
+                            # a corrupt table can claim up to 255 bits and
+                            # overflow the int64 predictor chain
+                            raise ValueError("bad DC category")
                         diff = _jpeg_extend(br.bits(size), size)
                         pred[cid] += diff
                         coef[0] = pred[cid]
