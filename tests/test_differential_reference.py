@@ -1186,3 +1186,226 @@ def test_ewma_daily_matches_bruteforce_bitexact(spark, seed):
         for r in ewma_daily(df).collect()
     }
     assert got == _ewma_ref(rows)
+
+
+# ---------------------------------------------------------------------------
+# temporal / join family (round-6 widening #4)
+# ---------------------------------------------------------------------------
+
+
+def _asof_ref(lrows, rrows):
+    by_key = defaultdict(list)
+    for k, t, p in rrows:
+        by_key[k].append((t, p))
+    out = []
+    for k, t in lrows:
+        best = None
+        for rt, p in sorted(by_key.get(k, [])):
+            if rt <= t:
+                best = p
+        out.append((k, t, best))
+    return sorted(out, key=str)
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_asof_join_matches_bruteforce(spark, seed):
+    """At-or-before semantics including the exact-tie case (a right row
+    AT the left timestamp is taken) and keys with no prior right row
+    (null payload)."""
+    from yandex_tracker_exporter_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    # unique (key, ts) on the right: equal-ts right duplicates are
+    # explicitly out of contract (last() tie order would be plan-defined)
+    rts = {(rng.randrange(12), rng.randrange(0, 500)) for _ in range(150)}
+    rrows = [(k, t, k * 10000 + t) for k, t in rts]
+    lrows = [(rng.randrange(14), rng.randrange(0, 500)) for _ in range(200)]
+    lrows += [(k, t) for k, t, _ in rrows[:10]]  # exact-tie probes
+    left = spark.createDataFrame(
+        [(k, t) for k, t in lrows], "key long, ep long"
+    ).select("key", F.col("ep").cast("timestamp").alias("lts"), F.col("ep").alias("lep"))
+    right = spark.createDataFrame(rrows, "key long, ep long, px long").select(
+        "key", F.col("ep").cast("timestamp").alias("rts"), "px"
+    )
+    got = sorted(
+        ((r["key"], r["lep"], r["px"]) for r in
+         asof_join(left, right, "key", "lts", "rts", ["px"]).collect()),
+        key=str,
+    )
+    assert got == _asof_ref(lrows, rrows)
+
+
+@pytest.mark.parametrize("seed", [30])
+def test_interval_join_matches_bruteforce(spark, seed):
+    """start <= point < end containment, including intervals longer than
+    the bucket width (multi-bucket explode) and boundary points."""
+    from yandex_tracker_exporter_spark.operators.rangejoin import interval_join
+
+    rng = random.Random(seed)
+    points = [(i, rng.randrange(0, 50000)) for i in range(200)]
+    ivals = []
+    for j in range(40):
+        s = rng.randrange(0, 45000)
+        ivals.append((j, s, s + rng.randrange(1, 9000)))  # spans many 3600-buckets
+    # boundary probes: points exactly at start (in) and end (out)
+    points += [(900, ivals[0][1]), (901, ivals[0][2])]
+    pdf = spark.createDataFrame(points, "pid long, pep long").select(
+        "pid", F.col("pep").cast("timestamp").alias("pts"), "pep"
+    )
+    idf = spark.createDataFrame(ivals, "iid long, sep long, eep long").select(
+        "iid",
+        F.col("sep").cast("timestamp").alias("sts"),
+        F.col("eep").cast("timestamp").alias("ets"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pdf, idf, "pts", "sts", "ets").collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pep in points
+        for iid, s, e in ivals
+        if s <= pep < e
+    )
+    assert got == want
+    assert (900, ivals[0][0]) in want and (901, ivals[0][0]) not in want
+
+
+def _scd2_ref(rows, open_end):
+    by_user = defaultdict(list)
+    for i, (u, t, v) in enumerate(rows):
+        by_user[u].append((t, i, v))
+    out = []
+    for u, evts in by_user.items():
+        evts.sort(key=lambda e: (e[0], e[1]))
+        runs = []
+        for t, _, v in evts:
+            if not runs or runs[-1][1] != v:
+                runs.append((t, v))
+        for j, (t, v) in enumerate(runs):
+            end = runs[j + 1][0] if j + 1 < len(runs) else open_end
+            out.append((u, v, t, end, 1 if j + 1 == len(runs) else 0))
+    return sorted(out, key=str)
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_scd2_intervals_matches_bruteforce(spark, seed):
+    """Run collapse (consecutive equal values), leading-null runs,
+    null-safe change compare, and the open-run sentinel."""
+    from yandex_tracker_exporter_spark.operators.temporal import (
+        SCD2_OPEN_END,
+        scd2_intervals,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(300):
+        rows.append(
+            (
+                rng.randrange(20),
+                rng.randrange(0, 1000),
+                rng.choice([None, 1, 1, 2, 3]),  # nulls + repeats → runs
+            )
+        )
+    # dedupe (user, ts) so window order is deterministic without ids
+    seen = set()
+    uniq = []
+    for u, t, v in rows:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            uniq.append((u, t, v))
+    rows = uniq
+    df = spark.createDataFrame(
+        [(u, t, i, None if v is None else f'{{"k": {v}}}')
+         for i, (u, t, v) in enumerate(rows)],
+        "user_id long, ep long, event_id long, props string",
+    ).select(
+        "user_id", F.col("ep").cast("timestamp").alias("ts"), "event_id", "props"
+    )
+    got = sorted(
+        ((r["entity"], r["value"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in scd2_intervals(df).collect()),
+        key=str,
+    )
+    assert got == _scd2_ref([(u, t, v) for u, t, v in rows], SCD2_OPEN_END)
+
+
+def _reset_total_ref(rows, gap_s=3600):
+    by_user = defaultdict(list)
+    for i, (u, t, v) in enumerate(rows):
+        by_user[u].append((t, i, v))
+    out = {}
+    for u, evts in by_user.items():
+        evts.sort(key=lambda e: (e[0], e[1]))
+        session = 0
+        prev_t = None
+        running = 0
+        for t, i, v in evts:
+            if prev_t is None or t - prev_t > gap_s:
+                session += 1
+                running = 0
+            running += math.floor(v * 100)
+            out[i] = (u, t, session, running)
+            prev_t = t
+    return out
+
+
+@pytest.mark.parametrize("seed", [32])
+def test_reset_running_total_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.temporal import (
+        reset_running_total,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(15), rng.randrange(0, 40000), rng.uniform(0, 50))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(u, t, i, v) for i, (u, t, v) in enumerate(rows)],
+        "user_id long, ep long, event_id long, value double",
+    ).select(
+        "user_id", F.col("ep").cast("timestamp").alias("ts"), "event_id", "value"
+    )
+    res = reset_running_total(df)
+    total_col = [c for c in res.columns if c not in
+                 ("entity", "event_id", "epoch_s", "session_idx")][0]
+    got = {
+        r["event_id"]: (r["entity"], r["epoch_s"], r["session_idx"], r[total_col])
+        for r in res.collect()
+    }
+    assert got == _reset_total_ref(rows)
+
+
+@pytest.mark.parametrize("seed", [33])
+def test_gap_fill_hourly_matches_bruteforce(spark, seed):
+    """Dense grid: every (hour, type) slot in [min, max] present, zeros
+    where no events landed — a missing row and a zero row differ."""
+    from yandex_tracker_exporter_spark.operators.funnel import gap_fill_hourly
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice(["a", "b", "c"]),
+         1_700_000_000 + rng.randrange(0, 3600 * 50))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ep long").select(
+        "event_type", F.col("ep").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["hour_epoch"], r["type"]): r["n_events"]
+        for r in gap_fill_hourly(df).collect()
+    }
+    counts = defaultdict(int)
+    for y, ep in rows:
+        counts[(ep // 3600 * 3600, y)] += 1
+    hours_lo = min(h for h, _ in counts)
+    hours_hi = max(h for h, _ in counts)
+    types = {y for _, y in counts}
+    want = {
+        (h, y): counts.get((h, y), 0)
+        for h in range(hours_lo, hours_hi + 1, 3600)
+        for y in types
+    }
+    assert got == want
+    assert any(v == 0 for v in got.values()), "grid must contain zero slots"
