@@ -1409,3 +1409,208 @@ def test_gap_fill_hourly_matches_bruteforce(spark, seed):
     }
     assert got == want
     assert any(v == 0 for v in got.values()), "grid must contain zero slots"
+
+
+# ---------------------------------------------------------------------------
+# statistics family (round-6 widening #5)
+# ---------------------------------------------------------------------------
+
+
+def _rolling_corr_ref(rows, type_a="view", type_b="click"):
+    daily = defaultdict(lambda: [0, 0])
+    for y, ep, v in rows:
+        if y in (type_a, type_b):
+            cell = daily[(ep // 86400 * 86400, y)]
+            cell[0] += math.floor(v * 100)
+            cell[1] += 1
+    means = {k: (s * 1000) // n for k, (s, n) in daily.items()}
+    days = sorted(
+        d for d in {k[0] for k in means}
+        if (d, type_a) in means and (d, type_b) in means
+    )
+    out = {}
+    for i in range(6, len(days)):
+        frame = days[i - 6:i + 1]
+        xs = [means[(d, type_a)] for d in frame]
+        ys = [means[(d, type_b)] for d in frame]
+        n = 7
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        denx = float(n) * float(sxx) - float(sx) * float(sx)
+        deny = float(n) * float(syy) - float(sy) * float(sy)
+        out[days[i]] = (n, num / math.sqrt(denx * deny))
+    return out
+
+
+@pytest.mark.parametrize("seed", [34])
+def test_rolling_corr_7d_matches_bruteforce(spark, seed):
+    """Windowed Pearson over exact int moments: the ROWS frame runs over
+    DAYS WITH BOTH SERIES PRESENT (the pivot drops one-sided days), so
+    a reference that frames over calendar days would diverge — the
+    fixture deliberately includes one-sided days."""
+    from yandex_tracker_exporter_spark.operators.funnel import rolling_corr_7d
+
+    rng = random.Random(seed)
+    rows = []
+    for day in range(20):
+        for y in ("view", "click", "purchase"):
+            if y == "click" and day in (4, 11):
+                continue  # one-sided days: view present, click absent
+            for _ in range(rng.randrange(1, 6)):
+                rows.append(
+                    (y, 1_700_000_000 + day * 86400 + rng.randrange(0, 86400),
+                     rng.uniform(1, 80))
+                )
+    df = spark.createDataFrame(
+        rows, "event_type string, ep long, value double"
+    ).select("event_type", F.col("ep").cast("timestamp").alias("ts"), "value")
+    got = {
+        r["day_epoch"]: (r["n_days"], r["r"])
+        for r in rolling_corr_7d(df).collect()
+    }
+    assert got == _rolling_corr_ref(rows)
+    assert got, "fixture must produce full frames"
+
+
+def _gini_ref(rows):
+    per_src = defaultdict(int)
+    for s, t in rows:
+        per_src[s] += len(_toks_ref(t))
+    xs = sorted(per_src.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    total = sum(v for _, v in xs)
+    iwx = sum(i * v for i, (_, v) in enumerate(xs, 1))
+    return (n, total, ((2 * iwx - (n + 1) * total) * 1000) // (n * total))
+
+
+@pytest.mark.parametrize("seed", [35])
+def test_source_gini_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.text_analysis import source_gini
+
+    rng = random.Random(seed)
+    rows = [
+        (f"s{rng.randrange(12)}",
+         " ".join("w" for _ in range(rng.randrange(1, 100))))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = source_gini(df).collect()[0]
+    assert (r["n_sources"], r["total_tokens"], r["gini_milli"]) == _gini_ref(rows)
+
+
+def _apportion_ref(rows, budget=1_000_000):
+    per_src = defaultdict(int)
+    for s, t in rows:
+        per_src[s] += len(_toks_ref(t))
+    w = sum(per_src.values())
+    staged = {
+        s: ((budget * t) // w, (budget * t) % w, t) for s, t in per_src.items()
+    }
+    qsum = sum(q for q, _, _ in staged.values())
+    leftover = budget - qsum
+    order = sorted(staged.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    out = {}
+    for rk, (s, (q, _, t)) in enumerate(order, 1):
+        extra = 1 if rk <= leftover else 0
+        out[s] = (t, q, extra, q + extra)
+    return out
+
+
+@pytest.mark.parametrize("seed", [36])
+def test_mixture_apportion_matches_bruteforce(spark, seed):
+    """Largest-remainder apportionment: Σ alloc must equal the budget
+    EXACTLY, floor quotas + remainder-ranked leftovers, ties on the
+    remainder broken by source name."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        mixture_apportion,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (f"s{rng.randrange(9)}",
+         " ".join("w" for _ in range(rng.randrange(1, 200))))
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (r["tokens"], r["quota"], r["extra"], r["alloc"])
+        for r in mixture_apportion(df).collect()
+    }
+    want = _apportion_ref(rows)
+    assert got == want
+    assert sum(a for _, _, _, a in got.values()) == 1_000_000
+
+
+def _pareto_ref(rows):
+    by_group = defaultdict(list)
+    for g, i, cost, gain in rows:
+        by_group[g].append((i, cost, gain))
+    out = set()
+    for g, docs in by_group.items():
+        for i, c, t in docs:
+            dominated = any(
+                (c2 <= c and t2 >= t and (c2 < c or t2 > t))
+                for _, c2, t2 in docs
+            )
+            if not dominated:
+                out.add((g, i, c, t))
+    return out
+
+
+@pytest.mark.parametrize("seed", [37])
+def test_pareto_frontier_matches_bruteforce(spark, seed):
+    """NOT-EXISTS dominance semantics, including equal-(cost,gain)
+    duplicates that must survive TOGETHER and equal-cost strict-gain
+    domination."""
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        pareto_frontier,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(200):
+        g = rng.choice(["en", "de"])
+        n_toks = rng.randrange(1, 40)
+        rows.append((g, i, rng.randrange(5, 200), n_toks))
+    # equal-(cost,gain) twins in one group
+    rows += [("en", 900, 7, 30), ("en", 901, 7, 30)]
+    df = spark.createDataFrame(
+        [(g, i, c, " ".join("w" for _ in range(t))) for g, i, c, t in rows],
+        "lang string, doc_id long, n_chars long, text string",
+    )
+    got = {
+        (r["lang"], r["doc_id"], r["cost"], r["gain"])
+        for r in pareto_frontier(df).collect()
+    }
+    want = _pareto_ref(rows)
+    assert got == want
+    twins = {p for p in got if p[1] in (900, 901)}
+    assert len(twins) in (0, 2), "equal twins live or die together"
+
+
+def _morton_ref(x, y, bits=16):
+    xm, ym = x % (1 << bits), y % (1 << bits)
+    key = 0
+    for j in range(bits):
+        key += ((xm >> j) & 1) << (2 * j)
+        key += ((ym >> j) & 1) << (2 * j + 1)
+    return key
+
+
+@pytest.mark.parametrize("seed", [38])
+def test_zorder_key_matches_bruteforce(spark, seed):
+    from yandex_tracker_exporter_spark.operators.partitioning import zorder_key
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(1 << 20), rng.randrange(1 << 20)) for _ in range(300)]
+    rows += [(0, 0), (65535, 65535), (1 << 19, 3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        (r["x"], r["y"], r["k"])
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("k")).collect()
+    ]
+    for x, y, k in got:
+        assert k == _morton_ref(x, y), (x, y, k)
