@@ -712,3 +712,52 @@ def test_jpeg_hostile_header_guards():
     _struct.pack_into(">HH", good, i + 5, 65500, 65500)
     with _pt.raises(ValueError):
         decode_jpeg(bytes(good))
+
+
+def test_all_decoders_fuzz_via_dispatch():
+    """_decode_payload_real over corruptions of EVERY supported format
+    (WAV, PPM, Y4M, PNG, JPEG, MP4): returns a dict or None, never
+    raises — the whole-scan quarantine contract."""
+    import random
+
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _decode_payload_real,
+        _encode_wav_pcm,
+        encode_jpeg_gray,
+        encode_mp4_meta,
+        encode_png,
+        encode_ppm,
+        encode_y4m,
+    )
+
+    rng = random.Random(99)
+    goods = [
+        _encode_wav_pcm(bytes(range(200)), 8000, 1),
+        encode_ppm(4, 4, bytes(range(48))),
+        encode_y4m(2, 2, [bytes(12), bytes(range(12))]),
+        encode_png(4, 5, bytes(range(60))),
+        encode_jpeg_gray(16, 16, bytes(np.arange(256, dtype=np.uint8))),
+        encode_mp4_meta(64, 48, 7000),
+    ]
+    for g in goods:
+        assert _decode_payload_real(g) is not None, "valid payload must decode"
+    n = 0
+    for g in goods:
+        for _ in range(200):
+            b = bytearray(g)
+            op = rng.randrange(3)
+            if op == 0:  # bit flips
+                for _ in range(rng.randrange(1, 5)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                p = bytes(b)
+            elif op == 1:  # truncation
+                p = bytes(b[: rng.randrange(len(b))])
+            else:  # truncation + junk tail
+                p = bytes(b[: rng.randrange(len(b))]) + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(0, 20))
+                )
+            _decode_payload_real(p)  # dict or None — never an exception
+            n += 1
+    assert n == 1200
