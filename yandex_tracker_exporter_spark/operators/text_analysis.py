@@ -996,12 +996,15 @@ def term_cooccurrence_pmi(
     positive association, < 1000 repulsion.
 
     Scale shape: doc frequencies are one partial-aggregable shuffle;
-    the top-k list (TakeOrderedAndProject) broadcasts as a semi-join
-    filter, so each document contributes only its PRESENT top-k subset
-    — the pair explode is bounded by k(k−1)/2 per doc, never a corpus
-    self-join. The pair rollup lands on ≤ k² keys; the single-row
-    corpus count attaches to THAT tiny relation (broadcast nested
-    loop over k² rows, not the corpus).
+    the top-k list (TakeOrderedAndProject) collapses to a ONE-ROW
+    array that broadcast-joins onto the corpus, so each document's
+    PRESENT top-k subset is a map-side ``array_intersect`` — no
+    per-doc explode→re-group shuffle (that second corpus exchange was
+    measured ~2 s of the query at sf0.1 before this rewrite). The pair
+    explode is bounded by k(k−1)/2 per doc, never a corpus self-join;
+    the pair rollup lands on ≤ k² keys, and the single-row corpus
+    count attaches to THAT tiny relation (broadcast nested loop over
+    k² rows, not the corpus).
 
     Output: term_a < term_b, c_a, c_b, c_ab, n_docs, pmi_milli.
     """
@@ -1011,11 +1014,12 @@ def term_cooccurrence_pmi(
     dfreq = present.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     top = dfreq.orderBy(F.col("c").desc(), F.col("term").asc()).limit(top_k)
     n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    kept = docs.select("_rid", F.explode("_set").alias("term")).join(
-        F.broadcast(top.select("term")), "term"
-    )
-    per_doc = kept.groupBy("_rid").agg(
-        F.array_sort(F.collect_list("term")).alias("_present")
+    # collapse the top-k relation to one array row; _set is sorted and
+    # distinct, and array_intersect preserves the first argument's
+    # order, so _present is already sorted
+    top_arr = top.agg(F.collect_list("term").alias("_top"))
+    per_doc = docs.join(F.broadcast(top_arr)).select(
+        "_rid", F.array_intersect("_set", "_top").alias("_present")
     )
     pairs = per_doc.select(
         F.explode(
