@@ -86,3 +86,29 @@ def test_too_few_vectors_rejected(spark):
         kmeans_quantized(df, k=5, iters=1)
     with pytest.raises(ValueError):
         kmeans_quantized(df, k=2, iters=0)
+
+
+def test_assign_kernel_bitequal_expression_path(spark):
+    """The Arrow assignment kernel and the aggregate(zip_with) fold must
+    produce identical (cluster, dist2) through all iterations — same
+    int64 L2², same first-minimum tie rule, same floor-div centroid
+    evolution. Random vectors plus planted exact ties (duplicate
+    vectors equidistant to two seeds must pick the smaller cluster)."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(64)]) for i in range(120)
+    ]
+    # planted tie: two identical far-away vectors force equal distances
+    rows += [(200, [5.0] * 64), (201, [5.0] * 64)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    a = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans_quantized(df, k=6, iters=3, use_kernel=True).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans_quantized(df, k=6, iters=3, use_kernel=False).collect()
+    )
+    assert a == b

@@ -344,14 +344,20 @@ def test_simhash_hamming_pairs_join_side_pure_jvm(spark):
     assert "Scan ExistingRDD" in plan  # the signature barrier
 
 
-def test_kmeans_assignment_pure_jvm_map(spark):
-    """The Lloyd assignment against literal centroids is a map-only JVM
-    expression: no Python stage, no join, no cartesian in the returned
-    plan (iteration sums run as separate driver-small jobs)."""
+def test_kmeans_assignment_single_arrow_map(spark):
+    """The Lloyd assignment is ONE Arrow kernel stage over the
+    checkpointed codes (the interpreted aggregate(zip_with) fold was
+    the NOTES megamorphic-HOF class, and its per-iteration centroid
+    LITERALS forced a codegen recompile every round): exactly one
+    ArrowEvalPython, no row-at-a-time Python, no join, no exchange in
+    the returned plan (iteration sums run as separate driver-small
+    jobs)."""
     df = entry_mod.queries()["kmeans_clusters"](spark, SF_DIR)
     plan = _plan(df)
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_media_audio_energy_two_arrow_stages(spark):

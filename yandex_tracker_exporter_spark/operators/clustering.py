@@ -29,11 +29,49 @@ the engine.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .partitioning import ensure_parallelism
 from .similarity import quantize_embeddings
+
+
+def _assign_kernel(centroids: list[list[int]]):
+    """Arrow-vectorized Lloyd assignment: argmin integer L2² against
+    the (driver-small) centroid matrix, ties to the smaller cluster id
+    (``argmin`` returns the FIRST minimum — the same rule as
+    ``array_position(dists, array_min(dists))``).
+
+    This is the NOTES "Arrow kernel twin" pattern: the per-row
+    ``aggregate(zip_with(...))`` fold is interpreted (k folds × dim
+    boxed ops per row), and because the centroid LITERALS change every
+    iteration the whole-stage codegen of the assign+partial-agg stage
+    recompiles per round. The kernel does the same exact int64 math in
+    one einsum per Arrow batch, and keeps the iteration plans
+    byte-identical above the UDF so codegen caches across rounds.
+    Exactness: codes are int8 (|diff| ≤ 254, dist2 ≤ dim·64516), far
+    inside int64 — bit-equal to the expression path (pytest-pinned).
+    """
+    C = np.asarray(centroids, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def assign(q: pd.Series) -> pd.Series:
+        vals = q.to_numpy()
+        out: list = [None] * len(vals)
+        ok = [i for i, v in enumerate(vals) if v is not None]
+        if ok:
+            M = np.stack([np.asarray(vals[i], dtype=np.int64) for i in ok])
+            d = M[:, None, :] - C[None, :, :]
+            dist = np.einsum("rkd,rkd->rk", d, d)
+            cl = dist.argmin(axis=1)
+            best = dist[np.arange(dist.shape[0]), cl]
+            for j, i in enumerate(ok):
+                out[i] = [int(cl[j]), int(best[j])]
+        return pd.Series(out)
+
+    return assign.asNondeterministic()
 
 
 def _dist2_expr(code_col: str, centroid: list[int]) -> str:
@@ -55,6 +93,7 @@ def kmeans_quantized(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means over int8-quantized embeddings.
 
@@ -63,6 +102,10 @@ def kmeans_quantized(
     nearest centroid (integer L2², ties to the smaller cluster) and
     recomputes centroids as element-wise ``floor(sum/count)``; the
     final iteration's assignment is returned.
+
+    ``use_kernel`` picks the Arrow assignment kernel (default; see
+    :func:`_assign_kernel`) vs the pure-expression fold — identical
+    integer results, pytest-pinned bit-equal.
 
     Output: (``id_col``, cluster, dist2) — cluster in [0, k), dist2 the
     integer squared distance to the winning centroid.
@@ -86,6 +129,16 @@ def kmeans_quantized(
     }
 
     def assign(cents: dict[int, list[int]]) -> DataFrame:
+        if use_kernel:
+            kern = _assign_kernel([cents[c] for c in range(k)])
+            return codes.select(
+                F.col(id_col), "_q", kern(F.col("_q")).alias("_cd")
+            ).select(
+                F.col(id_col),
+                "_q",
+                F.col("_cd")[0].alias("cluster"),
+                F.col("_cd")[1].alias("dist2"),
+            )
         dists = F.array(
             *[F.expr(_dist2_expr("_q", cents[c])) for c in range(k)]
         )
