@@ -61,3 +61,39 @@ def test_manifest_cell_normalizer_is_type_aware():
     assert a == b
     # result hash is stable over the normalized grid
     assert mm._result_md5(a, ["k", "v"]) == mm._result_md5(b, ["V", "K"])
+
+
+def test_diff_manifest_classifies_changes():
+    """Removed / downgraded / row-count / hash changes are breaking;
+    added and upgraded queries are informational only."""
+    dm = _load("diff_manifest")
+    old = {
+        "generated_utc": "t0",
+        "queries": {
+            "gone": {"status": "verified", "n_rows": 1, "result_md5": "a"},
+            "down": {"status": "verified", "n_rows": 1, "result_md5": "b"},
+            "rows": {"status": "verified", "n_rows": 5, "result_md5": "c"},
+            "hash": {"status": "verified", "n_rows": 5, "result_md5": "d"},
+            "same": {"status": "verified", "n_rows": 2, "result_md5": "e"},
+            "up": {"status": "failed", "n_rows": None, "result_md5": None},
+        },
+    }
+    new = {
+        "generated_utc": "t1",
+        "queries": {
+            "down": {"status": "failed", "n_rows": 1, "result_md5": "b"},
+            "rows": {"status": "verified", "n_rows": 6, "result_md5": "c2"},
+            "hash": {"status": "verified", "n_rows": 5, "result_md5": "d2"},
+            "same": {"status": "verified", "n_rows": 2, "result_md5": "e"},
+            "up": {"status": "verified", "n_rows": 3, "result_md5": "f"},
+            "new": {"status": "verified", "n_rows": 9, "result_md5": "g"},
+        },
+    }
+    breaking, info = dm.diff(old, new)
+    kinds = {line.split()[0] for line in breaking}
+    assert kinds == {"REMOVED", "DOWNGRADE", "ROWCOUNT", "RESULT"}
+    assert len(breaking) == 4  # 'same' and 'up' are not breaking
+    assert any(line.startswith("ADDED") and "new" in line for line in info)
+    assert any(line.startswith("UPGRADE") and "up" in line for line in info)
+    # a rowcount change must not ALSO report as a hash change
+    assert sum("rows" in line for line in breaking) == 1
