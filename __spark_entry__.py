@@ -1400,13 +1400,37 @@ def _free_labels_blocks(spark, entry) -> None:
     reclaim them — unbounded-ish storage growth in long sessions that
     refresh repeatedly (driver ADVICE r5). Only valid for entries made
     on the LIVE context: RDD ids restart at 0 per context, so an id
-    recorded under a stopped app could alias a live RDD here."""
+    recorded under a stopped app could alias a live RDD here.
+
+    Deterministic eviction means a holder of the OLD labels DataFrame
+    must not execute it after a refresh — the contract consumers all
+    re-resolve through :func:`_dedup_labels`, which is the supported
+    access path."""
     _, rdd_ids = entry
     live = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in rdd_ids:
         jrdd = live.get(rid)
         if jrdd is not None:
             jrdd.unpersist(False)
+
+
+def _checkpoint_block_ids(df) -> tuple:
+    """RDD ids of the localCheckpoint blocks that back ``df``: walk the
+    analyzed plan for LogicalRDD leaves (what ``localCheckpoint``
+    returns) and read each one's persisted RDD id. Plan-derived, so it
+    names exactly the blocks this relation owns — unlike a before/after
+    ``getPersistentRDDs`` set diff, it cannot capture (and later
+    destroy) an RDD another thread happened to persist concurrently."""
+    ids = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getName().endswith(".LogicalRDD"):
+            ids.append(node.rdd().id())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return tuple(sorted(set(ids)))
 
 
 def _dedup_labels(spark, sf_dir):
@@ -1430,21 +1454,18 @@ def _dedup_labels(spark, sf_dir):
         return cached[0]
     docs = _t_wide(spark, sf_dir, "documents")
     pairs = minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
-    jsc = spark.sparkContext._jsc
-    before = set(jsc.getPersistentRDDs().keySet().toArray())
     # NO outer localCheckpoint: duplicate_clusters runs EAGERLY (its
     # driver loop counts every round) and its final round is already an
     # eager localCheckpoint, so the returned relation is a thin
     # projection over resident blocks — an outer checkpoint would be a
     # redundant second materialization (measured ~0.5-1.0 s per refresh)
     labels = duplicate_clusters(pairs, "a_id", "b_id")
-    # record every block-backed RDD id this materialization created
-    # (the final checkpoint plus any iteration-internal ones still
-    # alive); eviction unpersists them all — ids already reclaimed by
-    # the ContextCleaner simply resolve to null (ids are never reused
-    # within a context)
-    new_ids = sorted(set(jsc.getPersistentRDDs().keySet().toArray()) - before)
-    _DEDUP_LABELS_CACHE[key] = (labels, tuple(new_ids))
+    # record the block-backed RDD ids that the labels relation itself
+    # owns (its LogicalRDD leaves); iteration-internal checkpoints are
+    # NOT pinned by the cache and the ContextCleaner reclaims them as
+    # their Python references drop — eviction only needs to free what
+    # the dict entry keeps alive
+    _DEDUP_LABELS_CACHE[key] = (labels, _checkpoint_block_ids(labels))
     return labels
 
 

@@ -54,37 +54,55 @@ def _other_jvms() -> list[int]:
     return pids
 
 
+def _spark_jvms() -> list[int]:
+    """The subset of :func:`_other_jvms` whose cmdline identifies a
+    Spark JVM (spark-submit / pyspark launcher / Spark driver class).
+    Only these are safe to kill: on a shared host a bare 'java' comm
+    could be an IDE, a build daemon, or another service's JVM."""
+    pids = []
+    for pid in _other_jvms():
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                if b"spark" in fh.read().lower():
+                    pids.append(pid)
+        except OSError:
+            continue
+    return pids
+
+
 def _kill_leftover_jvms() -> list[int]:
-    """Best-effort TERM (then KILL) of java processes left over from
-    earlier sessions. bench.py runs before our own JVM exists, so every
-    live java process at this point is a leftover that would inflate
-    timings 2-4x. Opt out with SPARK_GRAFT_NO_KILL=1. Returns the PIDs
-    still alive afterwards."""
+    """Best-effort TERM (then KILL) of SPARK JVMs left over from earlier
+    sessions. bench.py runs before our own JVM exists, so every live
+    Spark JVM at this point is a leftover that would inflate timings
+    2-4x. Non-Spark java processes are never signalled — they are
+    reported as contention, not treated as ours to kill. Opt out with
+    SPARK_GRAFT_NO_KILL=1. Returns the java PIDs still alive
+    afterwards (Spark or not: they all contend)."""
     import signal
 
-    leftover = _other_jvms()
-    if not leftover or os.environ.get("SPARK_GRAFT_NO_KILL") == "1":
-        return leftover
+    targets = _spark_jvms()
+    if not targets or os.environ.get("SPARK_GRAFT_NO_KILL") == "1":
+        return _other_jvms()
     for sig in (signal.SIGTERM, signal.SIGKILL):
-        for pid in leftover:
+        for pid in targets:
             try:
                 os.kill(pid, sig)
             except (OSError, ProcessLookupError):
                 pass
         deadline = time.time() + (5.0 if sig == signal.SIGTERM else 2.0)
-        while time.time() < deadline and _other_jvms():
+        while time.time() < deadline and _spark_jvms():
             time.sleep(0.2)
-        if not _other_jvms():
+        if not _spark_jvms():
             break
     survivors = _other_jvms()
     if survivors:
         print(
-            f"# WARNING: could not kill leftover JVM(s) {survivors[:5]}",
+            f"# WARNING: leftover JVM(s) still alive {survivors[:5]}",
             file=sys.stderr,
         )
     else:
         print(
-            f"# killed {len(leftover)} leftover JVM(s) before benching",
+            f"# killed {len(targets)} leftover Spark JVM(s) before benching",
             file=sys.stderr,
         )
     return survivors
@@ -218,14 +236,17 @@ def main() -> None:
     # chars and can NEVER parse from such a tail. Print a compact line:
     # totals + the slowest queries only, with a pointer to the sidecar.
     compact = dict(out)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
-    )
-    compact["queries"] = slowest
-    compact["queries_truncated_to_slowest"] = len(slowest)
-    compact["queries_file"] = "BENCH_SUMMARY.json"
-    line = json.dumps(compact)
-    assert len(line) < 1800, f"stdout summary line too long: {len(line)}"
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    # Shrink the slowest-queries map until the line fits the consumer's
+    # tail capture — never die (or no-op under -O) on an oversized line:
+    # a missing final JSON line is the exact failure this path prevents.
+    for keep in range(min(12, len(ranked)), -1, -1):
+        compact["queries"] = dict(ranked[:keep])
+        compact["queries_truncated_to_slowest"] = keep
+        compact["queries_file"] = "BENCH_SUMMARY.json"
+        line = json.dumps(compact)
+        if len(line) < 1800:
+            break
     # …the JSON as the absolute last stdout line: flush both streams,
     # lead with a newline so any unterminated \r fragment can't prefix it.
     sys.stderr.flush()

@@ -80,9 +80,21 @@ def test_dedup_labels_refresh_releases_blocks(spark):
     key = (spark.sparkContext.applicationId, sf)
     _, first_ids = entry_mod._DEDUP_LABELS_CACHE[key]
     assert first_ids, "materialization must record its block-backed RDDs"
+    # an unrelated relation checkpointed while the cache entry is live
+    # (models a concurrent query on the same session) must NOT be
+    # captured by the entry — block ids are plan-derived, not a
+    # before/after getPersistentRDDs diff
+    bystander = spark.range(100).localCheckpoint(eager=True)
+    assert set(first_ids).isdisjoint(
+        entry_mod._checkpoint_block_ids(bystander)
+    )
     q(spark, sf).count()  # refresh: evicts + frees the first entry
     live = spark.sparkContext._jsc.getPersistentRDDs()
     still = [rid for rid in first_ids if live.get(rid) is not None]
     assert not still, f"evicted entry left persistent RDDs: {still}"
+    # the bystander's checkpoint blocks survived the eviction intact
+    assert bystander.count() == 100
+    by_ids = entry_mod._checkpoint_block_ids(bystander)
+    assert all(live.get(rid) is not None for rid in by_ids)
     # the refreshed relation is intact and non-trivial
     assert q(spark, sf).count() > 0

@@ -393,8 +393,11 @@ def test_ppm_trailing_bytes_quarantined(spark):
     took width*height*3 bytes from the END of the payload)."""
     import numpy as np
 
+    import pytest
+
     from yandex_tracker_exporter_spark.multimodal import (
         _ppm_pixels,
+        decode_ppm,
         encode_ppm,
         resize_images,
     )
@@ -406,6 +409,13 @@ def test_ppm_trailing_bytes_quarantined(spark):
     assert _ppm_pixels(trailing).size == 0, "trailing byte must quarantine"
     # short payloads quarantine too (never a partial raster)
     assert _ppm_pixels(good[:-1]).size == 0
+    # decode_ppm applies the SAME rule — an image must never be counted
+    # by the metadata/checksum scan yet dropped by histogram/resize
+    assert decode_ppm(good)["content_checksum"] == sum(raster)
+    with pytest.raises(ValueError):
+        decode_ppm(trailing)
+    with pytest.raises(ValueError):
+        decode_ppm(good[:-1])
     # and resize skips the trailing-byte image instead of shifting pixels
     df = spark.createDataFrame(
         [(1, bytearray(good)), (2, bytearray(trailing))],

@@ -38,6 +38,12 @@ def diff(old: dict, new: dict) -> tuple[list[str], list[str]]:
             if n.get("status") == "verified":
                 info.append(f"UPGRADE   {name}: now verified")
             continue
+        if o.get("n_rows") is None and o.get("result_md5") is None:
+            # manifest predates the n_rows/result_md5 schema — nothing
+            # comparable recorded; flagging every query as a ROWCOUNT
+            # regression would bury any real change
+            info.append(f"NOHASH    {name}: old manifest has no result fields")
+            continue
         if o.get("n_rows") != n.get("n_rows"):
             breaking.append(
                 f"ROWCOUNT  {name}: {o.get('n_rows')} -> {n.get('n_rows')}"

@@ -176,13 +176,18 @@ def _ppm_dims(payload: bytes) -> tuple[int, int]:
 
 
 def decode_ppm(payload: bytes) -> dict:
-    """Parse a P6 PPM header (whitespace/comment tolerant) + raster."""
+    """Parse a P6 PPM header (whitespace/comment tolerant) + raster.
+    Strict raster length: payloads with trailing bytes quarantine, the
+    SAME rule as :func:`_ppm_pixels` — metadata/checksum scans and
+    histogram/resize must agree on which images are valid (a corpus
+    member must never be counted by one and silently dropped by the
+    other)."""
     width, height, maxval, pos = _ppm_header(payload)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     raster = payload[pos:pos + width * height * 3]
-    if len(raster) != width * height * 3:
-        raise ValueError("truncated PPM raster")
+    if len(payload) != pos + width * height * 3:
+        raise ValueError("PPM raster length mismatch")
     return {
         "format": "ppm",
         "width": width,
@@ -1618,19 +1623,17 @@ def _mp4_walk(payload: bytes, start: int, end: int):
     while pos + 8 <= end:
         (size,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
+        hdr = 8
         if size == 1:  # 64-bit largesize
             if pos + 16 > end:
                 raise ValueError("truncated MP4 largesize box")
             (size,) = struct.unpack(">Q", payload[pos + 8:pos + 16])
-            body_start = pos + 16
+            hdr = 16
         elif size == 0:  # box extends to end of file
             size = end - pos
-            body_start = pos + 8
-        else:
-            body_start = pos + 8
-        if size < 8 or pos + size > end:
+        if size < hdr or pos + size > end:
             raise ValueError("bad MP4 box size")
-        yield tag, body_start, pos + size
+        yield tag, pos + hdr, pos + size
         pos += size
 
 
@@ -1646,20 +1649,37 @@ def decode_mp4_meta(payload: bytes) -> dict:
             continue
         for t2, b2s, b2e in _mp4_walk(payload, bs, be):
             if t2 == b"mvhd":
+                if b2e - b2s < 4:
+                    raise ValueError("truncated mvhd")
                 version = payload[b2s]
+                # Spec body sizes: v0 = 100 bytes, v1 = 112 bytes.
                 if version == 1:
+                    if b2e - b2s < 112:
+                        raise ValueError("truncated mvhd v1")
                     timescale, duration = struct.unpack(
                         ">IQ", payload[b2s + 20:b2s + 32]
                     )
                 else:
+                    if b2e - b2s < 100:
+                        raise ValueError("truncated mvhd v0")
                     _, _, timescale, duration = struct.unpack(
                         ">IIII", payload[b2s + 4:b2s + 20]
                     )
             elif t2 == b"trak" and width is None:
                 for t3, b3s, b3e in _mp4_walk(payload, b2s, b2e):
                     if t3 == b"tkhd":
+                        if b3e - b3s < 4:
+                            raise ValueError("truncated tkhd")
+                        # Spec body sizes: v0 = 84 bytes, v1 = 96 bytes;
+                        # width/height are the LAST 8 bytes of the spec
+                        # body — slice at the spec offset so a short or
+                        # padded box quarantines instead of reading
+                        # header/sibling bytes.
+                        need = 96 if payload[b3s] == 1 else 84
+                        if b3e - b3s < need:
+                            raise ValueError("truncated tkhd body")
                         w_fx, h_fx = struct.unpack(
-                            ">II", payload[b3e - 8:b3e]
+                            ">II", payload[b3s + need - 8:b3s + need]
                         )
                         width, height = w_fx >> 16, h_fx >> 16
     if timescale is None or not timescale:
