@@ -344,16 +344,28 @@ def test_simhash_hamming_pairs_join_side_pure_jvm(spark):
     assert "Scan ExistingRDD" in plan  # the signature barrier
 
 
-def test_kmeans_assignment_single_arrow_map(spark):
-    """The Lloyd assignment is ONE Arrow kernel stage over the
-    checkpointed codes (the interpreted aggregate(zip_with) fold was
-    the NOTES megamorphic-HOF class, and its per-iteration centroid
-    LITERALS forced a codegen recompile every round): exactly one
-    ArrowEvalPython, no row-at-a-time Python, no join, no exchange in
-    the returned plan (iteration sums run as separate driver-small
-    jobs)."""
+def test_kmeans_assignment_plan_by_k(spark):
+    """Lloyd assignment picks its physical shape by k: at the contract's
+    driver-small k=8 the codegen'd expression fold wins (no Python eval
+    at all — A/B-measured faster than the Arrow round-trip), while at
+    SemDeDup-scale k the assignment is ONE Arrow kernel stage (the
+    interpreted k×dim fold is the NOTES megamorphic-HOF class and its
+    per-iteration centroid LITERALS recompile codegen every round).
+    Either way: no join, no exchange in the returned plan (iteration
+    sums run as separate driver-small jobs)."""
     df = entry_mod.queries()["kmeans_clusters"](spark, SF_DIR)
     plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    from yandex_tracker_exporter_spark.operators.clustering import (
+        kmeans_quantized,
+    )
+
+    emb = entry_mod._t_wide(spark, SF_DIR, "embeddings")
+    big_k = kmeans_quantized(emb, k=32, iters=1)
+    plan = _plan(big_k)
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
