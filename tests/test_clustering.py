@@ -112,3 +112,31 @@ def test_assign_kernel_bitequal_expression_path(spark):
         for r in kmeans_quantized(df, k=6, iters=3, use_kernel=False).collect()
     )
     assert a == b
+
+
+def test_dim_inferred_and_bad_rows_quarantined(spark):
+    """dim defaults to the first seed's width (32-dim corpus works
+    without threading dim through semdedup), and null / wrong-width
+    vectors are excluded instead of poisoning the centroid update
+    with nulls (which used to TypeError on the driver)."""
+    # seeds (ids 0, 1) land one in each blob, like planted-blobs above
+    rows = [(0, _vec(1.0, dim=32)), (1, _vec(100.0, dim=32))]
+    rows += [(i, _vec(1.0 + 0.001 * i, dim=32)) for i in range(2, 7)]
+    rows += [(i, _vec(100.0 + 0.001 * i, dim=32)) for i in range(7, 12)]
+    rows += [(100, None), (101, _vec(5.0, dim=7))]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = kmeans_quantized(df, k=2, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert set(got) == set(range(12))  # quarantined rows excluded
+    assert len({got[i] for i in list(range(2, 7)) + [0]}) == 1
+    assert len({got[i] for i in list(range(7, 12)) + [1]}) == 1
+    assert got[0] != got[1]
+    # semdedup inherits the inference: 32-dim corpus end-to-end
+    pruned = semdedup_prune(df, k=2, iters=2, threshold=0.999)
+    assert {r["vec_id"] for r in pruned.collect()} == set(range(12))
+
+
+def test_all_null_vectors_rejected(spark):
+    df = spark.createDataFrame([(0, None), (1, None)], SCHEMA)
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        kmeans_quantized(df, k=1, iters=1)

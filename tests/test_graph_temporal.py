@@ -222,3 +222,20 @@ def test_encoding_audit_varint_compresses_sorted_keys(spark):
     assert rows["l_orderkey"]["ratio_milli"] < 300
     for r in rows.values():
         assert r["varint_bytes"] >= r["n_values"]  # ≥1 byte per value
+
+
+def test_profile_table_hostile_column_names(spark):
+    """Columns whose names are not bare SQL identifiers (spaces,
+    hyphens, quotes) must profile fine: the raw name only ever appears
+    as an escaped label literal, never as an identifier inside the
+    generated stack() expression."""
+    from yandex_tracker_exporter_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, "a"), (2, None)]).toDF(
+        "order date", "it's-risky"
+    )
+    rows = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_table(df).collect()
+    }
+    assert rows == {"order date": (2, 0, 2), "it's-risky": (2, 1, 1)}

@@ -128,3 +128,24 @@ def test_histogram_quantiles_ignores_null_and_nan(spark):
     )
     out = histogram_quantiles(df, "value", "g", lo=0.0, hi=4.0).collect()[0]
     assert out.n == 2  # only the two real values counted
+
+
+def test_quantile_labels_decimal_exact(spark):
+    """p99.9 must not collide with p99, and 0.29 must not truncate to
+    p28 via float artifacts."""
+    from yandex_tracker_exporter_spark.operators.grouped import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 2001)], "grp string, v double"
+    )
+    out = histogram_quantiles(
+        df, "v", "grp", 0.0, 2000.0, quantiles=(0.29, 0.99, 0.999),
+        num_buckets=2000,
+    )
+    assert [c for c in out.columns if c.startswith("p")] == [
+        "p29", "p99", "p99_9"
+    ]
+    row = out.collect()[0]
+    assert row["p99"] != row["p99_9"]

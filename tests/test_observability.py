@@ -28,7 +28,7 @@ def test_observed_counters_no_extra_pass(spark, raw_issues, raw_changelog):
 
 
 def test_corrupt_events_quarantined_not_lost(spark, raw_issues, raw_changelog):
-    quarantine = corrupt_transition_events(raw_changelog)
+    quarantine = corrupt_transition_events(raw_changelog, raw_issues)
     rows = quarantine.collect()
     # exactly the one corrupted event (null end time) from the fixture
     assert len(rows) == 1
@@ -45,6 +45,55 @@ def test_corrupt_events_quarantined_not_lost(spark, raw_issues, raw_changelog):
     )
     kept = metrics.agg(F.sum("status_transitions_count")).collect()[0][0]
     assert kept + len(rows) == total_transitions
+
+
+def test_quarantine_exactly_complements_metrics(spark):
+    """The two shapes that used to escape the partition law: a null
+    ``from`` with NO createdAt fallback must quarantine (it used to
+    vanish from both outputs), and an unparseable ``from`` WITH a
+    createdAt fallback must be kept, not double-counted."""
+    from yandex_tracker_exporter_spark.schemas import RAW_CHANGELOG_SCHEMA
+
+    def ev(key, frm, to):
+        return {
+            "issue_key": key,
+            "queue": "DEV",
+            "updatedAt": "2024-01-02T00:00:00.000000+0000",
+            "type": "IssueWorkflow",
+            "transport": "front",
+            "updatedBy": {"email": "u@example.com", "name": "U"},
+            "fields": [
+                {"field": {"id": "status", "name": "Status"},
+                 "from": "Open", "to": "Closed"},
+                {"field": {"id": "resolution", "name": ""},
+                 "from": frm, "to": to},
+            ],
+        }
+
+    changelog = spark.createDataFrame(
+        [
+            ev("HAS-CREATED", None, "2024-01-03T00:00:00.000000+0000"),
+            ev("HAS-CREATED", "garbage", "2024-01-04T00:00:00.000000+0000"),
+            ev("NO-CREATED", None, "2024-01-03T00:00:00.000000+0000"),
+            ev("NO-CREATED", "garbage", None),
+        ],
+        RAW_CHANGELOG_SCHEMA,
+    )
+    issues = spark.createDataFrame(
+        [("HAS-CREATED", "2024-01-01T00:00:00.000+0000")],
+        "key string, createdAt string",
+    )
+    kept = status_metrics(changelog, issues).agg(
+        F.sum("status_transitions_count")
+    ).collect()[0][0]
+    quarantined = corrupt_transition_events(changelog, issues).collect()
+    # HAS-CREATED both kept (null from -> createdAt; garbage from ->
+    # createdAt); NO-CREATED both quarantined (no fallback / null to)
+    assert kept == 2
+    assert sorted(r["issue_key"] for r in quarantined) == [
+        "NO-CREATED", "NO-CREATED"
+    ]
+    assert kept + len(quarantined) == 4
 
 
 def test_statsd_exporter_wire_format(spark):

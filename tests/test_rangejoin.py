@@ -57,3 +57,18 @@ def test_interval_join_is_equi_join(spark):
     # the whole point: no nested-loop/cartesian physical join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_rejects_outer(spark):
+    """Outer variants would silently drop their null-extended rows at
+    the post-join containment filter (inner-in-disguise) — refused."""
+    import pytest
+
+    from yandex_tracker_exporter_spark.operators.rangejoin import interval_join
+
+    p = spark.createDataFrame([("2024-01-01 00:30:00",)], "ts string")
+    i = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00")], "s string, e string"
+    )
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(p, i, "ts", "s", "e", how="left")

@@ -163,7 +163,7 @@ def _apply_closed_at_refinement(
     """closed_at two-path definition (``issue.py:203-210``): resolved →
     resolved_at (already set); else latest transition into a closed
     status, only while the issue's current status is closed."""
-    candidates = closed_at_refinement(issues_flat, raw_changelog, config)
+    candidates = closed_at_refinement(raw_changelog, config)
     joined = issues_flat.join(candidates, "issue_key", "left")
     refined = F.when(F.col("is_resolved"), F.col("closed_at")).otherwise(
         F.when(

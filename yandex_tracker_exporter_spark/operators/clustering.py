@@ -92,7 +92,7 @@ def kmeans_quantized(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int = 64,
+    dim: int | None = None,
     use_kernel: bool | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over int8-quantized embeddings.
@@ -102,6 +102,13 @@ def kmeans_quantized(
     nearest centroid (integer L2², ties to the smaller cluster) and
     recomputes centroids as element-wise ``floor(sum/count)``; the
     final iteration's assignment is returned.
+
+    ``dim`` defaults to the width of the first seed vector (free — the
+    seeds are collected anyway), so any fixed-width corpus works
+    without threading the dimension through. Rows whose vector is null
+    or not ``dim`` wide are quarantined (excluded from seeding,
+    assignment, and output) instead of poisoning the centroid update
+    with nulls.
 
     ``use_kernel`` picks the Arrow assignment kernel (see
     :func:`_assign_kernel`) vs the pure-expression fold — identical
@@ -127,8 +134,14 @@ def kmeans_quantized(
             F.col(id_col),
             F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("_q"),
         )
-        .localCheckpoint(eager=False)
+        .where(F.col("_q").isNotNull())
     )
+    if dim is None:
+        first = codes.orderBy(F.col(id_col).asc()).limit(1).collect()
+        if not first:
+            raise ValueError("no non-null vectors to cluster")
+        dim = len(first[0]["_q"])
+    codes = codes.where(F.size("_q") == dim).localCheckpoint(eager=False)
 
     seed_rows = codes.orderBy(F.col(id_col).asc()).limit(k).collect()
     if len(seed_rows) < k:

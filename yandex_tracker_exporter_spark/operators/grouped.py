@@ -157,7 +157,11 @@ def histogram_quantiles(
             F.col("_hq_bucket"),
         )
         est = F.lit(lo) + F.min(hit) * F.lit(width)
-        aggs.append(est.alias(f"p{int(q * 100)}"))
+        # label from the decimal string, not int(q*100): 0.999 must be
+        # p99_9 (not a duplicate p99) and 0.29 must be p29 (int() of
+        # 28.999999999999996 truncates to p28)
+        label = f"{q * 100:.10g}".replace(".", "_").replace("-", "m")
+        aggs.append(est.alias(f"p{label}"))
     return cum.groupBy(group_col).agg(*aggs)
 
 

@@ -26,15 +26,21 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
     watermark shape) + a driver-free stack() unpivot.
     """
     cols = list(columns) if columns is not None else list(df.columns)
+    # Positional internal aliases + escaped label literals: a column
+    # named "order date", "risk-score", or "it's" must profile fine —
+    # its raw name never becomes an identifier inside the selectExpr.
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for idx, c in enumerate(cols):
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+            F.sum(F.when(df[c].isNull(), 1).otherwise(0)).alias(f"_null_{idx}")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+        aggs.append(F.count_distinct(df[c]).alias(f"_dist_{idx}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}" for c in cols
+        "'{}', _null_{}, _dist_{}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), idx, idx
+        )
+        for idx, c in enumerate(cols)
     )
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)",

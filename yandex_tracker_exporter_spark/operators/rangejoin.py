@@ -32,7 +32,20 @@ def interval_join(
     bucket_width_s: int = 3600,
     how: str = "inner",
 ) -> DataFrame:
-    """Join points to containing intervals (``start <= point < end``)."""
+    """Join points to containing intervals (``start <= point < end``).
+
+    Only ``how='inner'`` is supported: the containment predicate is
+    applied AFTER the bucket equi-join, so an outer join's
+    null-extended rows would always fail it and the result would
+    silently degenerate to inner semantics (and bucket explosion would
+    duplicate unmatched intervals) — rejected loudly instead. For
+    "points with no containing interval", anti-join the points against
+    this result on the point key."""
+    if how != "inner":
+        raise ValueError(
+            "interval_join supports how='inner' only; outer variants "
+            f"would silently drop null-extended rows (got {how!r})"
+        )
     width = F.lit(bucket_width_s)
     p = points.withColumn(
         "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / width)

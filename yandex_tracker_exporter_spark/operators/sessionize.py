@@ -28,7 +28,7 @@ not materialized per-group.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yandex_tracker_exporter_spark.config import DEFAULT_CONFIG, EngineConfig
@@ -182,31 +182,60 @@ def status_metrics(
 
 
 def corrupt_transition_events(
-    changelog: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+    changelog: DataFrame,
+    issues: DataFrame | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """F8 quarantine: the workflow status-transition events that
-    ``status_metrics`` drops (null interval endpoint with no createdAt
-    fallback) — routed to a DataFrame instead of log lines so bad data
-    is queryable, not lost (SURVEY F8 mapping)."""
+    """F8 quarantine: EXACTLY the workflow status-transition events that
+    ``status_metrics`` drops — routed to a DataFrame instead of log
+    lines so bad data is queryable, not lost (SURVEY F8 mapping).
+
+    Pass the same ``issues`` given to ``status_metrics``: the keep rule
+    is ``coalesce(parse(from), createdAt) IS NOT NULL AND parse(to) IS
+    NOT NULL``, so the quarantine predicate is its exact complement —
+    a null/unparseable ``from`` is only corrupt when no createdAt
+    fallback exists, and an unparseable ``to`` is always corrupt.
+    Metrics + quarantine partition the transition stream: every
+    transition lands in exactly one of the two outputs."""
     transitions = _status_transition_events(changelog, config)
+    if issues is not None:
+        created = F.broadcast(
+            issues.select(
+                F.col("key").alias("issue_key"),
+                parse_tracker_datetime("createdAt").alias("_created_at"),
+            )
+        )
+        transitions = transitions.join(created, "issue_key", "left")
+    else:
+        transitions = transitions.withColumn(
+            "_created_at", F.lit(None).cast("timestamp")
+        )
     start_raw = F.col("fields")[1]["from"]
     end_raw = F.col("fields")[1]["to"]
     return transitions.where(
         parse_tracker_datetime(end_raw).isNull()
-        | (start_raw.isNotNull() & parse_tracker_datetime(start_raw).isNull())
-    )
+        | (
+            parse_tracker_datetime(start_raw).isNull()
+            & F.col("_created_at").isNull()
+        )
+    ).drop("_created_at")
 
 
 def closed_at_refinement(
-    issues_flat: DataFrame,
     changelog: DataFrame,
     config: EngineConfig = DEFAULT_CONFIG,
-) -> Column:
-    """The two-path closed_at definition (``issue.py:203-210``) as a column.
+) -> DataFrame:
+    """Latest transition INTO a closed status, per issue — the
+    changelog half of the two-path closed_at definition
+    (``issue.py:203-210``). Returns (issue_key, closed_at_candidate)
+    to left-join onto issues.
 
-    resolved → resolved_at; else latest transition *into* a closed status
-    while the issue currently sits in a closed status. Returns a DataFrame
-    of (issue_key, closed_at_candidate) to left-join onto issues.
+    The other half — only apply the candidate while the issue
+    CURRENTLY sits in a closed status, and prefer resolved_at for
+    resolved issues — needs the flattened issue row and lives in the
+    caller (``etl._apply_closed_at_refinement``); joining these
+    candidates without that gate would set closed_at on issues that
+    were later reopened.
     """
     transitions = _status_transition_events(changelog, config)
     closed = tuple(config.closed_statuses)
