@@ -3729,6 +3729,17 @@ def _dd_hash(expr: str) -> str:
     )
 
 
+def _dd_mixed(expr: str, salt: str) -> str:
+    """Suffix-salted poly hash + square-mod avalanche, mirroring
+    operators.text_analysis._sample_bucket: the raw fold is affine
+    across salts (and in the key's low characters), so the mix step is
+    what makes salted bucket families independent. The single-element
+    list_transform binds the fold result once so the square does not
+    re-evaluate the character loop."""
+    h = _dd_hash(f"({expr} || '{salt}')")
+    return f"(list_transform([{h}], x -> (x * x + x) % 2147483647)[1])"
+
+
 # 31-bit simhash over a BIGINT token-hash list column (mirrors
 # operators.dedup.simhash with bits=31): per-bit vote fold, then bit
 # reassembly — both strict left folds so the integers agree exactly
@@ -4946,7 +4957,7 @@ _ORACLES["repetition_signals"] = """
 _ORACLES["hash_sample"] = f"""
     WITH hashed AS (
         SELECT doc_id, lang,
-               ({_dd_hash("'sample:' || doc_id::VARCHAR")}) % 100
+               ({_dd_mixed("doc_id::VARCHAR", "sample:")}) % 100
                    AS sample_bucket
         FROM documents
     )
@@ -4992,8 +5003,7 @@ def _build_stratified_sample_sql() -> str:
         f"WHEN lang = '{g}' THEN {round((r - int(r)) * MIXTURE_BUCKETS)}"
         for g, r in sorted(MIXTURE_RATES.items())
     )
-    key_expr = "'mix:' || doc_id::VARCHAR"
-    bucket = f"(({_dd_hash(key_expr)}) % {MIXTURE_BUCKETS})"
+    bucket = f"(({_dd_mixed('doc_id::VARCHAR', 'mix:')}) % {MIXTURE_BUCKETS})"
     return f"""
         WITH sized AS (
             SELECT doc_id, lang,
@@ -5494,7 +5504,7 @@ _ORACLES["hll_distinct"] = _build_hll_distinct_sql()
 _ORACLES["split_assign"] = f"""
     WITH s AS (
         SELECT doc_id, n_chars,
-               ({_dd_hash("'split:' || doc_id::VARCHAR")}) % 100 AS b
+               ({_dd_mixed("doc_id::VARCHAR", "split:")}) % 100 AS b
         FROM documents
     )
     SELECT CASE WHEN b < 90 THEN 'train'
@@ -5747,7 +5757,10 @@ def oracle_sql() -> dict[str, str]:
 # Round-4 batch: sketch/stream-analytics oracles
 # --------------------------------------------------------------------------
 
-_CMS_HASH = _dd_hash("'cms' || d::VARCHAR || ':' || term")
+_CMS_HASH = (
+    "(list_transform([" + _dd_hash("(term || ':cms' || d::VARCHAR)") + "], "
+    "x -> (x * x + x) % 2147483647)[1])"
+)
 
 _ORACLES["cms_heavy_hitters"] = f"""
     WITH terms AS (
@@ -6085,9 +6098,9 @@ _ORACLES["prefix_jaccard_join"] = f"""
 
 _ORACLES["split_leakage"] = f"""
     WITH s AS (
-        SELECT CASE WHEN ({_dd_hash("'split:' || doc_id::VARCHAR")}) % 100 < 90
+        SELECT CASE WHEN ({_dd_mixed("doc_id::VARCHAR", "split:")}) % 100 < 90
                         THEN 'train'
-                    WHEN ({_dd_hash("'split:' || doc_id::VARCHAR")}) % 100 < 95
+                    WHEN ({_dd_mixed("doc_id::VARCHAR", "split:")}) % 100 < 95
                         THEN 'val'
                     ELSE 'test' END AS split,
                regexp_split_to_array(trim(text), '\\s+') AS tk
@@ -7201,7 +7214,7 @@ _ORACLES["contingency_chi2"] = """
 
 
 def _build_ab_test_sql() -> str:
-    bucket = _dd_hash("'exp1:' || user_id::VARCHAR")
+    bucket = _dd_mixed("user_id::VARCHAR", "exp1:")
     return f"""
     WITH pu AS (
         SELECT user_id,

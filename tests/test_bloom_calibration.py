@@ -125,3 +125,22 @@ def test_calibration_est_matches_lsh_operator(spark):
     assert shared
     for pair in shared:
         assert cal[pair] == int(lsh[pair] * 1000 + 1e-9)
+
+
+def test_bloom_text_fp_rate_matches_theory(spark):
+    """The text hash family must behave like k independent hashes: with
+    n=380 members and m=4096 the theoretical FP rate at k=3 is ~1.3%.
+    The old prefix-salt family was affine across salts — one row's
+    collision implied all three, collapsing FP toward n/m ≈ 9%."""
+    n, m = 380, 4096
+    keys = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(n)], "key string"
+    )
+    probe_n = 4000
+    corpus = spark.createDataFrame(
+        [(f"outsider-{i}",) for i in range(probe_n)], "k string"
+    )
+    fp = bloom_semi_join(
+        corpus, "k", keys, "key", m_bits=m, text_keys=True
+    ).count() / probe_n
+    assert fp < 0.04, f"text-key FP rate {fp:.3f} far above theory (~0.013)"

@@ -311,10 +311,10 @@ def _cms_ref(term_counts, query_keys, depth=4, width=512):
     counters = defaultdict(int)
     for term, cnt in term_counts.items():
         for d in range(depth):
-            counters[(d, _poly(f"cms{d}:{term}") % width)] += cnt
+            counters[(d, _mixed(term, f":cms{d}") % width)] += cnt
     return {
         k: min(
-            counters.get((d, _poly(f"cms{d}:{k}") % width), 0)
+            counters.get((d, _mixed(k, f":cms{d}") % width), 0)
             for d in range(depth)
         )
         for k in query_keys
@@ -398,7 +398,7 @@ def test_kmv_intersection_matches_bruteforce(spark, seed):
 def _leakage_ref(docs, window_tokens=16):
     per_key_split = defaultdict(int)
     for doc_id, text in docs:
-        b = _poly(f"split:{doc_id}") % 100
+        b = _mixed(str(doc_id), "split:") % 100
         split = "train" if b < 90 else ("val" if b < 95 else "test")
         if not text.strip():
             continue  # empty docs never register a leaked window
@@ -808,7 +808,7 @@ def _toks_ref(text):
     """The repo tokenizer's exact semantics: split(trim(text), \\s+) —
     trimmed-empty input yields [''] (one empty token), like Spark."""
     t = text.strip()
-    return t.split() if t else [""]
+    return t.split()
 
 
 def _bigram_lm_ref(texts):

@@ -48,7 +48,7 @@ def _mixed(s: str, salt: str) -> int:
 
 def _toks_ref(text):
     t = text.strip()
-    return t.split() if t else [""]
+    return t.split()
 
 
 def _epoch(dt) -> int:
@@ -88,7 +88,7 @@ def _pct_type7(xs, p):
 
 @pytest.mark.parametrize("seed", [41])
 def test_hash_sample_matches_bruteforce(spark, seed):
-    """Membership is literally hash('sample:'||key) % 100 < 10 — the
+    """Membership is literally mixed_hash(key||'sample:') % 100 < 10 — the
     referee evaluates that predicate per key with a character loop."""
     from yandex_tracker_exporter_spark.operators.text_analysis import hash_sample
 
@@ -100,9 +100,9 @@ def test_hash_sample_matches_bruteforce(spark, seed):
         for r in hash_sample(df, "doc_id", buckets=100, keep=10).collect()
     }
     want = {
-        i: _poly(f"sample:{i}") % 100
+        i: _mixed(str(i), "sample:") % 100
         for i in ids
-        if _poly(f"sample:{i}") % 100 < 10
+        if _mixed(str(i), "sample:") % 100 < 10
     }
     assert got == want
     assert got, "fixture must select a non-empty sample"
@@ -118,7 +118,7 @@ def test_split_assign_matches_bruteforce(spark, seed):
     got = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
 
     def ref(i):
-        b = _poly(f"split:{i}") % 100
+        b = _mixed(str(i), "split:") % 100
         return "train" if b < 90 else ("val" if b < 95 else "test")
 
     assert got == {i: ref(i) for i in ids}
@@ -150,7 +150,7 @@ def test_stratified_sample_matches_bruteforce(spark, seed):
         r = rates.get(lang, 1.0)
         whole = int(r)
         frac_buckets = round((r - whole) * 1000)
-        bucket = _poly(f"mix:{i}") % 1000
+        bucket = _mixed(str(i), "mix:") % 1000
         n = whole + (1 if bucket < frac_buckets else 0)
         want += [(i, lang, c) for c in range(n)]
     assert got == sorted(want)
@@ -469,7 +469,7 @@ def test_ab_test_matches_bruteforce_sf(spark):
             per_user[uid] += 1
     arms = defaultdict(lambda: [0, 0])
     for uid in users:
-        arm = "A" if _poly(f"exp1:{uid}") % 2 == 0 else "B"
+        arm = "A" if _mixed(str(uid), "exp1:") % 2 == 0 else "B"
         arms[arm][0] += 1
         arms[arm][1] += 1 if per_user[uid] > 26 else 0
     (na, ca), (nb, cb) = arms["A"], arms["B"]
@@ -714,3 +714,28 @@ def test_negative_sampling_matches_bruteforce_sf(spark):
         for r in entry.queries()["negative_sampling"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_salted_bucket_families_are_independent():
+    """The defect the mix step closes: the raw poly fold is affine
+    across salts, so two salt families used to agree on nearly every
+    key (shifted copies — useless for k-fold) and sequential keys got
+    sequential buckets. Under the mixed law, cross-family agreement is
+    ~1/buckets and sequential keys decorrelate."""
+    from tests.test_differential_reference import _mixed, _poly
+
+    n, buckets = 5000, 100
+    a = [_mixed(str(i), "sample:") % buckets for i in range(n)]
+    b = [_mixed(str(i), "fold2:") % buckets for i in range(n)]
+    agree = sum(x == y for x, y in zip(a, b)) / n
+    assert agree < 0.03, f"families correlated: agreement {agree}"
+    # sequential keys: consecutive-bucket steps must not be constant
+    steps = {(a[i + 1] - a[i]) % buckets for i in range(200)}
+    assert len(steps) > 20, f"sequential keys map to a lattice: {steps}"
+    # the OLD law really had the defect (guard against a vacuous test):
+    # same-length keys differ by a constant across salts
+    olds = [
+        (_poly(f"s1:{i}") - _poly(f"s2:{i}")) % (2**31 - 1)
+        for i in range(1000, 1200)
+    ]
+    assert len(set(olds)) == 1, "prefix-salt affinity assumption changed"

@@ -40,9 +40,14 @@ def _poly(s: str) -> int:
     return h
 
 
+def _mixed(s: str, salt: str) -> int:
+    h = _poly(s + salt)
+    return (h * h + h) % P31
+
+
 def _toks_ref(text: str) -> list[str]:
     t = text.strip()
-    return t.split() if t else [""]
+    return t.split()
 
 
 def _epoch(dt) -> int:
@@ -73,7 +78,7 @@ def _repetition_ref(docs):
         for t in toks:
             counts[t] += 1
         nd = len(counts)
-        top_tok = max(counts.values())
+        top_tok = max(counts.values()) if counts else 0
         bigrams = [f"{toks[j]} {toks[j + 1]}" for j in range(n - 1)]
         bcounts = defaultdict(int)
         for b in bigrams:
@@ -84,7 +89,7 @@ def _repetition_ref(docs):
             nd,
             top_tok,
             top_bg,
-            float(n - nd) / float(n),
+            float(n - nd) / float(n) if n else 0.0,
             float(top_bg) / float(len(bigrams)) if bigrams else 0.0,
         )
     return want
@@ -92,8 +97,8 @@ def _repetition_ref(docs):
 
 @pytest.mark.parametrize("seed", [61])
 def test_repetition_signals_matches_bruteforce(spark, seed):
-    """Seeds the boundary shapes: whitespace-only text (tokenizes to
-    the single empty token), one-token docs (no bigrams -> ratio 0.0),
+    """Seeds the boundary shapes: whitespace-only text (ZERO tokens
+    under the fixed tokenizer law), one-token docs (no bigrams -> ratio 0.0),
     a fully-repeated doc, and a bigram-dominated alternation."""
     from yandex_tracker_exporter_spark.operators.text_analysis import (
         repetition_signals,
@@ -467,7 +472,7 @@ def test_encoding_audit_matches_bruteforce_sf(spark):
 
 def test_cms_heavy_hitters_matches_bruteforce_sf(spark):
     """Exact top-20 terms and their count-min estimates recomputed with
-    dicts: counters[(d, poly('cms{d}:'||term) % 512)] summed over the
+    dicts: counters[(d, mixed(term||':cms{d}') % 512)] summed over the
     DISTINCT-term counts, estimate = min over the 4 rows (missing
     bucket = 0). Verifies est >= exact structurally."""
     rows = _fetch(f"SELECT text FROM '{SF_DIR}/documents.parquet'")
@@ -478,11 +483,11 @@ def test_cms_heavy_hitters_matches_bruteforce_sf(spark):
     counters = defaultdict(int)
     for term, cnt in exact.items():
         for d in range(4):
-            counters[(d, _poly(f"cms{d}:{term}") % 512)] += cnt
+            counters[(d, _mixed(term, f":cms{d}") % 512)] += cnt
     top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     want = {}
     for term, cnt in top:
-        est = min(counters.get((d, _poly(f"cms{d}:{term}") % 512), 0)
+        est = min(counters.get((d, _mixed(term, f":cms{d}") % 512), 0)
                   for d in range(4))
         want[term] = (cnt, est, est - cnt)
     got = {

@@ -68,7 +68,8 @@ def test_hash_sample_bucket_matches_python_replica(spark):
     # keep=buckets keeps every row, exposing every bucket value
     assert len(out) == len(docs)
     for doc_id, _ in docs:
-        assert out[doc_id] == _poly_hash(f"prop:{doc_id}") % 100
+        h = _poly_hash(f"{doc_id}prop:")
+        assert out[doc_id] == ((h * h + h) % SAMPLE_HASH_PRIME) % 100
 
 
 def test_stratified_sample_multiplicity_is_floor_or_ceil(spark):

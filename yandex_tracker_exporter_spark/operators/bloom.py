@@ -13,10 +13,15 @@ are dropped at the scan side of the pipeline.
 Hash family: for integer keys (the common join-key case) each of the k
 hashes is an affine congruential map ``((key·a + b) mod (2^31-1)) mod
 m`` — pure int64 arithmetic that stays inside whole-stage codegen and
-is reproduced exactly by any engine. (The string poly-hash fold used
-elsewhere in the repo is an interpreted HOF per row; measured 10.4 s vs
-sub-second at sf0.1 for the 3-hash probe over lineitem.) String keys
-fall back to the portable poly hash with salt prefixes.
+is reproduced exactly by any engine — the classic Carter-Wegman
+universal family, so the k rows are pairwise independent. (The string
+poly-hash fold used elsewhere in the repo is an interpreted HOF per
+row; measured 10.4 s vs sub-second at sf0.1 for the 3-hash probe over
+lineitem.) String keys use the suffix-salted poly hash with a
+square-mod avalanche: the raw fold is AFFINE across salts, so salted
+rows used to collide together (one collision implied all k — FP rate
+collapsed from (1-e^(-kn/m))^k toward n/m); the mix makes the
+cross-salt difference key-dependent.
 
 False-positive rate is the classic ``(1 - e^(-kn/m))^k`` — measured
 1.3% at n=380, m=4096, k=3, matching theory.
@@ -44,7 +49,8 @@ def _int_position(key: Column, a: int, b: int, m_bits: int) -> Column:
 
 
 def _text_position(key: Column, salt: str, m_bits: int) -> Column:
-    return _hash64(F.concat(F.lit(salt), key.cast("string"))) % m_bits
+    h = _hash64(F.concat(key.cast("string"), F.lit(salt)))
+    return ((h * h + h) % BLOOM_PRIME) % m_bits
 
 
 def bloom_semi_join(

@@ -243,14 +243,14 @@ def cms_counters(
         F.col(count_col).alias("_cnt"),
         F.explode(salts).alias("salt"),
     )
-    bucket = (
-        _hash64(
-            F.concat(
-                F.lit("cms"), F.col("salt").cast("string"), F.lit(":"), F.col("_term")
-            )
-        )
-        % F.lit(width)
-    ).cast("int")
+    # suffix salt + square-mod mix (see _mixed_hash): the old prefix
+    # salt ("cms{d}:" || term) was AFFINE across d, so one bucket
+    # collision implied all depth collisions and the min degraded to
+    # single-row accuracy
+    raw = _hash64(
+        F.concat(F.col("_term"), F.lit(":cms"), F.col("salt").cast("string"))
+    )
+    bucket = (((raw * raw + raw) % F.lit(2147483647)) % F.lit(width)).cast("int")
     return (
         exploded.select("salt", bucket.alias("bucket"), "_cnt")
         .groupBy("salt", "bucket")
@@ -273,21 +273,14 @@ def cms_estimate(
     from yandex_tracker_exporter_spark.operators.dedup import MINHASH_PRIME, _hash64
 
     salts = F.array(*[F.lit(d) for d in range(depth)])
+    raw = _hash64(
+        F.concat(F.col(term_col), F.lit(":cms"), F.col("salt").cast("string"))
+    )
     probes = keys.select(
         F.col(term_col), F.explode(salts).alias("salt")
     ).withColumn(
         "bucket",
-        (
-            _hash64(
-                F.concat(
-                    F.lit("cms"),
-                    F.col("salt").cast("string"),
-                    F.lit(":"),
-                    F.col(term_col),
-                )
-            )
-            % F.lit(width)
-        ).cast("int"),
+        (((raw * raw + raw) % F.lit(2147483647)) % F.lit(width)).cast("int"),
     )
     # LEFT join from the probe side (ADVICE r4): a probed key whose
     # bucket row is absent has a ZERO counter, and the min must see it —

@@ -31,7 +31,20 @@ FINGERPRINT_BASE = 31
 
 
 def _tokens(col: Column) -> Column:
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokens; empty/whitespace-only text is ZERO tokens.
+
+    ``split('', pat)`` returns ``['']`` in both Spark and DuckDB, which
+    silently gave every empty document one phantom token (1 counted
+    token, 1 packed budget slot, a dead ``n_tokens == 0`` branch in
+    length_buckets). The guard makes the empty case a true empty array;
+    null text stays null. Fixture corpora contain no empty docs, so
+    contract results are unchanged — the differential referees
+    (``str.split()``, which is [] on empty) pin the behavior on
+    adversarial inputs."""
+    trimmed = F.trim(col)
+    return F.when(
+        F.length(trimmed) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
@@ -326,11 +339,13 @@ def repetition_signals(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         n_distinct.cast("long").alias("n_distinct_tokens"),
-        top_token.cast("long").alias("top_token_count"),
+        F.coalesce(top_token, F.lit(0)).cast("long").alias("top_token_count"),
         top_bigram.cast("long").alias("top_bigram_count"),
-        ((n - n_distinct).cast("double") / n.cast("double")).alias(
-            "dup_token_ratio"
-        ),
+        # empty doc (0 tokens): nothing repeated, ratio 0.0 — and the
+        # guard keeps ANSI mode from raising on 0/0
+        F.when(
+            n > 0, (n - n_distinct).cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0)).alias("dup_token_ratio"),
         F.when(F.size(bg) > 0, top_bigram.cast("double") / F.size(bg).cast("double"))
         .otherwise(F.lit(0.0))
         .alias("top_bigram_ratio"),
@@ -351,7 +366,7 @@ def hash_sample(
     salt: str = "sample:",
 ) -> DataFrame:
     """Deterministic reproducible sampling: keep rows whose portable
-    polynomial hash of ``salt || key`` lands in the first ``keep`` of
+    mixed polynomial hash of ``key || salt`` lands in the first ``keep`` of
     ``buckets`` buckets (≈ keep/buckets sampling rate).
 
     This is how a 100 TB corpus is sampled in practice: a pure map-side
@@ -370,8 +385,20 @@ def hash_sample(
 
 
 def _sample_bucket(key: Column, buckets: int, salt: str) -> Column:
-    """Portable polynomial hash of ``salt || key`` into ``buckets``."""
-    skey = F.concat(F.lit(salt), key.cast("string"))
+    """Portable salted polynomial hash of ``key`` into ``buckets``,
+    with one square-mod mixing step: ``h = poly(key || salt)``, then
+    ``(h² + h) mod (2³¹−1)``.
+
+    The avalanche step is what makes salt families independent. The
+    plain fold is AFFINE across salts — for fixed-length keys
+    ``poly(salt₁||key) − poly(salt₂||key)`` is a constant, so two
+    "independent" splits were near-exact shifted copies of each other,
+    and sequential keys got sequential buckets (a systematic, not
+    pseudorandom, sample). Squaring makes the cross-salt difference
+    depend on the key itself (same fix as the sketches' ``_mixed_hash``
+    and the r6 LSH plane family). ``h² < 2⁶²`` stays exact in int64 on
+    any engine."""
+    skey = F.concat(key.cast("string"), F.lit(salt))
     n = F.length(skey)
     codes = F.transform(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
@@ -382,7 +409,7 @@ def _sample_bucket(key: Column, buckets: int, salt: str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * SAMPLE_HASH_BASE + c) % SAMPLE_HASH_PRIME,
     )
-    return h % buckets
+    return ((h * h + h) % SAMPLE_HASH_PRIME) % buckets
 
 
 def stratified_sample(
@@ -533,8 +560,8 @@ def split_assign(
     """Deterministic train/val/test split assignment by stable key hash.
 
     The split a training pipeline actually needs at 100 TB: membership
-    is a pure function of the row key (portable polynomial hash of
-    ``salt || key`` mod 100), so the same document lands in the same
+    is a pure function of the row key (portable mixed polynomial hash
+    of ``key || salt`` mod 100), so the same document lands in the same
     split on every engine, every rerun, and every incremental refresh —
     no RNG state to checkpoint, no sampling drift when the corpus grows.
     Changing the salt yields an independent split family (e.g. for
