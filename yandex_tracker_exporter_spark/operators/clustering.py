@@ -128,12 +128,19 @@ def kmeans_quantized(
         raise ValueError("iters must be >= 1")
     if use_kernel is None:
         use_kernel = k >= 32
+    # BOTH quarantine filters go BELOW the checkpoint: a filter above
+    # it would be alias-substituted through the projection and evaluate
+    # the quantize expression twice per row (measured +1.1 s at sf0.1),
+    # and probing an unmaterialized relation would run the pipeline a
+    # second full pass. Post-checkpoint filters are trivial re-scans of
+    # the resident blocks.
     codes = (
         quantize_embeddings(ensure_parallelism(df), vec_col, id_col)
         .select(
             F.col(id_col),
             F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("_q"),
         )
+        .localCheckpoint(eager=False)
         .where(F.col("_q").isNotNull())
     )
     if dim is None:
@@ -141,7 +148,7 @@ def kmeans_quantized(
         if not first:
             raise ValueError("no non-null vectors to cluster")
         dim = len(first[0]["_q"])
-    codes = codes.where(F.size("_q") == dim).localCheckpoint(eager=False)
+    codes = codes.where(F.size("_q") == dim)
 
     seed_rows = codes.orderBy(F.col(id_col).asc()).limit(k).collect()
     if len(seed_rows) < k:
