@@ -82,3 +82,19 @@ def test_write_jdbc_retries_with_backoff(spark):
         write_jdbc(df, "jdbc:clickhouse://x", "t", writer=always_fails,
                    max_tries=3, base_delay=0.0)
     assert len(calls) == 3
+
+
+def test_with_retries_rejects_zero_tries():
+    """max_tries < 1 must raise, not silently skip fn and return None
+    (a caller intending 'no retries' means one try, not zero)."""
+    import pytest
+
+    from yandex_tracker_exporter_spark.sources.clickhouse_compat import (
+        with_retries,
+    )
+
+    calls = []
+    with pytest.raises(ValueError, match="max_tries"):
+        with_retries(lambda: calls.append(1), max_tries=0)
+    assert calls == []
+    assert with_retries(lambda: 42, max_tries=1) == 42

@@ -508,3 +508,60 @@ def test_read_latest_month_scope_prunes_partitions(spark, tmp_path):
     assert "_month" in filters
     # only the scoped month's files are listed into the scan
     assert "_month=202402" not in plan
+
+
+def test_full_table_compact_preserves_month_partitions(spark, tmp_path):
+    """compact() without a month scope on a partitioned table must keep
+    the _month layout: the old read_latest-based rewrite wrote flat
+    parquet, after which partition-scoped compacts raised and
+    merge_upsert produced a mixed layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.sources.sinks import (
+        compact,
+        merge_upsert,
+        read_latest,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-05"), (1, 2, "2024-02-05"), (2, 1, "2024-02-06")],
+        "k long, version long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    write_versioned(df, path, ["k"], partition_ts_col="ts")
+    compact(spark, path, ["k"])
+    names = set(os.listdir(path))
+    assert {"_month=202401", "_month=202402"} <= names, names
+    # partition-scoped compact and month-scoped reads still work
+    compact(spark, path, ["k"], months=["202402"])
+    feb = read_latest(spark, path, ["k"], months=["202402"]).collect()
+    assert {(r["k"], r["version"]) for r in feb} == {(1, 2), (2, 1)}
+    # and a later merge_upsert keeps the partitioned layout
+    upd = spark.createDataFrame(
+        [(2, 3, "2024-02-07")], "k long, version long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert merge_upsert(spark, path, upd, ["k"], partition_ts_col="ts") == [
+        "202402"
+    ]
+    rows = {(r["k"], r["version"]) for r in read_latest(spark, path, ["k"]).collect()}
+    assert rows == {(1, 2), (2, 3)}
+
+
+def test_merge_upsert_empty_updates_no_table_created(spark, tmp_path):
+    """An empty update batch must not leave an empty table root that
+    turns the next read into 'unable to infer schema'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    empty = spark.createDataFrame(
+        [], "k long, version long, ts timestamp"
+    )
+    assert merge_upsert(spark, path, empty, ["k"], partition_ts_col="ts") == []
+    assert not os.path.exists(path)

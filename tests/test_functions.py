@@ -78,6 +78,12 @@ def test_parse_tracker_datetime(spark):
         ("2023-01-01T10:00:00.123+0000",),
         ("2023-01-01T10:00:00.123456+0000",),
         ("2023-01-01T10:00:00",),  # naive → UTC
+        # literal 'Z' and colon offsets — Python's %z (the reference
+        # parser) accepts both, so the Spark chain must too
+        ("2023-01-01T10:00:00.123Z",),
+        ("2023-01-01T10:00:00Z",),
+        ("2023-01-01T10:00:00+03:00",),
+        ("2023-01-01T10:00:00.123456Z",),
         (None,),
     ]
     col = F.date_format(
@@ -89,6 +95,10 @@ def test_parse_tracker_datetime(spark):
         "2023-01-01T10:00:00.123",
         "2023-01-01T10:00:00.123",
         "2023-01-01T10:00:00.000",
+        "2023-01-01T10:00:00.123",
+        "2023-01-01T10:00:00.000",
+        "2023-01-01T07:00:00.000",
+        "2023-01-01T10:00:00.123",
         None,
     ]
 

@@ -84,3 +84,45 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     # every closed session is a valid interval
     bad = got.where(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+def test_sessionize_multi_chunk_groups_sorted_globally(spark):
+    """A group larger than the Arrow batch size arrives as MULTIPLE
+    pandas chunks in arbitrary order; chunk-local sorting used to rewind
+    last_ts backwards and close sessions at phantom gaps. All chunks
+    must fold as one globally-sorted pass — tested on _sessionize_group
+    directly with out-of-order chunks and a fake GroupState."""
+    import pandas as pd
+
+    from yandex_tracker_exporter_spark.streaming.stateful import (
+        _sessionize_group,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # chunk 1: 11:00-12:00 events; chunk 2 arrives SECOND but holds the
+    # EARLIER 10:00-10:30 events (the out-of-order shape)
+    c1 = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-01 11:00:00", "2024-01-01 11:30:00", "2024-01-01 12:00:00"])})
+    c2 = pd.DataFrame({"ts": pd.to_datetime(
+        ["2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 12:40:00"])})
+    state = FakeState()
+    closed = list(_sessionize_group(("u1",), iter([c1, c2]), state, 1800))
+    # globally sorted: 10:00..12:00 is one 5-event session (every gap
+    # exactly 30 min = threshold, not >), closed by the 40-min gap to
+    # 12:40 which opens the new state. The old chunk-local fold closed
+    # a phantom (11:00-12:00, 3 events) session instead, rewound to
+    # 10:00, and left a corrupted state.
+    assert len(closed) == 1
+    row = closed[0].iloc[0]
+    assert row["session_start"] == pd.Timestamp("2024-01-01 10:00:00")
+    assert row["session_end"] == pd.Timestamp("2024-01-01 12:00:00")
+    assert row["n_events"] == 5
+    start_us, last_us, n = state.value
+    assert n == 1
+    assert pd.Timestamp(start_us, unit="us") == pd.Timestamp("2024-01-01 12:40:00")
+    assert pd.Timestamp(last_us, unit="us") == pd.Timestamp("2024-01-01 12:40:00")

@@ -71,19 +71,41 @@ def test_unsupported_filter_stays_in_spark(spark):
     assert rows and all(r["status"] == "open" for r in rows)
 
 
-def test_rate_limited_scan_staggers_pages(spark):
-    """requests_per_second spaces page fetches: 4 pages at 4 rps must
-    take ≥ 0.75s (pages scheduled at t=0, .25, .5, .75) and return the
-    same rows as an unthrottled scan."""
+def test_rate_limited_reader_paces_per_slot(spark):
+    """requests_per_second paces each deserialized reader instance: one
+    slot serving 4 pages at 4 rps spaces them 0.25s apart (≥ 0.75s
+    total), while a fresh instance's FIRST page never sleeps — the old
+    global page-index schedule made a late task serving page N sleep
+    N/rps from its own start (O(pages²/rps) scans). Results match an
+    unthrottled scan."""
     import time
 
+    from yandex_tracker_exporter_spark.sources.tracker_api import (
+        TrackerApiDataSource,
+    )
+
+    opts = {"total": "400", "page_size": "100", "requests_per_second": "4"}
+    source = TrackerApiDataSource(opts)
+    reader = source.reader(source.schema())
+    parts = reader.partitions()
+    assert len(parts) == 4
     t0 = time.time()
-    rows = _read(spark, total=400, page_size=100, requests_per_second=4).collect()
+    rows = [r for p in parts for r in reader.read(p)]  # one slot, 4 pages
     elapsed = time.time() - t0
     assert len(rows) == 400
     assert elapsed >= 0.75
+    # a fresh instance (new task) starts its own schedule: page 3 alone
+    # must NOT inherit a 3/rps backlog sleep
+    reader2 = source.reader(source.schema())
+    t0 = time.time()
+    assert list(reader2.read(parts[3]))
+    assert time.time() - t0 < 0.5
+    # end-to-end through Spark still returns the same rows
     fast = _read(spark, total=400, page_size=100).collect()
-    assert sorted(rows) == sorted(fast)
+    throttled = _read(
+        spark, total=400, page_size=100, requests_per_second=4
+    ).collect()
+    assert sorted(throttled) == sorted(fast)
 
 
 def test_comments_entity_scan(spark):

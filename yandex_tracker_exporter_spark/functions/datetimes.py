@@ -38,6 +38,12 @@ def parse_tracker_datetime(col: Column | str) -> Column:
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssZ")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        # XXX arms: literal 'Z' and colon offsets ('+03:00'), both of
+        # which Python's %z (the reference parser) accepts since 3.7 —
+        # the Spark 'Z' pattern only matches '+HHMM' forms
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
     )

@@ -169,6 +169,10 @@ def with_retries(
     for tests."""
     import time as _time
 
+    if max_tries < 1:
+        # range(1, 1) would skip fn entirely and silently return None —
+        # a caller intending "no retries" means ONE try, not zero
+        raise ValueError(f"max_tries must be >= 1, got {max_tries}")
     do_sleep = sleep if sleep is not None else _time.sleep
     delay = base_delay
     for attempt in range(1, max_tries + 1):

@@ -48,7 +48,11 @@ def write_versioned(
             "_month", F.date_format(F.col(partition_ts_col), "yyyyMM")
         )
         partition_cols = ["_month"]
-    out = out.sortWithinPartitions(*keys)
+    # include the partition column in the sort: FileFormatWriter requires
+    # rows sorted by partition columns, and a keys-only sort would be
+    # re-sorted by the writer's own Sort(_month) — losing the promised
+    # key order (parquet min/max pruning) inside each file
+    out = out.sortWithinPartitions(*(partition_cols + keys))
     writer = out.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -138,9 +142,21 @@ def compact(
     """
     base = path.rstrip("/")
     if months is None:
+        # A month-partitioned table must KEEP its layout: the old
+        # read_latest-based rewrite dropped _month and wrote flat
+        # parquet, after which partition-scoped compacts raised, month
+        # scoping silently read everything, and a later merge_upsert
+        # produced a mixed flat/partitioned layout. Full-table compact
+        # of a partitioned table = compact every live month (exactly
+        # ClickHouse OPTIMIZE FINAL, which merges within partitions).
+        live_months = _live_months(spark, base)
+        if live_months:
+            compact(spark, path, keys, version_col, months=live_months)
+            return
         _recover_swap(spark, base, base + ".__compact_tmp__", base + ".__compact_old__")
         deduped = read_latest(spark, path, keys, version_col)
-        _swap_rewrite(spark, base, deduped, base + ".__compact_tmp__", base + ".__compact_old__")
+        _swap_rewrite(spark, base, deduped.sortWithinPartitions(*keys),
+                      base + ".__compact_tmp__", base + ".__compact_old__")
         return
     staging = base + ".__compact_staging__"
     for month in months:
@@ -150,13 +166,27 @@ def compact(
         deduped = latest_version_dedup(
             spark.read.parquet(part_dir), keys, version_col
         )
-        _swap_rewrite(spark, part_dir, deduped, tmp, old)
+        _swap_rewrite(spark, part_dir, deduped.sortWithinPartitions(*keys), tmp, old)
     fs, hpath = _hadoop_fs(spark, staging)
     if fs.exists(hpath(staging)):
         try:
             fs.delete(hpath(staging), False)  # non-recursive: only when empty
         except Exception:
             pass  # leftover artifacts from other months' crashes stay put
+
+
+def _live_months(spark: SparkSession, base: str) -> list[str]:
+    """The ``_month=`` partition values present under ``base`` (empty
+    for a flat or missing table) — one driver-side directory listing."""
+    fs, hpath = _hadoop_fs(spark, base)
+    if not fs.exists(hpath(base)):
+        return []
+    months = []
+    for status in fs.listStatus(hpath(base)):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("_month="):
+            months.append(name.split("=", 1)[1])
+    return sorted(months)
 
 
 def _recover_swap(spark: SparkSession, target: str, tmp: str, old: str) -> None:
@@ -245,7 +275,12 @@ def merge_upsert(
     )
     staging = base + ".__compact_staging__"
     fs, hpath = _hadoop_fs(spark, base)
-    fs.mkdirs(hpath(base))  # no-op if the table root already exists
+    if months:
+        # only materialize the root when there is something to write —
+        # an empty-updates call must not leave an empty dir that makes
+        # the next read fail with 'unable to infer schema' instead of
+        # the clear path-not-found
+        fs.mkdirs(hpath(base))  # no-op if the table root already exists
     for month in months:
         part_dir = f"{base}/_month={month}"
         tmp, old = f"{staging}/{month}.tmp", f"{staging}/{month}.old"
@@ -257,7 +292,7 @@ def merge_upsert(
                 keys,
                 version_col,
             )
-            _swap_rewrite(spark, part_dir, merged, tmp, old)
+            _swap_rewrite(spark, part_dir, merged.sortWithinPartitions(*keys), tmp, old)
         else:
             # brand-new month: write staged, single rename into place
             batch.sortWithinPartitions(*keys).write.parquet(tmp)

@@ -162,6 +162,14 @@ class HttpTrackerBackend:  # pragma: no cover - integration point
     def fetch_page(self, query: SearchQuery, page: int) -> list[tuple]:
         raise NotImplementedError("live Tracker API access is not available here")
 
+    def count_comments(self, issue_keys: list[str] | None) -> int:
+        raise NotImplementedError("live Tracker API access is not available here")
+
+    def fetch_comments_page(
+        self, issue_keys: list[str] | None, page: int
+    ) -> list[tuple]:
+        raise NotImplementedError("live Tracker API access is not available here")
+
 
 class _PagePartition(InputPartition):
     def __init__(self, page: int) -> None:
@@ -180,24 +188,22 @@ class TrackerApiReader(DataSourceReader):
             self.backend = HttpTrackerBackend()
         self.page_size = page_size
         #: API politeness (reference README:141-147 — the real Tracker
-        #: rate-limits aggressively): max requests/second ACROSS the
-        #: scan. 0 disables. Enforced by staggering each page partition
-        #: ``page / rps`` seconds from scan start — partitions run in
-        #: parallel but their fetch instants are spaced 1/rps apart
-        #: regardless of executor count (no coordination needed because
-        #: the schedule is computed from the partition index alone).
+        #: rate-limits aggressively): max requests/second PER EXECUTOR
+        #: SLOT. 0 disables. Each task paces its own requests 1/rps
+        #: apart from its own start, so the aggregate rate is bounded by
+        #: ``active_slots × rps`` with no coordination; for a strict
+        #: global budget set rps = budget / max concurrent tasks.
+        #:
+        #: Deliberately NOT a global page-index schedule
+        #: (``scan_start + page/rps``): the reader is re-deserialized
+        #: per task, so a task that picks up page N late would still
+        #: sleep the full N/rps from its own start — total scan time
+        #: O(pages²/rps) when slots < pages — and anchoring the schedule
+        #: at plan time instead makes every deadline already past after
+        #: any scheduling delay (an unthrottled burst).
         self.requests_per_second = float(options.get("requests_per_second", "0"))
-        # wall clock, not monotonic: the reader is pickled to executors
-        # and the schedule must be comparable across machines (NTP-level
-        # skew is fine at API-politeness granularity). The epoch taken at
-        # construction is only a LOWER bound — read() re-anchors to
-        # max(epoch, first-read now) per worker process, so planning /
-        # scheduling delay (or a task retry) never leaves every deadline
-        # already in the past and the scan bursting unthrottled.
-        # Best-effort semantics: workers anchor independently, so spacing
-        # holds within each worker and approximately across them.
-        self._scan_epoch = time.time()
-        self._anchor: float | None = None  # set at first read() per process
+        self._anchor: float | None = None  # set at first read() per task
+        self._seq = 0  # requests served by THIS deserialized instance
         self.query = SearchQuery()
         self.pushed: list[Filter] = []
 
@@ -263,8 +269,9 @@ class TrackerApiReader(DataSourceReader):
     def read(self, partition: _PagePartition):
         if self.requests_per_second > 0:
             if self._anchor is None:
-                self._anchor = max(self._scan_epoch, time.time())
-            not_before = self._anchor + partition.page / self.requests_per_second
+                self._anchor = time.time()
+            not_before = self._anchor + self._seq / self.requests_per_second
+            self._seq += 1
             delay = not_before - time.time()
             if delay > 0:
                 time.sleep(delay)
@@ -281,7 +288,14 @@ class TrackerCommentsReader(DataSourceReader):
         self.schema = schema
         total = int(options.get("total", "1000"))
         page_size = int(options.get("page_size", "100"))
-        self.backend = FakeTrackerBackend(total, page_size)
+        # honor the backend option exactly like the issues entity: a
+        # requested http backend must raise its NotImplementedError, not
+        # silently serve the deterministic fake corpus
+        backend = options.get("backend", "fake")
+        if backend == "fake":
+            self.backend = FakeTrackerBackend(total, page_size)
+        else:
+            self.backend = HttpTrackerBackend()
         self.page_size = page_size
         self.issue_keys: list[str] | None = None
         self.pushed: list[Filter] = []
@@ -349,6 +363,13 @@ class TrackerStreamReader(SimpleDataSourceStreamReader):
             if not batch:
                 break
             rows.extend(r for r in batch if r[6] <= end)
+            # the scan is updated_at-ascending (the incremental-export
+            # contract), so once a page ends past `end` every later page
+            # is entirely out of range — stop instead of paging the
+            # whole remaining corpus each micro-batch (O(N²/batch)
+            # fetches against a rate-limited API)
+            if batch[-1][6] > end:
+                break
             page += 1
         return rows
 

@@ -77,8 +77,13 @@ def run_micro_batch_upsert(
     keys: list[str],
     available_now: bool = True,
     processing_time: str = "30 minutes",
-) -> None:
+):
     """ST1+ST7: foreachBatch latest-version upsert with checkpointing.
+
+    Returns the StreamingQuery handle (already terminated in the
+    ``available_now`` path) so callers can stop, await, or surface
+    failures of a processing-time query instead of losing the only
+    reference to it.
 
     Each micro-batch appends rows stamped with a batch version; readers
     use the O1 dedup view — identical contract to the reference's
@@ -100,8 +105,8 @@ def run_micro_batch_upsert(
     if available_now:
         query = writer.trigger(availableNow=True).start()
         query.awaitTermination()
-    else:
-        writer.trigger(processingTime=processing_time).start()
+        return query
+    return writer.trigger(processingTime=processing_time).start()
 
 
 def stream_corpus_dedup(

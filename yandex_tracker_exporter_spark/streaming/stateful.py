@@ -66,20 +66,27 @@ def _sessionize_group(
         n_events = 0
 
     closed: list[tuple] = []
+    # Drain EVERY chunk before sorting: a >maxRecordsPerBatch group
+    # arrives as multiple pdfs in arbitrary order, and a chunk-local
+    # sort would fold later-arriving earlier events after later ones —
+    # rewinding last_ts_us backwards and closing sessions at phantom
+    # gaps. The group's batch events must be one globally-sorted pass.
+    all_ts: list = []
     for pdf in pdfs:
         # normalize to ns explicitly: pandas may deliver datetime64[us]
         # (Arrow-backed paths), where a bare int64 view would be µs and
         # the //1000 below would silently shrink gaps 1000×
         ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000  # ns → µs
-        for t in sorted(ts_us):
-            if last_ts_us is None:
-                session_start_us, last_ts_us, n_events = t, t, 1
-            elif t - last_ts_us > gap_us:
-                closed.append((key[0], session_start_us, last_ts_us, n_events))
-                session_start_us, last_ts_us, n_events = t, t, 1
-            else:
-                last_ts_us = t
-                n_events += 1
+        all_ts.extend(ts_us)
+    for t in sorted(all_ts):
+        if last_ts_us is None:
+            session_start_us, last_ts_us, n_events = t, t, 1
+        elif t - last_ts_us > gap_us:
+            closed.append((key[0], session_start_us, last_ts_us, n_events))
+            session_start_us, last_ts_us, n_events = t, t, 1
+        else:
+            last_ts_us = t
+            n_events += 1
 
     state.update((session_start_us, last_ts_us, n_events))
 
