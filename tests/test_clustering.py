@@ -123,7 +123,13 @@ def test_dim_inferred_and_bad_rows_quarantined(spark):
     rows = [(0, _vec(1.0, dim=32)), (1, _vec(100.0, dim=32))]
     rows += [(i, _vec(1.0 + 0.001 * i, dim=32)) for i in range(2, 7)]
     rows += [(i, _vec(100.0 + 0.001 * i, dim=32)) for i in range(7, 12)]
-    rows += [(100, None), (101, _vec(5.0, dim=7))]
+    # 102: element-level null — right width, but one None inside. The
+    # Arrow kernel's np.asarray(int64) would raise (task failure) while
+    # the expression fold yields a null dist2: BOTH paths must see it
+    # quarantined so they stay bit-equal.
+    bad_elem = _vec(5.0, dim=32)
+    bad_elem[3] = None
+    rows += [(100, None), (101, _vec(5.0, dim=7)), (102, bad_elem)]
     df = spark.createDataFrame(rows, SCHEMA)
     out = kmeans_quantized(df, k=2, iters=3)
     got = {r["vec_id"]: r["cluster"] for r in out.collect()}
@@ -131,6 +137,10 @@ def test_dim_inferred_and_bad_rows_quarantined(spark):
     assert len({got[i] for i in list(range(2, 7)) + [0]}) == 1
     assert len({got[i] for i in list(range(7, 12)) + [1]}) == 1
     assert got[0] != got[1]
+    # the Arrow kernel path must quarantine the element-null row too
+    # (it used to fail the whole task inside np.asarray)
+    kern = kmeans_quantized(df, k=2, iters=3, use_kernel=True)
+    assert {r["vec_id"] for r in kern.collect()} == set(range(12))
     # semdedup inherits the inference: 32-dim corpus end-to-end
     pruned = semdedup_prune(df, k=2, iters=2, threshold=0.999)
     assert {r["vec_id"] for r in pruned.collect()} == set(range(12))

@@ -723,6 +723,18 @@ def test_jpeg_hostile_header_guards():
     with _pt.raises(ValueError):
         decode_jpeg(bytes(good))
 
+    # CPU-bomb guard: dimensions UNDER the sample cap but with far too
+    # little entropy data to encode that many blocks (each block needs
+    # >= 2 bits) must quarantine before the MCU loop starts — a crafted
+    # small file must not buy minutes of pure-Python decode.
+    bomb = bytearray(
+        encode_jpeg_gray(16, 16, bytes(np.arange(256, dtype=np.uint8)))
+    )
+    j = bomb.find(b"\xff\xc0")
+    _struct.pack_into(">HH", bomb, j + 5, 1024, 1024)  # 16k blocks, ~tens of entropy bytes
+    with _pt.raises(ValueError, match="entropy data budget"):
+        decode_jpeg(bytes(bomb))
+
 
 def test_all_decoders_fuzz_via_dispatch():
     """_decode_payload_real over corruptions of EVERY supported format

@@ -28,7 +28,7 @@ def test_observed_counters_no_extra_pass(spark, raw_issues, raw_changelog):
 
 
 def test_corrupt_events_quarantined_not_lost(spark, raw_issues, raw_changelog):
-    quarantine = corrupt_transition_events(raw_changelog, raw_issues)
+    quarantine = corrupt_transition_events(raw_changelog, issues=raw_issues)
     rows = quarantine.collect()
     # exactly the one corrupted event (null end time) from the fixture
     assert len(rows) == 1
@@ -86,7 +86,7 @@ def test_quarantine_exactly_complements_metrics(spark):
     kept = status_metrics(changelog, issues).agg(
         F.sum("status_transitions_count")
     ).collect()[0][0]
-    quarantined = corrupt_transition_events(changelog, issues).collect()
+    quarantined = corrupt_transition_events(changelog, issues=issues).collect()
     # HAS-CREATED both kept (null from -> createdAt; garbage from ->
     # createdAt); NO-CREATED both quarantined (no fallback / null to)
     assert kept == 2

@@ -1401,13 +1401,27 @@ def _jpeg_decode_planes(payload: bytes):
     max_v = max(c[2] for c in comps)
     if max_h > 2 or max_v > 2:
         raise ValueError("sampling factors above 2 unsupported")
-    # memory-bomb guard: a hostile SOF can claim 65535x65535 and make
-    # the plane allocation below explode before a single entropy byte
-    # is read — cap decoded samples (64M ~ an 8192x8192 RGB frame)
-    if width * height * len(comps) > (1 << 26):
+    # memory-bomb / CPU-bomb guard: a hostile SOF can claim 65535x65535
+    # and make the plane allocation below explode before a single
+    # entropy byte is read. Two bounds, both checked BEFORE allocating:
+    # (a) a hard sample cap — 4M samples ~ a 2048x2048 gray or 1184²
+    #     RGB frame, ~50 MB of float64 planes worst-case and a bounded
+    #     pure-Python block loop (the r6 cap of 2^26 allowed ~512 MB of
+    #     planes and minutes of per-bit decode from one crafted file);
+    # (b) an entropy budget — each 8x8 block consumes >= 2 entropy bits
+    #     (a 1-bit DC code + a 1-bit EOB are the Huffman minima), so a
+    #     well-formed payload can never carry more than 4 blocks per
+    #     entropy byte; a tiny file claiming a huge SOF quarantines
+    #     here instead of stalling the executor until the bit reader
+    #     runs dry deep inside the MCU loop.
+    if width * height * len(comps) > (1 << 22):
         raise ValueError("image dimensions exceed decode cap")
     mcux = -(-width // (8 * max_h))
     mcuy = -(-height // (8 * max_v))
+    total_blocks = mcux * mcuy * sum(h * v for _, h, v, _ in comps)
+    entropy_budget = 4 * max(len(payload) - pos, 1)
+    if total_blocks > entropy_budget:
+        raise ValueError("SOF block count exceeds entropy data budget")
     planes = {
         cid: np.zeros(
             (mcuy * v * 8, mcux * h * 8), dtype=np.float64

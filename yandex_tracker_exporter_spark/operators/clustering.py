@@ -105,10 +105,11 @@ def kmeans_quantized(
 
     ``dim`` defaults to the width of the first seed vector (free — the
     seeds are collected anyway), so any fixed-width corpus works
-    without threading the dimension through. Rows whose vector is null
-    or not ``dim`` wide are quarantined (excluded from seeding,
-    assignment, and output) instead of poisoning the centroid update
-    with nulls.
+    without threading the dimension through. Rows whose vector is null,
+    contains a null element, or is not ``dim`` wide are quarantined
+    (excluded from seeding, assignment, and output) instead of
+    poisoning the centroid update with nulls — and so that the Arrow
+    kernel and the expression fold see identical input.
 
     ``use_kernel`` picks the Arrow assignment kernel (see
     :func:`_assign_kernel`) vs the pure-expression fold — identical
@@ -141,7 +142,15 @@ def kmeans_quantized(
             F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("_q"),
         )
         .localCheckpoint(eager=False)
-        .where(F.col("_q").isNotNull())
+        # element-null vectors must quarantine too: the Arrow kernel's
+        # np.asarray(..., dtype=int64) raises on a None element (task
+        # failure) while the expression fold would yield a null dist2 —
+        # filtering both shapes here keeps the two assignment paths
+        # seeing identical input
+        .where(
+            F.col("_q").isNotNull()
+            & ~F.exists("_q", lambda x: x.isNull())
+        )
     )
     if dim is None:
         first = codes.orderBy(F.col(id_col).asc()).limit(1).collect()

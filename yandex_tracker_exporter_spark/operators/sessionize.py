@@ -183,6 +183,7 @@ def status_metrics(
 
 def corrupt_transition_events(
     changelog: DataFrame,
+    *,
     issues: DataFrame | None = None,
     config: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
