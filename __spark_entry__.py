@@ -2264,22 +2264,20 @@ def q_kcore(spark, sf_dir):
     """3-core of the part co-purchase graph by synchronous peeling —
     the cohesion filter between raw degree and community detection.
 
-    The CONTRACT is the fixed 8-round unroll (the pagerank/kmeans
-    pattern for iterative algorithms): the oracle replays the identical
-    recurrence as a CTE chain, so engine ≡ oracle at every scale. On
-    graphs whose peeling is deeper than 8 synchronous rounds the result
-    is the DOCUMENTED 8-round superset of the true 3-core (measured:
-    sf0.001 reaches the fixpoint at round 9 — pinned by
-    test_kcore_contract_rounds_reach_fixpoint — while the sf0.01/sf0.1
-    co-purchase graphs are still peeling past round 14, so there the
-    bounded peel is an approximation BOTH engines compute identically).
-    The true-fixpoint path is the operator's default cap=64 with early
-    exit, differential-tested against a brute-force peeler. Per round
-    only node-sized relations move — the edge list is checkpointed
-    once."""
+    The CONTRACT is the operator's default TRUE FIXPOINT (cap 64 with
+    early exit — promoted in round 7 from the old 8-round unroll, which
+    returned a documented superset on the sf0.01/sf0.1 graphs whose
+    peeling runs deeper than 8 rounds). The DuckDB oracle replays the
+    identical recurrence as a RECURSIVE CTE that peels until a round
+    removes no nodes — peeling is monotone shrinking, so count
+    stability ⟺ set stability, and the final one-more-peel projection
+    handles the empty-core case. Differential-tested against a
+    pure-Python brute-force peeler on the co-purchase graph at all
+    three scales (test_kcore_contract_is_true_fixpoint). Per round only
+    node-sized relations move — the edge list is checkpointed once."""
     from yandex_tracker_exporter_spark.operators.graph import kcore
 
-    out = kcore(_copurchase_edges(spark, sf_dir), k=3, rounds=8)
+    out = kcore(_copurchase_edges(spark, sf_dir), k=3)
     return out.select(F.col("node").cast("long"), "core_deg")
 
 
@@ -6181,44 +6179,65 @@ _ORACLES["source_gini"] = """
 # --------------------------------------------------------------------------
 
 
-def _build_kcore_sql(k: int = 3, rounds: int = 8) -> str:
-    """Unrolled synchronous peeling, mirroring operators.graph.kcore."""
+def _build_kcore_sql(k: int = 3) -> str:
+    """Recursive-CTE synchronous peeling to the TRUE FIXPOINT,
+    mirroring operators.graph.kcore's default (cap 64 + early exit).
+
+    Semantics of the recursion: the working table at step i holds
+    exactly the alive set s_i (standard UNION ALL working-table rule —
+    the recursive term sees only the rows produced by the previous
+    step). Each step computes the peeled set nxt = {node : deg >= k
+    within s_i} and emits it ONLY while it is strictly smaller than
+    s_i; peeling is monotone shrinking, so |nxt| = |s_i| ⟺ nxt = s_i =
+    fixpoint, and the recursion terminates. The final projection peels
+    the max-iter set once more (deg >= k over it), which (a) attaches
+    core_deg and (b) returns empty when the true core is empty — the
+    one case where the last EMITTED set is not the fixpoint (a step
+    whose nxt is empty emits zero rows, stopping with max(iter) still
+    on its non-empty predecessor)."""
     # MATERIALIZED: without it DuckDB inlines the edge CTE into every
-    # unrolled round — dozens of simultaneous parquet scans (EMFILE)
-    ctes = [
-        """e AS MATERIALIZED (
+    # peeling round — many simultaneous parquet scans (EMFILE)
+    return f"""
+    WITH RECURSIVE e AS MATERIALIZED (
         SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
                         greatest(a.l_partkey, b.l_partkey) AS v
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         WHERE a.l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
           AND b.l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
-    )""",
-        """a0 AS MATERIALIZED (
-        SELECT u AS node FROM e UNION SELECT v AS node FROM e
-    )""",
-    ]
-    for i in range(1, rounds + 2):
-        prev = f"a{i - 1}"
-        ctes.append(f"""d{i} AS (
+    ),
+    alive(iter, node) AS (
+        SELECT 0::BIGINT, node
+        FROM (SELECT u AS node FROM e UNION SELECT v AS node FROM e)
+      UNION ALL
+        (WITH prev AS (SELECT iter, node FROM alive),
+              deg AS (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT e.u AS node FROM e
+                    JOIN prev x ON x.node = e.u JOIN prev y ON y.node = e.v
+                    UNION ALL
+                    SELECT e.v AS node FROM e
+                    JOIN prev x ON x.node = e.u JOIN prev y ON y.node = e.v
+                ) GROUP BY node
+              ),
+              nxt AS (SELECT node FROM deg WHERE deg >= {k})
+         SELECT (SELECT max(iter) FROM prev) + 1, node FROM nxt
+         WHERE (SELECT count(*) FROM nxt) < (SELECT count(*) FROM prev))
+    ),
+    last AS (SELECT max(iter) AS m FROM alive),
+    fin AS (SELECT node FROM alive, last WHERE iter = last.m),
+    degf AS (
         SELECT node, count(*)::BIGINT AS deg FROM (
             SELECT e.u AS node FROM e
-            JOIN {prev} x ON x.node = e.u JOIN {prev} y ON y.node = e.v
+            JOIN fin x ON x.node = e.u JOIN fin y ON y.node = e.v
             UNION ALL
             SELECT e.v AS node FROM e
-            JOIN {prev} x ON x.node = e.u JOIN {prev} y ON y.node = e.v
+            JOIN fin x ON x.node = e.u JOIN fin y ON y.node = e.v
         ) GROUP BY node
-    )""")
-        ctes.append(f"""a{i} AS MATERIALIZED (
-        SELECT node FROM d{i} WHERE deg >= {k}
-    )""")
-    final = rounds + 1
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
-    SELECT node::BIGINT AS node, deg AS core_deg
-    FROM d{final} WHERE deg >= {k}
-    """
     )
+    SELECT node::BIGINT AS node, deg AS core_deg
+    FROM degf WHERE deg >= {k}
+    """
 
 
 _ORACLES["kcore_3"] = _build_kcore_sql()

@@ -39,21 +39,37 @@ def test_kcore_empty_when_k_too_large(spark):
     assert kcore(df, k=3, rounds=3).count() == 0
 
 
-def test_kcore_contract_rounds_reach_fixpoint(spark):
-    """The contract's fixed 8-round unroll must reach the peeling
-    fixpoint on the harness graph — at the fixpoint an extra round is a
-    no-op, so the unrolled oracle equals true k-core."""
+def _peel_ref(pairs, k):
+    """Brute-force synchronous peeler over a driver-side edge list —
+    deliberately not engine-shaped (dict degree counting, set peel)."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    alive = {n for e in edges for n in e}
+    while True:
+        deg: dict = {}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        nxt = {n for n, d in deg.items() if d >= k}
+        if nxt == alive:
+            return {n: deg[n] for n in alive}
+        alive = nxt
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_kcore_contract_is_true_fixpoint(spark, sf):
+    """Round-7 promotion: the kcore_3 CONTRACT is the operator's
+    true-fixpoint default (no more 8-round-superset caveat). Verified
+    differentially at ALL THREE scales against a brute-force Python
+    peeler over the collected co-purchase edge list — the sf0.01/sf0.1
+    graphs peel deeper than the old 8-round unroll, so this pins
+    exactly the semantics the old contract approximated."""
     import __spark_entry__ as entry_mod
 
-    sf = "/root/testdata/sf0.001"
-    edges = entry_mod._copurchase_edges(spark, sf)
-    r8 = sorted(
-        (r["node"], r["core_deg"]) for r in kcore(edges, k=3, rounds=8).collect()
-    )
-    r9 = sorted(
-        (r["node"], r["core_deg"]) for r in kcore(edges, k=3, rounds=9).collect()
-    )
-    assert r8 == r9 and r8
+    edges_df = entry_mod._copurchase_edges(spark, f"/root/testdata/sf{sf}")
+    pairs = [(r[0], r[1]) for r in edges_df.collect()]
+    got = {r["node"]: r["core_deg"] for r in kcore(edges_df, k=3).collect()}
+    assert got == _peel_ref(pairs, 3)
 
 
 def test_kcore_deep_peeling_reaches_true_fixpoint(spark):
