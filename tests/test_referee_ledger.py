@@ -1,0 +1,28 @@
+"""The referee-coverage ledger (tools/referee_coverage.py) must stay
+synced to the live contract: every queries() entry present, no stale
+entries, every cited test existing, and ZERO parity-only queries —
+each of the 151 has at least one non-oracle referee or targeted
+property test. This is the invariant that keeps new queries from
+shipping with oracle parity as their only correctness evidence."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_ledger_synced_and_no_parity_only_queries():
+    import referee_coverage
+
+    assert referee_coverage.validate() == []
+
+
+def test_every_query_has_a_referee_class():
+    import referee_coverage
+
+    missing = [
+        q
+        for q, ev in referee_coverage.LEDGER.items()
+        if not ev.get("referee")
+    ]
+    assert missing == [], f"queries with property-only evidence: {missing}"
