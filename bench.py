@@ -37,17 +37,26 @@ from yandex_tracker_exporter_spark.session import get_spark
 
 
 def _other_jvms() -> list[int]:
-    """PIDs of java processes not descended from this bench run."""
+    """PIDs of LIVE java processes not descended from this bench run.
+
+    Zombies (state Z) are excluded: a just-exited Spark session's JVM
+    lingers as an unkillable zombie until its parent reaps it, holds no
+    CPU or memory, and was the recurring false-positive behind
+    ``contended: true, other_jvms: 1`` artifacts — back-to-back bench
+    invocations always see the previous run's corpse for a second."""
     pids = []
     try:
         for entry in os.listdir("/proc"):
             if not entry.isdigit():
                 continue
             try:
-                with open(f"/proc/{entry}/comm") as fh:
-                    if fh.read().strip() == "java":
-                        pids.append(int(entry))
-            except OSError:
+                with open(f"/proc/{entry}/stat") as fh:
+                    stat = fh.read()
+                comm = stat[stat.index("(") + 1: stat.rindex(")")]
+                state = stat[stat.rindex(")") + 2: stat.rindex(")") + 3]
+                if comm == "java" and state != "Z":
+                    pids.append(int(entry))
+            except (OSError, ValueError):
                 continue
     except OSError:
         pass
