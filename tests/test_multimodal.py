@@ -783,3 +783,115 @@ def test_all_decoders_fuzz_via_dispatch():
             _decode_payload_real(p)  # dict or None — never an exception
             n += 1
     assert n == 1200
+
+
+def test_jpeg_app_segment_roundtrip_and_decoder_compat():
+    """JFIF APP0 + EXIF APP1 (both endiannesses) spliced after SOI must
+    (a) parse back to the planted values and (b) leave the pixel decode
+    untouched — the decoder walk skips APPn segments."""
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        decode_jpeg,
+        encode_exif_app1,
+        encode_jfif_app0,
+        encode_jpeg_gray,
+        jpeg_app_metadata,
+    )
+
+    bare = encode_jpeg_gray(16, 16, bytes(np.arange(256, dtype=np.uint8)))
+    for big in (False, True):
+        tagged = (
+            bare[:2]
+            + encode_jfif_app0(xdensity=300, ydensity=150, units=2)
+            + encode_exif_app1(orientation=6, big_endian=big)
+            + bare[2:]
+        )
+        meta = jpeg_app_metadata(tagged)
+        assert meta == {
+            "jfif_version": "1.02",
+            "density_units": 2,
+            "xdensity": 300,
+            "ydensity": 150,
+            "orientation": 6,
+        }
+        assert decode_jpeg(tagged) == decode_jpeg(bare)
+    # a bare fixture has no APP segments: every field None, no raise
+    assert set(jpeg_app_metadata(bare).values()) == {None}
+
+
+def test_jpeg_app_segment_hostile_quarantine():
+    """Each spec violation must quarantine (ValueError), never return
+    garbage metadata: short JFIF body, zero density, unit > 2, bad TIFF
+    byte order/magic, IFD offset or entry table escaping the segment,
+    orientation outside 1..8."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        encode_exif_app1,
+        encode_jfif_app0,
+        encode_jpeg_gray,
+        jpeg_app_metadata,
+    )
+
+    bare = encode_jpeg_gray(16, 16, bytes(np.arange(256, dtype=np.uint8)))
+
+    def splice(seg: bytes) -> bytes:
+        return bare[:2] + seg + bare[2:]
+
+    # JFIF body below the 14-byte spec floor
+    short = b"\xff\xe0" + _struct.pack(">H", 9) + b"JFIF\x00\x01\x02"
+    # zero X density
+    zerod = bytearray(encode_jfif_app0())
+    _struct.pack_into(">H", zerod, 12, 0)
+    # density unit 3
+    badunit = bytearray(encode_jfif_app0())
+    badunit[11] = 3
+    # EXIF with bad byte order / magic / IFD offset / truncated table
+    badorder = bytearray(encode_exif_app1())
+    badorder[10:12] = b"XX"
+    badmagic = bytearray(encode_exif_app1())
+    _struct.pack_into("<H", badmagic, 12, 41)
+    badifd = bytearray(encode_exif_app1())
+    _struct.pack_into("<I", badifd, 14, 10_000)
+    badcount = bytearray(encode_exif_app1())
+    _struct.pack_into("<H", badcount, 18, 400)
+    for orient in (0, 9):
+        with _pt.raises(ValueError, match="orientation"):
+            jpeg_app_metadata(splice(encode_exif_app1(orientation=orient)))
+    for seg in (short, zerod, badunit, badorder, badmagic, badifd, badcount):
+        with _pt.raises(ValueError):
+            jpeg_app_metadata(splice(bytes(seg)))
+
+
+def test_jpeg_app_metadata_fuzz_never_crashes():
+    """Random single-byte corruptions of an APP-bearing JPEG: the
+    metadata walk returns a dict or raises ValueError — never any other
+    exception (the whole-scan quarantine contract, applied to the new
+    parser exactly like the box walker's fuzz family)."""
+    import random
+
+    import numpy as np
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        encode_exif_app1,
+        encode_jfif_app0,
+        encode_jpeg_gray,
+        jpeg_app_metadata,
+    )
+
+    bare = encode_jpeg_gray(16, 16, bytes(np.arange(256, dtype=np.uint8)))
+    good = bare[:2] + encode_jfif_app0() + encode_exif_app1() + bare[2:]
+    rng = random.Random(1234)
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = jpeg_app_metadata(bytes(b))
+            assert isinstance(out, dict)
+        except ValueError:
+            pass

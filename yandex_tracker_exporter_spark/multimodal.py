@@ -1502,6 +1502,124 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+def encode_jfif_app0(
+    xdensity: int = 72,
+    ydensity: int = 72,
+    units: int = 1,
+    version: tuple[int, int] = (1, 2),
+) -> bytes:
+    """A spec-exact JFIF APP0 segment (JFIF 1.02 §JFIF APP0 marker):
+    marker, length 16, 'JFIF\\0', version, density units (0 aspect
+    only / 1 dpi / 2 dpcm), X/Y density, 0x0 thumbnail."""
+    return (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00"
+        + bytes(version)
+        + struct.pack(">BHHBB", units, xdensity, ydensity, 0, 0)
+    )
+
+
+def encode_exif_app1(orientation: int = 1, big_endian: bool = False) -> bytes:
+    """A minimal spec-exact EXIF APP1 segment: 'Exif\\0\\0', TIFF header
+    (byte order, magic 42, IFD0 at offset 8), one-entry IFD0 carrying
+    tag 0x0112 Orientation (SHORT, count 1), next-IFD pointer 0."""
+    e = ">" if big_endian else "<"
+    order = b"MM" if big_endian else b"II"
+    tiff = (
+        order
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)  # IFD0 offset
+        + struct.pack(e + "H", 1)  # one entry
+        # tag, type SHORT, count, value left-justified in 4 bytes
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + struct.pack(e + "H", orientation)
+        + b"\x00\x00"
+        + struct.pack(e + "I", 0)  # no next IFD
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def jpeg_app_metadata(payload: bytes) -> dict:
+    """APP-segment metadata walk (verdict r6 #6): JFIF APP0 density /
+    version and the EXIF APP1 Orientation tag ONLY (a one-entry IFD0
+    scan with spec-offset bounds, deliberately not a full TIFF walk —
+    the MP4 box-walker discipline). Returns
+    {jfif_version, density_units, xdensity, ydensity, orientation},
+    each None when its segment is absent. Malformed structures that
+    CLAIM to be JFIF/EXIF quarantine with ValueError: JFIF bodies
+    shorter than the 14-byte spec floor, zero densities (forbidden by
+    JFIF §X/Ydensity), unit codes above 2, TIFF headers with a bad
+    byte order or magic, IFD offsets/entry tables escaping the
+    segment, orientation values outside 1..8."""
+    if payload[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    out: dict = {
+        "jfif_version": None,
+        "density_units": None,
+        "xdensity": None,
+        "ydensity": None,
+        "orientation": None,
+    }
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker in (0xDA, 0xD9):  # scan data / EOI: APPn all seen
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            if len(body) < 14:
+                raise ValueError("JFIF APP0 below 14-byte spec floor")
+            major, minor, units, xd, yd = struct.unpack(
+                ">BBBHH", body[5:12]
+            )
+            if units > 2:
+                raise ValueError("JFIF density unit above 2")
+            if xd == 0 or yd == 0:
+                raise ValueError("JFIF zero density forbidden")
+            out["jfif_version"] = f"{major}.{minor:02d}"
+            out["density_units"] = units
+            out["xdensity"] = xd
+            out["ydensity"] = yd
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            if len(tiff) < 8:
+                raise ValueError("EXIF TIFF header truncated")
+            if tiff[:2] == b"II":
+                e = "<"
+            elif tiff[:2] == b"MM":
+                e = ">"
+            else:
+                raise ValueError("EXIF bad TIFF byte order")
+            (magic,) = struct.unpack_from(e + "H", tiff, 2)
+            if magic != 42:
+                raise ValueError("EXIF bad TIFF magic")
+            (ifd0,) = struct.unpack_from(e + "I", tiff, 4)
+            if ifd0 < 8 or ifd0 + 2 > len(tiff):
+                raise ValueError("EXIF IFD0 offset out of bounds")
+            (n_entries,) = struct.unpack_from(e + "H", tiff, ifd0)
+            if ifd0 + 2 + 12 * n_entries > len(tiff):
+                raise ValueError("EXIF IFD0 entry table truncated")
+            for i in range(n_entries):
+                off = ifd0 + 2 + 12 * i
+                tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, off)
+                if tag == 0x0112:
+                    if typ != 3 or cnt != 1:
+                        raise ValueError("EXIF orientation not SHORT[1]")
+                    (orient,) = struct.unpack_from(e + "H", tiff, off + 8)
+                    if not 1 <= orient <= 8:
+                        raise ValueError("EXIF orientation outside 1..8")
+                    out["orientation"] = orient
+        pos += 2 + seglen
+    return out
+
+
 def jpeg_fixture_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic COMPRESSED-grayscale corpus: every non-empty doc
     becomes a 16x16 baseline JPEG of four 8x8 CONSTANT blocks whose
