@@ -255,3 +255,50 @@ def test_profile_table_hostile_column_names(spark):
         for r in profile_table(df).collect()
     }
     assert rows == {"order date": (2, 0, 2), "it's-risky": (2, 1, 1)}
+
+
+def test_kcore_local_finish_equals_distributed(spark):
+    """The driver-local peel and the distributed rounds are the same
+    bounded synchronous recurrence — byte-identical output on a graph
+    with a deep tail, a true core, dup/reversed edges and self-loops,
+    with the cap binding (rounds=3) and not (default)."""
+    ring = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 4)]  # 3-core K4
+    tail = [(4, 10)] + [(10 + i, 11 + i) for i in range(12)]
+    noise = [(2, 1), (5, 5), (3, 4)]  # reversed dup, self-loop, dup
+    df = spark.createDataFrame(ring + tail + noise, ["src", "dst"])
+    for rounds in (3, 64):
+        local = sorted(
+            tuple(r)
+            for r in kcore(df, k=3, rounds=rounds).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in kcore(
+                df, k=3, rounds=rounds, local_finish_edges=0
+            ).collect()
+        )
+        assert local == dist
+
+
+def test_pagerank_local_finish_equals_distributed(spark):
+    """Local replay of the fixed-point integer recurrence must be
+    bit-identical to the distributed loop (weighted, with a dangling
+    sink and a multi-edge)."""
+    from yandex_tracker_exporter_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 5), (4, 1, 7),
+        (2, 4, 1), (5, 1, 1),  # 5 has out-edges; 4->1 makes 4 non-dangling
+        (1, 6, 2),  # 6 is a dangling sink
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    local = sorted(
+        tuple(r) for r in pagerank(df, weight="w", iterations=6).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in pagerank(
+            df, weight="w", iterations=6, local_finish_edges=0
+        ).collect()
+    )
+    assert local == dist

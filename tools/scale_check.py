@@ -169,9 +169,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as m
 
-    if os.path.exists(BIG):
-        shutil.rmtree(BIG)
-    build_big(spark, factor)
+    # Reuse an existing blow-up of the SAME factor (a factor-30 build
+    # takes minutes — rebuilding it for every measurement batch would
+    # force build+measure into one long run). The marker file records
+    # the factor the on-disk corpus was built with.
+    marker = os.path.join(WORK, "factor.txt")
+    have = None
+    if os.path.exists(marker):
+        try:
+            have = int(open(marker).read().strip())
+        except ValueError:
+            have = None
+    if have != factor or not os.path.exists(BIG):
+        if os.path.exists(BIG):
+            shutil.rmtree(BIG)
+        build_big(spark, factor)
+        os.makedirs(WORK, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(str(factor))
+    else:
+        print(f"reusing existing {factor}x blow-up at {BIG}", flush=True)
     qs = m.queries()
     print("timing small…", flush=True)
     small = time_queries(spark, qs, SF_SMALL, runs, subset)

@@ -114,14 +114,21 @@ def _pagerank_local(rows, iterations: int) -> list:
     n = len(nodes)
     base = PR_SCALE // n
     teleport = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
+    def _div(a: int, b: int) -> int:
+        # Spark SQL `div` truncates toward zero; Python // floors. They
+        # agree on the non-negative common case but not on negative
+        # user-provided weights — replay truncation exactly.
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
     ranks = {v: base for v in nodes}
     for _ in range(iterations):
         contribs: dict = {}
         for s, t, w in rows:
-            c = (ranks[s] * w) // out_w[s]
+            c = _div(ranks[s] * w, out_w[s])
             contribs[t] = contribs.get(t, 0) + c
         ranks = {
-            v: teleport + (PR_D_NUM * contribs.get(v, 0)) // PR_D_DEN
+            v: teleport + _div(PR_D_NUM * contribs.get(v, 0), PR_D_DEN)
             for v in nodes
         }
     return sorted(ranks.items())
