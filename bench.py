@@ -233,10 +233,9 @@ def main() -> None:
                 rows = df.count()  # full execution; count avoids driver skew
                 elapsed = time.perf_counter() - start
                 samples.setdefault(name, []).append(elapsed)
-            timings = {n: min(s) for n, s in samples.items()}
             if pass_idx == 1:
                 print(
-                    f"# {name}: {timings[name]:.3f}s ({rows} rows)",
+                    f"# {name}: {min(samples[name]):.3f}s ({rows} rows)",
                     file=sys.stderr,
                 )
             # isolation between queries: drop cached relations and collect

@@ -122,3 +122,34 @@ def test_pagerank_unweighted_default(spark):
     r1 = {r["node"]: r["rank_e9"] for r in pagerank(df1).collect()}
     r2 = {r["node"]: r["rank_e9"] for r in pagerank(df2, weight="w").collect()}
     assert r1 == r2
+
+
+def test_pagerank_null_weight_falls_back_to_distributed(spark):
+    """A null edge weight (or a zero-sum source) is Spark-null
+    territory: the local finish must decline (never crash with a
+    TypeError/ZeroDivisionError) and both threshold settings must
+    agree — the fallback makes the paths interchangeable on EVERY
+    input, not just clean ones."""
+    from pyspark.sql import types as T
+
+    from yandex_tracker_exporter_spark.operators.graph import pagerank
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("w", T.LongType()),
+        ]
+    )
+    edges = [(1, 2, 3), (2, 3, None), (3, 1, 2), (1, 3, 1)]
+    df = spark.createDataFrame(edges, schema)
+    auto = sorted(
+        tuple(r) for r in pagerank(df, weight="w", iterations=4).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in pagerank(
+            df, weight="w", iterations=4, local_finish_edges=0
+        ).collect()
+    )
+    assert auto == dist and auto

@@ -26,3 +26,16 @@ def test_every_query_has_a_referee_class():
         if not ev.get("referee")
     ]
     assert missing == [], f"queries with property-only evidence: {missing}"
+
+
+def test_committed_artifact_matches_ledger():
+    """REFEREE_COVERAGE.json is generated from the LEDGER
+    (`python tools/referee_coverage.py --write`); a ledger change
+    without regenerating the artifact must fail here, never drift."""
+    import json
+
+    import referee_coverage
+
+    with open(referee_coverage.ARTIFACT_PATH) as fh:
+        committed = json.load(fh)
+    assert committed == referee_coverage.artifact_dict()

@@ -853,7 +853,34 @@ def validate() -> list[str]:
     return problems
 
 
+ARTIFACT_PATH = os.path.join(REPO, "REFEREE_COVERAGE.json")
+
+
+def artifact_dict() -> dict:
+    """The committed REFEREE_COVERAGE.json contents — generated here so
+    the artifact can never drift from the authoritative LEDGER (the
+    pytest twin asserts file == artifact_dict())."""
+    return {
+        "n_queries": len(LEDGER),
+        "with_referee": sum(1 for ev in LEDGER.values() if ev["referee"]),
+        "with_property": sum(1 for ev in LEDGER.values() if ev["property"]),
+        "parity_only": sum(
+            1 for ev in LEDGER.values() if not ev["referee"] and not ev["property"]
+        ),
+        "blanket_guards": [
+            "tests/test_plan_shapes.py::test_no_cartesian_or_nested_loop_anywhere",
+            "tests/test_oracle_parity.py::test_query_matches_oracle",
+            "tools/make_manifest.py (full driver-protocol sweep)",
+        ],
+        "ledger": LEDGER,
+    }
+
+
 def main() -> int:
+    if "--write" in sys.argv[1:]:
+        with open(ARTIFACT_PATH, "w") as fh:
+            json.dump(artifact_dict(), fh, indent=1, sort_keys=True)
+        print(f"wrote {ARTIFACT_PATH}")
     problems = validate()
     n_ref = sum(1 for ev in LEDGER.values() if ev["referee"])
     n_prop = sum(1 for ev in LEDGER.values() if ev["property"])

@@ -181,6 +181,12 @@ def main() -> None:
         except ValueError:
             have = None
     if have != factor or not os.path.exists(BIG):
+        # invalidate the marker BEFORE touching the corpus: an
+        # interrupted rebuild must leave "no marker + partial data",
+        # never "stale marker + partial data" (which a later run of the
+        # marker's factor would silently reuse)
+        if os.path.exists(marker):
+            os.remove(marker)
         if os.path.exists(BIG):
             shutil.rmtree(BIG)
         build_big(spark, factor)

@@ -100,17 +100,27 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
-def _pagerank_local(rows, iterations: int) -> list:
+def _pagerank_local(rows, iterations: int) -> list | None:
     """Driver-side replay of the EXACT fixed-point integer recurrence
     (same floor divisions, same dangling-mass drop) over a collected
     (src, dst, w) edge list — bit-identical to the distributed loop,
-    which is pure int64 arithmetic. Returns sorted (node, rank) pairs."""
+    which is pure int64 arithmetic. Returns sorted (node, rank) pairs,
+    or None when the edge list contains shapes whose semantics are
+    defined by Spark's null handling rather than plain integer
+    arithmetic (null src/dst/weight, or a source whose weights sum to
+    <= 0, where Spark's null-skipping sum and null-yielding `div`
+    apply) — the caller falls back to the distributed path so the two
+    paths never diverge."""
     out_w: dict = {}
     nodes = set()
     for s, t, w in rows:
+        if s is None or t is None or w is None:
+            return None
         out_w[s] = out_w.get(s, 0) + w
         nodes.add(s)
         nodes.add(t)
+    if any(v <= 0 for v in out_w.values()):
+        return None
     n = len(nodes)
     base = PR_SCALE // n
     teleport = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * n)
@@ -140,7 +150,7 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     iterations: int = 8,
-    local_finish_edges: int = 2_000_000,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank in exact fixed-point integer arithmetic.
 
@@ -181,13 +191,17 @@ def pagerank(
         from pyspark.sql import types as T
 
         rows = [(r[0], r[1], r[2]) for r in e.collect()]
-        schema = T.StructType(
-            [
-                T.StructField("node", e.schema["_s"].dataType),
-                T.StructField("rank_e9", T.LongType()),
-            ]
-        )
-        return spark.createDataFrame(_pagerank_local(rows, iterations), schema)
+        local = _pagerank_local(rows, iterations)
+        if local is not None:
+            schema = T.StructType(
+                [
+                    T.StructField("node", e.schema["_s"].dataType),
+                    T.StructField("rank_e9", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(local, schema)
+        # null keys/weights or non-positive out-weight sums: semantics
+        # belong to Spark's null handling — take the distributed path
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionAll(e.select(F.col("_t").alias("node")))
@@ -269,7 +283,7 @@ def kcore(
     rounds: int = 64,
     src: str = "src",
     dst: str = "dst",
-    local_finish_edges: int = 2_000_000,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """k-core decomposition by synchronous peeling: repeatedly delete
     every node whose degree in the surviving subgraph is < k; what
@@ -301,7 +315,9 @@ def kcore(
       (peeling on the induced subgraph is the same recurrence — edges
       to dead nodes never count toward a degree);
     - **local finish**: once the compacted edge list fits the driver
-      comfortably (``local_finish_edges`` tuples, ~16 B each; 0
+      comfortably (``local_finish_edges`` collected Row tuples, ~100 B
+      each as Python objects — the 100k default is ~10 MB and keeps
+      the O(E)-per-round pure-Python peel to milliseconds; 0
       disables), the remaining rounds run as a driver-side dict peel of
       the SAME bounded synchronous recurrence — the AQE-style shift to
       a local strategy when the distributed plan's fixed overhead
