@@ -895,3 +895,81 @@ def test_jpeg_app_metadata_fuzz_never_crashes():
             assert isinstance(out, dict)
         except ValueError:
             pass
+
+
+def test_decoder_hostile_headers_quarantine_not_crash():
+    """Round-7 review family: attacker-controlled header fields that
+    used to escape the quarantine handlers (ZeroDivisionError,
+    struct.error, negative-dim reshape, truncated final frame, PNG
+    inflate bomb) must all raise ValueError from the parser — so every
+    downstream handler (which catches ValueError) quarantines the row
+    instead of killing the task."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pt
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        _decode_payload_real,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_png,
+        encode_wav,
+        encode_y4m,
+        decode_png,
+    )
+
+    # WAV: sample_rate=0 in the fmt chunk (used to ZeroDivisionError)
+    wav = bytearray(encode_wav([1, 2, 3], 8000))
+    i = wav.find(b"fmt ")
+    _struct.pack_into("<I", wav, i + 12, 0)
+    with _pt.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(wav))
+    assert _decode_payload_real(bytes(wav)) is None
+
+    # WAV: fmt chunk declaring size 8 (used to struct.error past
+    # audio_frame_energy's ValueError-only handler)
+    short_fmt = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + _struct.pack("<I", 8) + b"\x00" * 8
+    with _pt.raises(ValueError):
+        decode_wav(short_fmt)
+
+    # Y4M: F0:1 (duration div-by-zero) and F25:0 (sample_frames step
+    # div-by-zero) and a truncated final FRAME body (checksum covered
+    # fewer bytes than n_elements claimed)
+    with _pt.raises(ValueError, match="frame rate"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F0:1 C444\n" + b"FRAME\n" + bytes(12))
+    with _pt.raises(ValueError, match="frame rate"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:0 C444\n" + b"FRAME\n" + bytes(12))
+    good = encode_y4m(2, 2, [bytes(12), bytes(12)])
+    with _pt.raises(ValueError, match="truncated FRAME"):
+        decode_y4m(good[:-7])
+
+    # PPM: negative dims whose product passes the length checks
+    with _pt.raises(ValueError, match="non-positive"):
+        decode_ppm(b"P6\n-3 -1\n255\n" + bytes(9))
+    assert _decode_payload_real(b"P6\n-3 -1\n255\n" + bytes(9)) is None
+
+    # PNG: a small IDAT of compressed zeros under an IHDR claiming huge
+    # dimensions must quarantine BEFORE inflating gigabytes
+    bomb = bytearray(encode_png(4, 5, bytes(60)))
+    _struct.pack_into(">II", bomb, 16, 20000, 20000)
+    # fix the IHDR CRC so the walk reaches the dimension guard
+    ihdr_body = bytes(bomb[16:29])
+    _struct.pack_into(">I", bomb, 29, _zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF)
+    with _pt.raises(ValueError, match="decode cap"):
+        decode_png(bytes(bomb))
+    # and an IDAT that inflates PAST the declared raster quarantines too
+    over = bytearray(encode_png(2, 2, bytes(12)))
+    # replace IDAT with a stream holding one extra byte
+    raw = b"\x00" + bytes(6) + b"\x00" + bytes(6) + b"\x00"  # 2 rows + 1 extra
+    from yandex_tracker_exporter_spark.multimodal import PNG_SIG, _png_chunk
+
+    over = (
+        PNG_SIG
+        + bytes(bytearray(encode_png(2, 2, bytes(12)))[8:33])  # IHDR chunk
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pt.raises(ValueError, match="past the declared raster"):
+        decode_png(over)

@@ -101,9 +101,13 @@ def encode_wav(samples: list[int], sample_rate: int = 8000, n_channels: int = 1)
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a PCM WAV: walks RIFF chunks (tolerates extra chunks such as
-    LIST/INFO), returns header fields + decoded int16 samples."""
+def _wav_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(n_channels, sample_rate, bits, int16 samples) of a PCM WAV —
+    the SINGLE RIFF chunk walk behind both :func:`decode_wav` and
+    :func:`audio_frame_energy` (walking and copying the payload twice
+    per row is pure waste on the audio fraction of a 100 TB corpus).
+    All malformations raise ValueError so every quarantine handler
+    catches them."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -112,6 +116,10 @@ def decode_wav(payload: bytes) -> dict:
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # struct.error would escape handlers that catch only
+                # ValueError — normalize here
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -121,10 +129,22 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if sample_rate <= 0:
+        # a crafted fmt chunk with rate 0 would ZeroDivisionError out of
+        # every quarantine handler downstream (they catch ValueError)
+        raise ValueError("non-positive sample rate")
     n_values = len(data) // 2
     # vectorized decode: int16 little-endian view + exact int64 sum
     # (identical to summing struct.unpack'ed Python ints, ~30× cheaper)
     samples = np.frombuffer(data[: n_values * 2], dtype="<i2")
+    return n_channels, sample_rate, bits, samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV: walks RIFF chunks (tolerates extra chunks such as
+    LIST/INFO), returns header fields + decoded int16 samples."""
+    n_channels, sample_rate, bits, samples = _wav_parse(payload)
+    n_values = len(samples)
     n_frames = n_values // max(n_channels, 1)
     return {
         "format": "wav",
@@ -167,6 +187,10 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     if len(tokens) < 3:
         raise ValueError("truncated PPM header")
     width, height, maxval = tokens
+    if width <= 0 or height <= 0 or maxval <= 0:
+        # negative dims can pass the w*h*3 length checks (product of two
+        # negatives) and reach a reshape(-1, -3, 3) outside any handler
+        raise ValueError("non-positive PPM dimensions")
     return width, height, maxval, pos
 
 
@@ -228,8 +252,12 @@ def decode_y4m(payload: bytes) -> dict:
             num, den = (int(x) for x in tok[1:].split(b":"))
         elif tok[:1] == b"C":
             colorspace = tok.decode()
-    if width is None or height is None:
-        raise ValueError("missing W/H in stream header")
+    if width is None or height is None or width <= 0 or height <= 0:
+        raise ValueError("missing/non-positive W/H in stream header")
+    if num <= 0 or den <= 0:
+        # F0:1 or F25:0 would ZeroDivisionError in duration_ms here or
+        # in sample_frames' per-frame step computation
+        raise ValueError("non-positive frame rate")
     if colorspace != "C444":
         raise ValueError("only C444 supported")
     frame_bytes = width * height * 3
@@ -238,7 +266,13 @@ def decode_y4m(payload: bytes) -> dict:
         fnl = payload.find(b"\n", pos)
         if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
             raise ValueError("malformed FRAME marker")
-        frames.append(payload[fnl + 1:fnl + 1 + frame_bytes])
+        frame = payload[fnl + 1:fnl + 1 + frame_bytes]
+        if len(frame) != frame_bytes:
+            # a truncated final frame would be counted by n_elements but
+            # only partially summed into the checksum — strict length,
+            # the decode_ppm rule
+            raise ValueError("truncated FRAME body")
+        frames.append(frame)
         pos = fnl + 1 + frame_bytes
     n_frames = len(frames)
     return {
@@ -381,8 +415,20 @@ def _png_raster(payload: bytes) -> np.ndarray:
     width, height, bit_depth, color_type, _, _, interlace = ihdr
     if bit_depth != 8 or color_type != 2 or interlace != 0:
         raise ValueError("only 8-bit non-interlaced RGB PNG supported")
+    # memory-bomb guard, same class as the JPEG sample cap: a 1 MB IDAT
+    # of compressed zeros under an IHDR claiming 20000x20000 would
+    # inflate ~GBs and run an O(pixels) pure-Python unfilter BEFORE the
+    # raster-size check. Cap the claimed dimensions, then inflate with
+    # an explicit output bound so a lying stream can never expand past
+    # the raster the header promises.
+    if width * height * 3 > (1 << 22):
+        raise ValueError("image dimensions exceed decode cap")
+    expected = (width * 3 + 1) * height
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail or d.decompress(b"", 1):
+            raise ValueError("IDAT inflates past the declared raster")
     except zlib.error as exc:
         raise ValueError(f"PNG inflate failed: {exc}") from exc
     return _png_unfilter(raw, width, height)
@@ -429,7 +475,10 @@ def _decode_payload_real(payload: bytes | None) -> dict | None:
             return decode_jpeg(payload)
         if len(payload) >= 8 and payload[4:8] == b"ftyp":
             return decode_mp4_meta(payload)
-    except (ValueError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError, ZeroDivisionError):
+        # ZeroDivisionError is defense-in-depth: the parsers now reject
+        # zero rates/denominators with ValueError at the header, but a
+        # future field must not be able to kill a 100 TB scan task
         return None
     return None
 
@@ -571,13 +620,14 @@ def audio_frame_energy(df: DataFrame, frame_size: int = 256) -> DataFrame:
         for pdf in batches:
             ids, frames, counts, energies = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    d = decode_wav(bytes(payload)) if payload is not None else None
-                except ValueError:
-                    d = None
-                if d is None:
+                if payload is None:
                     continue
-                samples = _wav_samples(bytes(payload))
+                try:
+                    # ONE RIFF walk per row (was decode_wav + a second
+                    # _wav_samples walk over a second bytes() copy)
+                    _, _, _, samples = _wav_parse(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    continue  # quarantine posture: skip, don't fail
                 sq = samples.astype(np.int64) ** 2
                 n = len(sq)
                 for f in range(0, max((n + frame_size - 1) // frame_size, 0)):
@@ -596,21 +646,6 @@ def audio_frame_energy(df: DataFrame, frame_size: int = 256) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(kernel, ENERGY_SCHEMA)
-
-
-def _wav_samples(payload: bytes) -> np.ndarray:
-    """int16 sample array of a PCM WAV (RIFF chunk walk, like
-    :func:`decode_wav` but returning the data instead of features)."""
-    pos, data = 12, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos:pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
-        if cid == b"data":
-            data = payload[pos + 8:pos + 8 + size]
-        pos += 8 + size + (size & 1)
-    if data is None:
-        return np.array([], dtype="<i2")
-    return np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
 
 
 FRAME_SCHEMA = StructType(
@@ -671,8 +706,6 @@ def sample_frames(
             # media ids -> per-frame indices from cumulative offsets.
             # (Only the sha256 calls stay per-element: hashing is the
             # "decode" stand-in and is per-file in a real kernel anyway.)
-            import numpy as np
-
             for pdf in batches:
                 ok = pdf["payload"].notna() & pdf["duration_ms"].notna()
                 pdf = pdf[ok]
@@ -806,12 +839,17 @@ def media_fixture_from_documents(docs: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            kinds, payloads = [], []
+            ids, kinds, payloads = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    # null/empty text: skip, like every sibling fixture
+                    # builder (None.encode would AttributeError the task)
+                    continue
                 # exact codepoints, vectorized (no per-char ord loop)
                 cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(
                     np.int64
                 )
+                ids.append(int(doc_id))
                 if doc_id % 2 == 0:
                     samples = ((cps * 131) % 65536 - 32768).astype("<i2")
                     kinds.append("audio")
@@ -822,7 +860,7 @@ def media_fixture_from_documents(docs: DataFrame) -> DataFrame:
                     payloads.append(encode_ppm(4, 4, pix.tobytes()))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.array(pdf["doc_id"], dtype="Int64"),
+                    "media_id": pd.array(ids, dtype="Int64"),
                     "kind": kinds,
                     "payload": payloads,
                 }
