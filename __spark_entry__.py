@@ -58,7 +58,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: never changes within a process, so pay it once per table, not once
 #: per query (measured: the uncached probe added 0.3-0.5 s to every
 #: trivial map-only contract query in bench context).
-_WIDE_PROBE_CACHE: dict[tuple[str, str], bool] = {}
+_WIDE_PROBE_CACHE: dict[tuple[str, str, str], bool] = {}
 
 
 def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,7 +69,11 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     at real scale (file count provides the parallelism for free) these
     plans carry NO extra exchange."""
     df = load_table(spark, sf_dir, name)
-    key = (sf_dir, name)
+    # key by applicationId (like _DEDUP_LABELS_CACHE): a process that
+    # cycles SparkSessions with different parallelism must re-probe, or
+    # a stale False serializes every CPU-heavy stage on the old split
+    # count
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _WIDE_PROBE_CACHE:
         _WIDE_PROBE_CACHE[key] = (
             df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
@@ -1391,6 +1395,9 @@ def q_media_metadata_stats(spark, sf_dir):
 #: independent — the first consumer in a session pays the compute, the
 #: rest scan the checkpointed rows.
 _DEDUP_LABELS_CACHE: dict = {}
+#: entries evicted by a q_dedup_labels refresh wait here one generation
+#: before their checkpoint blocks are unpersisted — see q_dedup_labels
+_DEDUP_LABELS_RETIRED: dict = {}
 
 
 def _free_labels_blocks(spark, entry) -> None:
@@ -1448,6 +1455,8 @@ def _dedup_labels(spark, sf_dir):
     # long-lived processes (test suites, tools that cycle SparkSessions)
     for stale in [k for k in _DEDUP_LABELS_CACHE if k[0] != app]:
         _DEDUP_LABELS_CACHE.pop(stale, None)
+    for stale in [k for k in _DEDUP_LABELS_RETIRED if k[0] != app]:
+        _DEDUP_LABELS_RETIRED.pop(stale, None)
     key = (app, sf_dir)
     cached = _DEDUP_LABELS_CACHE.get(key)
     if cached is not None:
@@ -1479,11 +1488,19 @@ def q_dedup_labels(spark, sf_dir):
     (LSH signatures + banded join + CC iteration) and the consumers'
     measured costs are the steady-state reads — together they model
     the real pipeline's cost split."""
-    evicted = _DEDUP_LABELS_CACHE.pop(
-        (spark.sparkContext.applicationId, sf_dir), None
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    evicted = _DEDUP_LABELS_CACHE.pop(key, None)
+    # One-generation grace: free the blocks of the entry retired by the
+    # PREVIOUS refresh, and park the just-evicted one. An in-flight
+    # consumer of the old labels (same-app concurrent thread — the
+    # bench + manifest-sweep pattern) keeps its checkpoint blocks alive
+    # through a full refresh cycle instead of losing them mid-job;
+    # memory stays bounded at one stale generation per (app, sf_dir).
+    prior = _DEDUP_LABELS_RETIRED.pop(key, None)
+    if prior is not None:
+        _free_labels_blocks(spark, prior)
     if evicted is not None:
-        _free_labels_blocks(spark, evicted)
+        _DEDUP_LABELS_RETIRED[key] = evicted
     return _dedup_labels(spark, sf_dir).select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1916,19 +1933,7 @@ def q_triangle_count(spark, sf_dir):
     The shipdate filter pushes to the parquet scan."""
     from yandex_tracker_exporter_spark.operators.graph import triangle_count
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .where(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
-        .select("l_orderkey", "l_partkey")
-    )
-    left = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    right = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    edges = (
-        left.join(right, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-    )
-    out = triangle_count(edges)
+    out = triangle_count(_copurchase_edges(spark, sf_dir))
     return out.select(F.col("apex").cast("long"), "n_triangles")
 
 
@@ -4265,7 +4270,10 @@ _ORACLES: dict[str, str] = {
     # WAV/PPM parsers recover the exact encoded content
     "media_decode_features": """
         WITH base AS (
+            -- the fixture builder skips null/empty text; the oracle
+            -- must apply the same guard (sibling media oracles do)
             SELECT doc_id, text, len(text) AS n FROM documents
+            WHERE len(text) > 0
         )
         SELECT doc_id::BIGINT AS media_id,
                CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS format,

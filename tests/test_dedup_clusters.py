@@ -69,9 +69,11 @@ def test_clusters_on_real_minhash_pairs(spark):
 
 def test_dedup_labels_refresh_releases_blocks(spark):
     """q_dedup_labels refreshes the session-scoped materialized labels;
-    the evicted entry's checkpoint blocks must be unpersisted, not left
-    in the block manager until GC (driver ADVICE r5 — unbounded-ish
-    storage growth under repeated refresh)."""
+    an evicted entry's checkpoint blocks must survive ONE refresh
+    generation (an in-flight same-app consumer of the old labels must
+    not lose its blocks mid-job — round-7 review) and be unpersisted by
+    the NEXT refresh, not left in the block manager until GC (driver
+    ADVICE r5 — unbounded-ish storage growth under repeated refresh)."""
     import __spark_entry__ as entry_mod
 
     sf = "/root/testdata/sf0.001"
@@ -88,11 +90,19 @@ def test_dedup_labels_refresh_releases_blocks(spark):
     assert set(first_ids).isdisjoint(
         entry_mod._checkpoint_block_ids(bystander)
     )
-    q(spark, sf).count()  # refresh: evicts + frees the first entry
+    old_labels = entry_mod._dedup_labels(spark, sf)
+    q(spark, sf).count()  # refresh 1: first entry parked, NOT freed
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    assert [rid for rid in first_ids if live.get(rid) is not None], (
+        "one-generation grace: the old blocks must outlive one refresh"
+    )
+    # the old relation is still executable across the refresh boundary
+    assert old_labels.count() > 0
+    q(spark, sf).count()  # refresh 2: the retired generation is freed
     live = spark.sparkContext._jsc.getPersistentRDDs()
     still = [rid for rid in first_ids if live.get(rid) is not None]
-    assert not still, f"evicted entry left persistent RDDs: {still}"
-    # the bystander's checkpoint blocks survived the eviction intact
+    assert not still, f"retired entry left persistent RDDs: {still}"
+    # the bystander's checkpoint blocks survived both evictions intact
     assert bystander.count() == 100
     by_ids = entry_mod._checkpoint_block_ids(bystander)
     assert all(live.get(rid) is not None for rid in by_ids)
