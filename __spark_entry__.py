@@ -4374,7 +4374,7 @@ _ORACLES: dict[str, str] = {
     "quality_score": None,
     "token_count": """
         SELECT doc_id::BIGINT AS doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+               len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))::BIGINT AS ws_tokens,
                len(regexp_extract_all(text,
                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS subword_chunks
         FROM documents
@@ -4521,7 +4521,7 @@ _ORACLES: dict[str, str] = {
     """,
     "chunk_documents": """
         WITH t AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks
             FROM documents
         ), c AS (
             SELECT doc_id, toks,
@@ -4530,20 +4530,26 @@ _ORACLES: dict[str, str] = {
         )
         SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS chunk_idx,
                len(toks[i*24 + 1 : i*24 + 32])::BIGINT AS n_chunk_tokens,
-               array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text
+               -- empty slice: engine's array_join gives '', DuckDB NULL
+               coalesce(array_to_string(toks[i*24 + 1 : i*24 + 32], ' '), '')
+                   AS chunk_text
         FROM c, unnest(range(0, n_chunks)) AS u(i)
     """,
     "dup_window_ratio": """
         WITH t AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks
             FROM documents
         ), c AS (
             SELECT doc_id, toks,
                    greatest(1, floor((len(toks) + 15) / 16))::INT AS n_w
             FROM t
         ), w AS (
+            -- empty window: coalesce to '' so its hash is non-null (a
+            -- NULL hash silently dropped the doc at the freq join)
             SELECT doc_id,
-                   md5(array_to_string(toks[i*16 + 1 : i*16 + 16], ' ')) AS wh
+                   md5(coalesce(
+                       array_to_string(toks[i*16 + 1 : i*16 + 16], ' '), ''
+                   )) AS wh
             FROM c, unnest(range(0, n_w)) AS u(i)
         ), freq AS (
             SELECT wh, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY wh
@@ -4583,7 +4589,7 @@ _ORACLES: dict[str, str] = {
     "pack_token_budget": """
         WITH toks AS (
             SELECT doc_id, doc_id % 8 AS shard,
-                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+                   len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))::BIGINT AS n_tokens
             FROM documents
         )
         SELECT doc_id::BIGINT AS doc_id, shard::BIGINT AS shard,
@@ -4694,7 +4700,7 @@ def _build_lang_id_sql() -> str:
     scored = "[" + ", ".join(cases) + "]"
     return f"""
         WITH t AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks
             FROM documents
         ), s AS (
             SELECT doc_id, {scored} AS scored FROM t
@@ -4717,7 +4723,7 @@ def _build_quality_sql() -> str:
     return f"""
         WITH t AS (
             SELECT doc_id, text,
-                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks,
                    len(text)::BIGINT AS n_chars
             FROM documents
         ), f AS (
@@ -4742,7 +4748,7 @@ def _build_corpus_clean_sql() -> str:
     return f"""
         WITH t AS (
             SELECT doc_id, text, lang,
-                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks,
                    len(text)::BIGINT AS n_chars
             FROM documents
         ), f AS (
@@ -4932,7 +4938,7 @@ def _build_pii_redact_sql() -> str:
 _ORACLES["repetition_signals"] = """
     WITH toks AS (
         SELECT doc_id,
-               regexp_split_to_array(trim(text), '\\s+') AS t
+               (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
         FROM documents
     ), bi AS (
         SELECT doc_id, t,
@@ -4943,15 +4949,17 @@ _ORACLES["repetition_signals"] = """
     SELECT doc_id::BIGINT AS doc_id,
            len(t)::BIGINT AS n_tokens,
            len(list_distinct(t))::BIGINT AS n_distinct_tokens,
-           list_max(list_transform(list_distinct(t),
-               u -> len(list_filter(t, x -> x = u))))::BIGINT
-               AS top_token_count,
+           CASE WHEN len(t) > 0 THEN
+               list_max(list_transform(list_distinct(t),
+                   u -> len(list_filter(t, x -> x = u))))
+           ELSE 0 END::BIGINT AS top_token_count,
            CASE WHEN len(bg) > 0 THEN
                list_max(list_transform(list_distinct(bg),
                    u -> len(list_filter(bg, x -> x = u))))
            ELSE 0 END::BIGINT AS top_bigram_count,
-           (len(t) - len(list_distinct(t)))::DOUBLE / len(t)::DOUBLE
-               AS dup_token_ratio,
+           CASE WHEN len(t) > 0 THEN
+               (len(t) - len(list_distinct(t)))::DOUBLE / len(t)::DOUBLE
+           ELSE 0.0 END AS dup_token_ratio,
            CASE WHEN len(bg) > 0 THEN
                list_max(list_transform(list_distinct(bg),
                    u -> len(list_filter(bg, x -> x = u))))::DOUBLE
@@ -4974,7 +4982,7 @@ _ORACLES["hash_sample"] = f"""
 _ORACLES["tfidf_top_terms"] = """
     WITH terms AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+               unnest((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS term
         FROM documents
     ), dt AS (
         SELECT doc_id, term, count(*)::BIGINT AS tf
@@ -5417,7 +5425,7 @@ def _build_dedup_keep_best_sql() -> str:
             SELECT id, min(reach) AS cluster_id FROM walk GROUP BY id
         ), qt AS (
             SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks,
                    len(text)::BIGINT AS n_chars
             FROM documents
         ), qf AS (
@@ -5525,7 +5533,7 @@ _ORACLES["split_assign"] = f"""
 
 _ORACLES["length_buckets"] = """
     WITH t AS (
-        SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+        SELECT len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))::BIGINT
                    AS toks
         FROM documents
     ), b AS (
@@ -5838,7 +5846,7 @@ _ORACLES["ohlc_hourly"] = """
 _ORACLES["pareto_frontier"] = """
     WITH d AS (
         SELECT lang, doc_id, n_chars::BIGINT AS cost,
-               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS gain
+               len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))::BIGINT AS gain
         FROM documents
     )
     SELECT a.lang, a.doc_id::BIGINT AS doc_id, a.cost, a.gain
@@ -5873,7 +5881,7 @@ _ORACLES["zscore_outliers"] = """
 _ORACLES["mixture_apportion"] = """
     WITH t AS (
         SELECT source,
-               sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+               sum(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END)))::BIGINT
                    AS tokens
         FROM documents GROUP BY source
     ), s AS (
@@ -5954,7 +5962,7 @@ _ORACLES["sorted_neighborhood"] = f"""
 
 _ORACLES["bigram_lm"] = """
     WITH t AS (
-        SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+        SELECT (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk FROM documents
     ), bg AS (
         SELECT tk[i] AS w1, tk[i + 1] AS w2
         FROM t, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)
@@ -6036,8 +6044,8 @@ def _build_bm25_sql(
         score += f" + {idf} * (({tf} * {k1p1}) / {denom})"
     return f"""
     WITH base AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
-               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS dl
+        SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk,
+               len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))::BIGINT AS dl
         FROM documents
     ), s AS (
         SELECT sum(dl)::BIGINT AS sum_dl, count(*)::BIGINT AS n, {df_cols}
@@ -6109,7 +6117,7 @@ _ORACLES["split_leakage"] = f"""
                     WHEN ({_dd_mixed("doc_id::VARCHAR", "split:")}) % 100 < 95
                         THEN 'val'
                     ELSE 'test' END AS split,
-               regexp_split_to_array(trim(text), '\\s+') AS tk
+               (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk
         FROM documents
         WHERE len(trim(text)) > 0
     ), w AS (
@@ -6134,7 +6142,7 @@ _ORACLES["term_pmi"] = """
     WITH d AS (
         SELECT doc_id,
                list_sort(list_distinct(
-                   regexp_split_to_array(trim(text), '\\s+'))) AS st
+                   (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))) AS st
         FROM documents
     ), e AS (
         SELECT doc_id, unnest(st) AS term FROM d
@@ -6165,7 +6173,7 @@ _ORACLES["term_pmi"] = """
 _ORACLES["source_gini"] = """
     WITH t AS (
         SELECT source,
-               sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+               sum(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END)))::BIGINT
                    AS tokens
         FROM documents GROUP BY source
     ), r AS (
@@ -6462,7 +6470,7 @@ _ORACLES["kmv_intersection"] = f"""
 
 _ORACLES["lm_doc_score"] = """
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tk
         FROM documents
     ), bg AS (
         SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2

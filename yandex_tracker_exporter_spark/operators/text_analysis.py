@@ -95,11 +95,21 @@ def quality_score(
     tokens = _tokens(F.col(text_col))
     n_tokens = F.size(tokens).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
-    avg_token_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double")
+    # 0-token (empty/whitespace) docs have UNDEFINED ratio features:
+    # null, not Infinity/NaN — the cross-engine-representable value
+    # (DuckDB's x/0 is NULL; Spark's double /0 is Inf/NaN) and the
+    # honest answer. Fixture corpora contain no empty docs, so contract
+    # results are unchanged; the empty-doc differential test pins this.
+    defined = n_tokens > 0
+    avg_token_len = F.when(
+        defined,
+        (n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"),
+    )
     stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    stopword_ratio = (
+    stopword_ratio = F.when(
+        defined,
         F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).cast("double")
-        / n_tokens.cast("double")
+        / n_tokens.cast("double"),
     )
     score = (
         F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(64.0)) * 0.5
