@@ -201,15 +201,21 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     # map-only text scorers (wave-4 referees)
     "language_id": {
         "referee": [f"{D4}::test_language_id_matches_bruteforce"],
-        "property": [f"{PLAN}::test_text_pipeline_queries_are_map_only"],
+        "property": [f"{PLAN}::test_text_pipeline_queries_are_map_only",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "quality_score": {
         "referee": [f"{D4}::test_quality_score_matches_bruteforce"],
-        "property": [f"{PLAN}::test_text_pipeline_queries_are_map_only"],
+        "property": [f"{PLAN}::test_text_pipeline_queries_are_map_only",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "token_count": {
         "referee": [f"{D4}::test_token_count_matches_bruteforce"],
-        "property": [f"{PLAN}::test_text_pipeline_queries_are_map_only"],
+        "property": [f"{PLAN}::test_text_pipeline_queries_are_map_only",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "doc_fingerprint": {
         "referee": [f"{D4}::test_doc_fingerprint_matches_bruteforce"],
@@ -221,7 +227,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "corpus_clean": {
         "referee": [f"{D4}::test_corpus_clean_matches_bruteforce"],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "top_docs_per_lang": {
         "referee": [f"{D4}::test_top_docs_per_lang_matches_bruteforce"],
@@ -249,7 +255,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "chunk_documents": {
         "referee": [f"{FN}::test_chunk_tokens_boundaries"],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "pii_redact": {
         "referee": [f"{FN}::test_redact_pii_counts_and_placeholders"],
@@ -260,14 +266,18 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D3}::test_repetition_signals_matches_bruteforce",
             "tests/test_pipeline_ops_properties.py::test_repetition_signals_matches_python_replica",
         ],
-        "property": [f"{PLAN}::test_repetition_and_sampling_are_map_only"],
+        "property": [f"{PLAN}::test_repetition_and_sampling_are_map_only",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "dup_window_ratio": {
         "referee": [
             f"{D1}::test_dup_window_ratio_matches_bruteforce",
             "tests/test_text_pipeline_ops.py::test_duplicated_window_ratio_planted_boilerplate",
         ],
-        "property": [f"{PLAN}::test_dup_window_ratio_hash_keys_only"],
+        "property": [f"{PLAN}::test_dup_window_ratio_hash_keys_only",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     # sampling / splits
     "hash_sample": {
@@ -294,41 +304,45 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_split_leakage_matches_bruteforce",
             "tests/test_linkage_audit.py::test_split_leakage_counts_cross_split_windows",
         ],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     # scoring / LM / retrieval
     "tfidf_top_terms": {
         "referee": [f"{D2}::test_tfidf_top_terms_matches_bruteforce"],
-        "property": [f"{PLAN}::test_tfidf_join_is_broadcast"],
+        "property": [f"{PLAN}::test_tfidf_join_is_broadcast",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "lm_doc_score": {
         "referee": [f"{D2}::test_lm_doc_score_matches_bruteforce"],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "length_buckets": {
         "referee": [f"{D2}::test_length_buckets_matches_bruteforce"],
-        "property": ["tests/test_sketches.py::test_length_buckets_match_token_counts"],
+        "property": ["tests/test_sketches.py::test_length_buckets_match_token_counts",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "bigram_lm": {
         "referee": [
             f"{D1}::test_bigram_lm_matches_bruteforce",
             "tests/test_retrieval_chunking.py::test_bigram_lm_counts_and_smoothing",
         ],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "bm25_rank": {
         "referee": [
             f"{D1}::test_bm25_rank_matches_bruteforce_bitexact",
             "tests/test_retrieval_chunking.py::test_bm25_ranks_matching_docs_first",
         ],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "term_pmi": {
         "referee": [
             f"{D1}::test_term_pmi_matches_bruteforce",
             "tests/test_linkage_audit.py::test_term_pmi_tiny_corpus",
         ],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "global_rank": {
         "referee": [
@@ -351,7 +365,9 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "pack_token_budget": {
         "referee": [f"{D1}::test_pack_token_budget_matches_bruteforce"],
-        "property": ["tests/test_decontaminate_pack.py::test_pack_token_budget_single_shuffle"],
+        "property": ["tests/test_decontaminate_pack.py::test_pack_token_budget_single_shuffle",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     "decontaminate": {
         "referee": [f"{D3}::test_decontaminate_matches_bruteforce"],
@@ -719,7 +735,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_pareto_frontier_matches_bruteforce",
             "tests/test_stream_analytics.py::test_pareto_matches_bruteforce",
         ],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "pareto_8020": {
         "referee": [f"{D2}::test_pareto_8020_matches_bruteforce_sf"],
@@ -730,11 +746,13 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_mixture_apportion_matches_bruteforce",
             "tests/test_stream_analytics.py::test_apportionment_sums_exactly_to_budget",
         ],
-        "property": [],
+        "property": ['tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs'],
     },
     "source_gini": {
         "referee": [f"{D1}::test_source_gini_matches_bruteforce"],
-        "property": ["tests/test_linkage_audit.py::test_source_gini_bounds"],
+        "property": ["tests/test_linkage_audit.py::test_source_gini_bounds",
+            'tests/test_empty_doc_parity.py::test_affected_pair_agrees_on_empty_docs',
+        ],
     },
     # layout / storage
     "zorder_layout": {
