@@ -59,7 +59,7 @@ def bloom_semi_join(
     keys: DataFrame,
     key_col: str,
     m_bits: int = BLOOM_M_BITS,
-    text_keys: bool = False,
+    text_keys: bool | None = None,
     salts: Sequence[str] = BLOOM_SALTS,
 ) -> DataFrame:
     """Keep corpus rows whose key *may* be in ``keys`` (no false
@@ -71,7 +71,20 @@ def bloom_semi_join(
     survives only if every one of its k positions is set. All k probes
     are map-side against the same tiny broadcast relation; the corpus
     plan stays a single scan-side pipeline with no exchange.
+
+    ``text_keys=None`` (default) infers the hash family from the KEY
+    COLUMN TYPE: string-ish keys take the salted poly-hash family,
+    everything castable-to-long takes the integer Carter-Wegman family.
+    The old hard default of the integer family on a string key either
+    raised CAST_INVALID_INPUT (ANSI) or nulled every position and
+    silently dropped the WHOLE corpus — a 100% false-negative rate on
+    an operator whose contract is "no false negatives".
     """
+    if text_keys is None:
+        key_type = dict(keys.dtypes).get(key_col, "")
+        text_keys = key_type in ("string", "varchar") or key_type.startswith(
+            "char"
+        )
     if text_keys:
         fams = [
             (lambda c, s=s: _text_position(c, s, m_bits)) for s in salts

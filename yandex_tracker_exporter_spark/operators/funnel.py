@@ -156,6 +156,12 @@ def gap_fill_hourly(
     span = counts.agg(
         F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
     ).collect()[0]
+    if span.lo is None:
+        # empty input (or all-null timestamps): an empty grid, not an
+        # unresolvable sequence(NULL, NULL) AnalysisException
+        return counts.select(
+            "hour_epoch", "type", F.lit(0).cast("long").alias("n_events")
+        ).limit(0)
     hours = events.sparkSession.range(1).select(
         F.explode(
             F.sequence(F.lit(span.lo), F.lit(span.hi), F.lit(3600))
@@ -163,8 +169,14 @@ def gap_fill_hourly(
     )
     types = counts.select("type").distinct()
     grid = hours.crossJoin(types)
+    # grid LEFT-joins the broadcast counts: a broadcast hint on the
+    # right side of a right-outer join is unsatisfiable (Spark can only
+    # build the left side there) and was silently ignored — this form
+    # actually delivers the documented "aggregated fact relation never
+    # reshuffles" plan; counts is span×types-bounded, so broadcasting
+    # it is safe at any corpus scale.
     return (
-        counts.join(F.broadcast(grid), ["hour_epoch", "type"], "right")
+        grid.join(F.broadcast(counts), ["hour_epoch", "type"], "left")
         .select(
             "hour_epoch",
             "type",
@@ -319,8 +331,15 @@ def event_pattern_count(
         ).alias("_seq")
     )
     plen = len(pattern)
+    if plen == 0:
+        raise ValueError("pattern must be non-empty")
+    if not pattern.isalnum():
+        # the pattern is spliced into a SQL expression: restrict it to
+        # the type-initial alphabet it represents (a quote would break
+        # the generated SQL — or worse, rewrite it)
+        raise ValueError("pattern must be alphanumeric type initials")
     return per_user.select(
-        F.col("user_id").cast("long"),
+        F.col("user_id"),
         F.length("_seq").cast("long").alias("seq_len"),
         F.expr(
             f"(length(_seq) - length(replace(_seq, '{pattern}', ''))) div {plen}"
@@ -547,8 +566,15 @@ def weekday_seasonality(
             "event_type",
             "dow",
             "n_events",
-            "(_dow_sum * _tot_n * 1000) div (n_events * _tot_sum)"
-            " AS index_milli",
+            # DECIMAL(38,0) product: at the advertised scale (1e9
+            # events × 1000 cents) the int64 product overflows ~1e23;
+            # decimal matches DuckDB's automatic INT128 promotion and
+            # the Python-int referee exactly. Zero total (all-zero or
+            # cancelling cents) yields NULL, not an ANSI crash.
+            "CASE WHEN _tot_sum <> 0 THEN"
+            " CAST((CAST(_dow_sum AS DECIMAL(38,0)) * _tot_n * 1000)"
+            " div (CAST(n_events AS DECIMAL(38,0)) * _tot_sum) AS BIGINT)"
+            " END AS index_milli",
         )
     )
 
@@ -579,8 +605,13 @@ def conversion_latency(
     per_user = base.groupBy("_u").agg(
         F.min(F.when(F.col("_ty") == from_type, F.col("_ep"))).alias("_t0")
     )
+    # NO broadcast hint: per_user is USER-cardinality (unbounded at the
+    # advertised scale — one row per converting user), unlike the
+    # provably bounded relations this module broadcasts elsewhere. At
+    # harness scale the optimizer auto-broadcasts it anyway (below the
+    # 10 MB threshold); at 1e8 users it must shuffle, not OOM.
     later = base.where(F.col("_ty") == to_type).join(
-        F.broadcast(per_user.where(F.col("_t0").isNotNull())), "_u"
+        per_user.where(F.col("_t0").isNotNull()), "_u"
     )
     lat = (
         later.where(F.col("_ep") >= F.col("_t0"))
@@ -664,5 +695,12 @@ def rolling_corr_7d(
         - F.col("_sy").cast("double") * F.col("_sy").cast("double")
     )
     return m.select(
-        "day_epoch", "n_days", (num / F.sqrt(denx * deny)).alias("r")
+        "day_epoch",
+        "n_days",
+        # constant series in a window: Pearson r is UNDEFINED — null,
+        # never an ANSI divide-by-zero crash (DuckDB's x/0 is NULL, so
+        # this also keeps the engines aligned on the degenerate shape)
+        F.when(
+            (denx > 0) & (deny > 0), num / F.sqrt(denx * deny)
+        ).alias("r"),
     )

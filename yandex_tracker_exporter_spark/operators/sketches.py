@@ -125,7 +125,13 @@ def hll_registers(
     the sketch of the groups' UNION (see :func:`hll_union_pairs`)."""
     groups = [F.col(c) for c in group_cols]
     h = _mixed_hash(F.col(value_col).cast("string"), HLL_SALT)
-    base = df.select(*groups, h.alias("_h"))
+    # NULL values hash to NULL and would survive as a phantom
+    # (group, reg=NULL) register row: counted by _n_regs, skipped by
+    # the NULL-dropping sum — biasing every affected group's estimate
+    # upward. Distinct-count semantics exclude NULL anyway.
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *groups, h.alias("_h")
+    )
     return (
         base.select(
             *group_cols,
@@ -315,7 +321,15 @@ def kmv_bottom_k(
     from pyspark.sql import Window
 
     h = _mixed_hash(F.col(value_col).cast("string"), ":kmv")
-    hashed = df.select(F.col(group_col).alias("grp"), h.alias("_h")).distinct()
+    # NULL values hash to NULL, which sorts FIRST in the window rank —
+    # a phantom entry that consumes a bottom-k slot and is then dropped
+    # by collect_list, leaving a (k-1)-sketch with an inflated theta.
+    # Distinct-count semantics exclude NULL anyway.
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), h.alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("_h")
     return (
         hashed.withColumn("_rk", F.row_number().over(w))

@@ -23,6 +23,7 @@ def scd2_intervals(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_expr: str = "get_json_object(props, '$.k')",
+    value_type: str | None = "long",
 ) -> DataFrame:
     """Build a type-2 slowly-changing-dimension table from a change
     stream: one row per (entity, value) RUN with its validity interval
@@ -40,7 +41,14 @@ def scd2_intervals(
     are floored seconds per the repo timestamp rule.
     """
     epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
-    val = F.expr(value_expr).cast("long")
+    # ``value_type=None`` keeps the extracted value AS IS — the normal
+    # SCD2 attribute is a STRING (a status, a tier), and force-casting
+    # it to long would raise under ANSI or, worse, null every value and
+    # collapse all history into one run. The default "long" preserves
+    # the harness contract (the fixture's $.k is numeric).
+    val = F.expr(value_expr)
+    if value_type is not None:
+        val = val.cast(value_type)
     w1 = Window.partitionBy("entity").orderBy("_ts", "_id")
     marked = events.select(
         F.col(user_col).alias("entity"),
@@ -134,7 +142,9 @@ def reset_running_total(
     w_sess = Window.partitionBy("entity", "session_idx").orderBy("_ts", "_id")
     return with_session.select(
         "entity",
-        F.col("_id").cast("long").alias("event_id"),
+        # the id is an opaque passthrough — no cast (a long source stays
+        # long; a UUID id must not be nulled/ANSI-crashed by a cast)
+        F.col("_id").alias("event_id"),
         F.col("_ep").alias("epoch_s"),
         "session_idx",
         F.sum("_cents")
