@@ -10,9 +10,14 @@ can always parse it, and `queries_file` points at the complete map.
 Timing counts full execution of each query (count() on the executors)
 after a warm-up pass of the session AND of the Python UDF workers (the
 first pandas-UDF query otherwise pays ~5 s of worker spin-up that is not
-the query's cost). Per query: two minutes-apart sweeps, each an
-un-timed codegen-warming run followed by best-of-($SPARK_GRAFT_BENCH_RUNS
-- 1) timed runs (see the sampling-scheme comment in main()).
+the query's cost). Per query: $SPARK_GRAFT_BENCH_PASSES (default 3)
+minutes-apart sweeps, each an un-timed codegen-warming run followed by
+($SPARK_GRAFT_BENCH_RUNS - 1) timed runs (see the sampling-scheme
+comment in main()). The headline ``value``/``value_minima`` is the sum
+of per-query minima across all samples (the in-artifact noise floor);
+``value_median`` is the typical-run total; the spread distribution +
+``minima_trusted`` gate make the artifact self-adjudicating under this
+host's up-to-35% invisible outside load (VERDICT r7 #2).
 
 Hygiene: leftover JVMs from earlier experiments inflate timings 2-4× —
 the harness detects other live java processes at startup, warns on
@@ -162,6 +167,13 @@ def main() -> None:
     # back-to-back best-of-3. Raise to 3 for tighter minima when wall
     # time is not a concern.
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # N minutes-apart sweeps (VERDICT r7 #2): this host injects up to
+    # 35% invisible outside noise (seven same-code r7 runs spanned
+    # 74.6-101 s with the guest idle), and best-of-2 samples cannot
+    # price that. Three sweeps give every query >=3 samples, so the
+    # per-query minimum is a reproducible in-artifact noise floor
+    # instead of a cross-artifact NOTES claim.
+    passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     # contention guard BEFORE our own JVM exists — kill leftovers first
@@ -207,23 +219,27 @@ def main() -> None:
         _warm("id")
     ).count()
 
-    # Sampling scheme: TWO full-suite sweeps, each taking the min of
+    # Sampling scheme: `passes` (>=2, default 3) full-suite sweeps,
+    # each taking the min of
     # `runs - 1` back-to-back executions (plus one un-timed warm run at
     # the head of each group — generated-code JIT state does NOT
     # survive a full sweep, because Spark's codegen cache is bounded
     # and 80+ distinct plans evict it, so the first execution in any
-    # sweep is 2-3× cold).  Why two sweeps: this box's OUTSIDE load
+    # sweep is 2-3× cold).  Why minutes-apart sweeps: this box's
+    # OUTSIDE load
     # oscillates with a ~5 min period (shorter than a sweep), and with
     # a single consecutive group every sample of a query can sit in the
     # same wave — observed as 2-5 random per-query "regressions" per
     # artifact, different queries each run, all re-measuring fine solo.
     # Minutes-apart sweeps make a wave survive the min() only if it
-    # spans both.  A pure pass-interleaved scheme (one execution per
+    # spans all of them; three sweeps (r8) give every query >=3 samples
+    # so the spread fields can price the noise the min() absorbed.
+    # A pure pass-interleaved scheme (one execution per
     # pass) was tried and REJECTED: it re-pays the codegen-cold first
     # run in every pass and inflated JIT-heavy queries 2-3×.
     samples: dict[str, list[float]] = {}
     per_pass = max(1, runs - 1)
-    for pass_idx in range(2):
+    for pass_idx in range(passes):
         for name, fn in entry_mod.queries().items():
             rows = 0
             fn(spark, sf_dir).count()  # un-timed: warm codegen/JIT
@@ -233,7 +249,7 @@ def main() -> None:
                 rows = df.count()  # full execution; count avoids driver skew
                 elapsed = time.perf_counter() - start
                 samples.setdefault(name, []).append(elapsed)
-            if pass_idx == 1:
+            if pass_idx == passes - 1:
                 print(
                     f"# {name}: {min(samples[name]):.3f}s ({rows} rows)",
                     file=sys.stderr,
@@ -245,7 +261,18 @@ def main() -> None:
             # queries late in the run without this)
             spark.catalog.clearCache()
             spark._jvm.System.gc()
+    # Per-query MINIMUM across all samples (>=passes of them): the
+    # noise floor. With >=3 minutes-apart samples this is robust to
+    # the host's ~5-min load waves — an outside-noise spike must hit
+    # every sweep to survive the min(). `value` keeps its historical
+    # definition (sum of per-query minima) so the BENCH_r* series
+    # stays comparable; `value_minima` names the same total explicitly
+    # as the claim-grade noise floor, and `value_median` is the
+    # honest typical-run total the noise CAN reach.
     timings = {name: round(min(s), 3) for name, s in samples.items()}
+    medians = {
+        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    }
     # best-vs-second-run spread per query: on a contended box the min()
     # can still be inflated, and the spread is the tell — a query whose
     # second-best is far above its best was racing outside load, so a
@@ -258,14 +285,30 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    spread_sorted = sorted(spread.values()) if spread else [0.0]
+    spread_p50 = round(spread_sorted[len(spread_sorted) // 2], 3)
+    spread_p90 = round(spread_sorted[int(len(spread_sorted) * 0.9)], 3)
+    spread_max = round(spread_sorted[-1], 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
+        "value_minima": total,
+        "value_median": round(sum(medians.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_runs": runs,
+        "bench_passes": passes,
+        "samples_per_query": passes * per_pass,
         "n_queries": len(timings),
+        # spread distribution + trust gate (VERDICT r7 #2): a committed
+        # minima claim is only quotable when the second-best samples
+        # corroborate the minima — p90 within 0.25 s and no query's
+        # spread above 1.0 s. Otherwise the artifact says so itself.
+        "spread_p50": spread_p50,
+        "spread_p90": spread_p90,
+        "spread_max": spread_max,
+        "minima_trusted": bool(spread_p90 <= 0.25 and spread_max <= 1.0),
     }
     out["contended"] = bool(leftover)
     out["other_jvms"] = len(leftover)
@@ -274,6 +317,7 @@ def main() -> None:
     # permanent harness property, a stray is a bug to chase
     out["other_jvm_info"] = [_jvm_info(p) for p in leftover[:5]]
     out["queries_spread"] = spread
+    out["queries_median"] = medians
     if spread:
         out["max_spread_query"] = max(spread, key=spread.get)
         out["max_spread_sec"] = spread[out["max_spread_query"]]
@@ -300,6 +344,7 @@ def main() -> None:
     # full-map fields live only in the sidecar — they'd blow the
     # bounded tail capture the compact line exists to fit
     compact.pop("queries_spread", None)
+    compact.pop("queries_median", None)
     compact.pop("other_jvm_info", None)
     ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     # Shrink the slowest-queries map until the line fits the consumer's

@@ -105,11 +105,11 @@ def test_assign_kernel_bitequal_expression_path(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     a = sorted(
         (r.vec_id, r.cluster, r.dist2)
-        for r in kmeans_quantized(df, k=6, iters=3, use_kernel=True).collect()
+        for r in kmeans_quantized(df, k=6, iters=3, use_kernel=True, local_finish=False).collect()
     )
     b = sorted(
         (r.vec_id, r.cluster, r.dist2)
-        for r in kmeans_quantized(df, k=6, iters=3, use_kernel=False).collect()
+        for r in kmeans_quantized(df, k=6, iters=3, use_kernel=False, local_finish=False).collect()
     )
     assert a == b
 
@@ -139,7 +139,7 @@ def test_dim_inferred_and_bad_rows_quarantined(spark):
     assert got[0] != got[1]
     # the Arrow kernel path must quarantine the element-null row too
     # (it used to fail the whole task inside np.asarray)
-    kern = kmeans_quantized(df, k=2, iters=3, use_kernel=True)
+    kern = kmeans_quantized(df, k=2, iters=3, use_kernel=True, local_finish=False)
     assert {r["vec_id"] for r in kern.collect()} == set(range(12))
     # semdedup inherits the inference: 32-dim corpus end-to-end
     pruned = semdedup_prune(df, k=2, iters=2, threshold=0.999)
@@ -150,3 +150,39 @@ def test_all_null_vectors_rejected(spark):
     df = spark.createDataFrame([(0, None), (1, None)], SCHEMA)
     with pytest.raises(ValueError, match="no non-null vectors"):
         kmeans_quantized(df, k=1, iters=1)
+
+def test_local_finish_bitequal_distributed_path(spark):
+    """The counted-bound driver-local Lloyd finish must be byte-equal
+    to the distributed expression path through all iterations — same
+    seeds, same tie rule, same floor-div centroid evolution, same
+    quarantine (null vector / element-null / wrong width excluded
+    before the gate counts)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(48)]) for i in range(90)
+    ]
+    rows += [(200, [5.0] * 48), (201, [5.0] * 48)]  # planted tie
+    bad = [0.5] * 48
+    bad[7] = None
+    rows += [(300, None), (301, [1.0] * 5), (302, bad)]  # quarantined
+    df = spark.createDataFrame(rows, SCHEMA)
+    loc = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans_quantized(df, k=5, iters=4, local_finish=True).collect()
+    )
+    dist = sorted(
+        (r.vec_id, r.cluster, r.dist2)
+        for r in kmeans_quantized(df, k=5, iters=4, local_finish=False).collect()
+    )
+    assert loc == dist
+    assert not any(v in {300, 301, 302} for v, _, _ in loc)
+    # the default gate picks the local path for this driver-small corpus
+    # and the columns/types are indistinguishable from the distributed ones
+    auto = kmeans_quantized(df, k=5, iters=4)
+    assert [(f.name, f.dataType.simpleString()) for f in auto.schema.fields] == [
+        (f.name, f.dataType.simpleString())
+        for f in kmeans_quantized(df, k=5, iters=4, local_finish=False).schema.fields
+    ]
+    assert sorted((r.vec_id, r.cluster, r.dist2) for r in auto.collect()) == loc

@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .partitioning import ensure_parallelism
 from .similarity import quantize_embeddings
@@ -74,6 +75,46 @@ def _assign_kernel(centroids: list[list[int]]):
     return assign.asNondeterministic()
 
 
+# Driver-local finish gate: run Lloyd's locally when the quantized
+# corpus is provably driver-small (n × dim int cells; 2^22 cells is
+# ~32 MB of int64 — the same "counted bound" discipline as
+# graph.py's peel/pagerank finish). At 100 TB the gate never fires
+# and the distributed path below is the real path; at round-bound
+# tiny-corpus latency the local twin avoids (iters+1) job launches
+# and a whole-stage-codegen recompile per iteration (the centroid
+# LITERALS change every round, so each round's plan is new source).
+LOCAL_FINISH_MAX_CELLS = 1 << 22
+
+
+def _lloyd_local(
+    M: "np.ndarray", seed: "np.ndarray", iters: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Driver-local Lloyd twin: the exact integer recurrence of the
+    distributed path (int64 L2², argmin-first tie-break = smaller
+    cluster id, floor-division centroid update, empty clusters keep
+    their previous centroid) over the full collected code matrix.
+    Pytest pins byte-equality against the distributed path.
+    """
+    C = seed.copy()
+    k = C.shape[0]
+    for _ in range(iters - 1):
+        d = M[:, None, :] - C[None, :, :]
+        dist = np.einsum("rkd,rkd->rk", d, d)
+        cl = dist.argmin(axis=1)
+        for c in range(k):
+            mask = cl == c
+            cnt = int(mask.sum())
+            if cnt:  # empty cluster keeps previous centroid
+                # int64 sums are exact (|code| <= 127); numpy //
+                # is floor division, same as the Python-int update
+                C[c] = M[mask].sum(axis=0) // cnt
+    d = M[:, None, :] - C[None, :, :]
+    dist = np.einsum("rkd,rkd->rk", d, d)
+    cl = dist.argmin(axis=1)
+    best = dist[np.arange(M.shape[0]), cl]
+    return cl, best
+
+
 def _dist2_expr(code_col: str, centroid: list[int]) -> str:
     """Integer L2² between an int-array column and a literal centroid
     as ONE SQL expression string (a py4j call per element would cost
@@ -94,6 +135,7 @@ def kmeans_quantized(
     id_col: str = "vec_id",
     dim: int | None = None,
     use_kernel: bool | None = None,
+    local_finish: bool | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over int8-quantized embeddings.
 
@@ -122,6 +164,15 @@ def kmeans_quantized(
     SemDeDup-scale k (~0.1-1% of n, thousands of centroids) always
     takes the kernel.
 
+    ``local_finish`` runs the Lloyd recurrence driver-locally (numpy
+    int64 twin, pytest-pinned byte-equal) when the quantized corpus is
+    provably driver-small: default ``None`` counts the valid rows and
+    gates on ``n × dim <= LOCAL_FINISH_MAX_CELLS`` (~32 MB of int64) —
+    the same counted-bound escape hatch as the graph operators' peel
+    finish. At 100 TB the gate never fires; at tiny-corpus scale it
+    cuts (iters+1) job launches and the per-iteration codegen
+    recompile that changing centroid literals force.
+
     Output: (``id_col``, cluster, dist2) — cluster in [0, k), dist2 the
     integer squared distance to the winning centroid.
     """
@@ -129,28 +180,39 @@ def kmeans_quantized(
         raise ValueError("iters must be >= 1")
     if use_kernel is None:
         use_kernel = k >= 32
-    # BOTH quarantine filters go BELOW the checkpoint: a filter above
-    # it would be alias-substituted through the projection and evaluate
-    # the quantize expression twice per row (measured +1.1 s at sf0.1),
-    # and probing an unmaterialized relation would run the pipeline a
-    # second full pass. Post-checkpoint filters are trivial re-scans of
-    # the resident blocks.
+    # Quarantine filters stay BELOW the checkpoint (a filter above it
+    # would be alias-substituted through the projection and evaluate
+    # the quantize expression twice per row — measured +1.1 s at
+    # sf0.1 — and probing an unmaterialized relation would run the
+    # pipeline a second full pass), but the element-null PROBE is
+    # materialized INTO the checkpoint as a boolean: `exists(_q,
+    # x -> x IS NULL)` is an interpreted HOF, and a post-checkpoint
+    # HOF filter re-interprets it on every iteration's re-scan of the
+    # resident blocks ((iters+1) × n lambda evaluations — measured
+    # ~+0.4 s at sf0.1/k=8). Paying it once at materialization and
+    # filtering on the stored boolean keeps the re-scans codegen'd.
     codes = (
         quantize_embeddings(ensure_parallelism(df), vec_col, id_col)
+        .select(F.col(id_col), F.col("qvec").cast("array<int>").alias("_q"))
         .select(
             F.col(id_col),
-            F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("_q"),
+            "_q",
+            # element-null vectors must quarantine too: the Arrow
+            # kernel's np.asarray(..., dtype=int64) raises on a None
+            # element (task failure) while the expression fold would
+            # yield a null dist2 — flagging both shapes here keeps the
+            # two assignment paths seeing identical input. Computed in
+            # a select ABOVE the quantize projection so CollapseProject
+            # (cheap-expression rule) cannot duplicate the quantize
+            # transform into both references of `_q`.
+            (
+                F.col("_q").isNotNull()
+                & ~F.exists("_q", lambda x: x.isNull())
+            ).alias("_ok"),
         )
         .localCheckpoint(eager=False)
-        # element-null vectors must quarantine too: the Arrow kernel's
-        # np.asarray(..., dtype=int64) raises on a None element (task
-        # failure) while the expression fold would yield a null dist2 —
-        # filtering both shapes here keeps the two assignment paths
-        # seeing identical input
-        .where(
-            F.col("_q").isNotNull()
-            & ~F.exists("_q", lambda x: x.isNull())
-        )
+        .where(F.col("_ok"))
+        .select(F.col(id_col), "_q")
     )
     if dim is None:
         first = codes.orderBy(F.col(id_col).asc()).limit(1).collect()
@@ -165,6 +227,28 @@ def kmeans_quantized(
     centroids: dict[int, list[int]] = {
         i: list(r["_q"]) for i, r in enumerate(seed_rows)
     }
+
+    if local_finish is None:
+        # count() over the checkpointed codes is a trivial re-scan of
+        # the resident blocks — the price of making the gate a COUNTED
+        # bound rather than a guess
+        local_finish = codes.count() * dim <= LOCAL_FINISH_MAX_CELLS
+    if local_finish:
+        rows = codes.select(id_col, "_q").collect()
+        M = np.asarray([r[1] for r in rows], dtype=np.int64)
+        seed = np.asarray([centroids[c] for c in range(k)], dtype=np.int64)
+        cl, best = _lloyd_local(M, seed, iters)
+        out_schema = T.StructType(
+            [
+                codes.schema[id_col],
+                T.StructField("cluster", T.LongType(), True),
+                T.StructField("dist2", T.LongType(), True),
+            ]
+        )
+        return df.sparkSession.createDataFrame(
+            [(r[0], int(c), int(b)) for r, c, b in zip(rows, cl, best)],
+            out_schema,
+        )
 
     def assign(cents: dict[int, list[int]]) -> DataFrame:
         if use_kernel:
