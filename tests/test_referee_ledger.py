@@ -39,3 +39,16 @@ def test_committed_artifact_matches_ledger():
     with open(referee_coverage.ARTIFACT_PATH) as fh:
         committed = json.load(fh)
     assert committed == referee_coverage.artifact_dict()
+
+
+def test_property_coverage_floor():
+    """Round-8 floor (VERDICT r7 #6): at least 90 of the contract
+    queries must carry a targeted property or plan test on top of the
+    oracle referee — the ledger ENFORCES the floor instead of just
+    reporting it, so coverage can only ratchet up."""
+    import referee_coverage
+
+    n_prop = sum(
+        1 for ev in referee_coverage.LEDGER.values() if ev["property"]
+    )
+    assert n_prop >= 90, f"property/plan coverage regressed to {n_prop} < 90"

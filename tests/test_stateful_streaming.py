@@ -126,3 +126,77 @@ def test_sessionize_multi_chunk_groups_sorted_globally(spark):
     assert n == 1
     assert pd.Timestamp(start_us, unit="us") == pd.Timestamp("2024-01-01 12:40:00")
     assert pd.Timestamp(last_us, unit="us") == pd.Timestamp("2024-01-01 12:40:00")
+
+
+def test_upsert_checkpoint_restart_after_midbatch_failure(spark, tmp_path):
+    """ST7 failure path (the reference's commit-after-write contract,
+    etl.py:229-259): a crash AFTER a batch's sink write but BEFORE its
+    offset commit must not lose or duplicate logical state. The batch
+    is replayed on restart (same batch id, same input slice), the
+    replay double-appends raw rows, and the latest-version dedup view
+    absorbs them — the restarted table must equal a no-failure run's
+    table exactly."""
+    import pyspark.sql.utils as U
+    from py4j.protocol import Py4JJavaError
+
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        latest_version_dedup,
+    )
+    from yandex_tracker_exporter_spark.streaming.pipeline import (
+        read_event_stream,
+        run_micro_batch_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 4 single-file batches of upserts to two keys
+    for i in range(4):
+        spark.createDataFrame(
+            [(i % 2, i * 10, f"f{i}")], "key long, val long, origin string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(out, ckpt, hook=None):
+        stream = read_event_stream(spark, src, schema, max_files_per_trigger=1)
+        return run_micro_batch_upsert(
+            stream, out, ckpt, keys=["key"], on_batch_complete=hook
+        )
+
+    # ---- run A: no failure ----
+    out_a, ckpt_a = str(tmp_path / "out_a"), str(tmp_path / "ckpt_a")
+    run(out_a, ckpt_a)
+    final_a = sorted(
+        (r["key"], r["val"])
+        for r in latest_version_dedup(
+            spark.read.parquet(out_a), ["key"]
+        ).collect()
+    )
+
+    # ---- run B: crash after batch 1's write, before its commit ----
+    out_b, ckpt_b = str(tmp_path / "out_b"), str(tmp_path / "ckpt_b")
+
+    def bomb(batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash between write and commit")
+
+    import pytest
+
+    with pytest.raises(Exception, match="injected crash"):
+        run(out_b, ckpt_b, hook=bomb)
+    # batch 1's rows ARE on disk (write preceded the crash)...
+    mid_rows = spark.read.parquet(out_b).count()
+    assert mid_rows == 2  # batches 0 and 1 written, 2,3 never ran
+
+    # ---- restart from the same checkpoint, no failure ----
+    run(out_b, ckpt_b)
+    raw_b = spark.read.parquet(out_b)
+    # ...and the uncommitted batch was REPLAYED: its rows appear twice
+    assert raw_b.count() == 5  # 4 batches + 1 replayed duplicate
+    dup = raw_b.groupBy("key", "version").count().where(F.col("count") > 1)
+    assert [(r["key"], r["version"]) for r in dup.collect()] == [(1, 1)]
+    # the dedup view absorbs the replay: final state equals run A
+    final_b = sorted(
+        (r["key"], r["val"])
+        for r in latest_version_dedup(raw_b, ["key"]).collect()
+    )
+    assert final_b == final_a

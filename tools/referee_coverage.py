@@ -42,6 +42,7 @@ D2 = "tests/test_differential_reference2.py"
 D3 = "tests/test_differential_reference3.py"
 D4 = "tests/test_differential_reference4.py"
 PLAN = "tests/test_plan_shapes.py"
+PLAN8 = "tests/test_plan_shapes_round8.py"
 MM = "tests/test_multimodal.py"
 FN = "tests/test_functions.py"
 
@@ -112,7 +113,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "anti_join": {
         "referee": [f"{D4}::test_anti_join_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "set_ops": {
         "referee": [f"{D4}::test_set_ops_matches_bruteforce"],
@@ -120,7 +121,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "distinct_agg": {
         "referee": [f"{D4}::test_distinct_agg_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "sql_interface": {
         "referee": [f"{D4}::test_sql_interface_matches_bruteforce"],
@@ -132,19 +133,19 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "rollup_orders": {
         "referee": [f"{D4}::test_rollup_orders_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "cube_orders": {
         "referee": [f"{D4}::test_cube_orders_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "grouping_sets_orders": {
         "referee": [f"{D4}::test_grouping_sets_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "pivot_orders": {
         "referee": [f"{D4}::test_pivot_orders_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "running_total": {
         "referee": [f"{D4}::test_running_total_matches_bruteforce"],
@@ -156,7 +157,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "cheapest_supplier": {
         "referee": [f"{D4}::test_cheapest_supplier_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "trade_volume_q7": {
         "referee": [f"{D4}::test_trade_volume_q7_matches_bruteforce"],
@@ -243,7 +244,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "top_sources_agg": {
         "referee": [f"{D4}::test_top_sources_agg_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "dataset_card": {
         "referee": [f"{D4}::test_dataset_card_matches_bruteforce"],
@@ -409,11 +410,11 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "edit_distance_pairs": {
         "referee": [f"{D2}::test_edit_distance_pairs_matches_dp_sf"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "prefix_jaccard_join": {
         "referee": ["tests/test_linkage_audit.py::test_prefix_join_complete_vs_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "dedup_labels": {
         "referee": [
@@ -445,12 +446,12 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             "tests/test_bloom_calibration.py::test_calibration_error_is_bounded_on_corpus",
             "tests/test_bloom_calibration.py::test_calibration_identical_docs_score_1000",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     # similarity / ANN / clustering
     "cosine_topk": {
         "referee": ["tests/test_similarity.py::test_cosine_topk_exact_neighbors"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "embedding_neardup": {
         "referee": [
@@ -464,7 +465,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "lsh_bucket_topk": {
         "referee": ["tests/test_ann_recall.py::test_lsh_single_band_documented_regime_limit"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "lsh_multiband_topk": {
         "referee": ["tests/test_ann_recall.py::test_lsh_multiband_recall_high_similarity"],
@@ -483,11 +484,11 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "knn_classify": {
         "referee": [f"{D4}::test_knn_classify_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "knn_confusion": {
         "referee": [f"{D4}::test_knn_confusion_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "kmeans_clusters": {
         "referee": [
@@ -524,7 +525,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D2}::test_hll_union_pairs_matches_bruteforce",
             "tests/test_sketches.py::test_hll_union_merge_equals_direct_union_sketch",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "cms_heavy_hitters": {
         "referee": [
@@ -541,7 +542,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_kmv_intersection_matches_bruteforce",
             "tests/test_sketches.py::test_kmv_exact_below_k",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "bloom_join_filter": {
         "referee": [
@@ -556,33 +557,33 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_triangle_count_matches_bruteforce",
             "tests/test_graph.py::test_triangle_matches_bruteforce",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "pagerank_nations": {
         "referee": [
             f"{D1}::test_pagerank_matches_bruteforce",
             "tests/test_graph.py::test_pagerank_matches_python_replica",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "kcore_3": {
         "referee": [
             f"{D1}::test_kcore_deep_peeling_matches_bruteforce",
             "tests/test_graph_temporal.py::test_kcore_contract_is_true_fixpoint",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "component_sizes": {
         "referee": ["tests/test_dedup_clusters.py::test_clusters_match_union_find_on_chain_graph"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "assortativity": {
         "referee": [f"{D1}::test_assortativity_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "copurchase_recs": {
         "referee": [f"{D2}::test_copurchase_recs_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     # funnels / sequences / temporal
     "window_funnel": {
@@ -594,7 +595,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_funnel_conversion_matches_bruteforce_with_level_gaps",
             "tests/test_funnel.py::test_funnel_conversion_monotone_and_consistent",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "event_transitions": {
         "referee": [
@@ -609,14 +610,14 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "event_pattern": {
         "referee": [f"{D1}::test_event_pattern_count_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "top_paths": {
         "referee": [
             f"{D1}::test_top_paths_matches_bruteforce",
             "tests/test_funnel.py::test_top_paths_counts_consecutive_triples",
         ],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "cohort_retention": {
         "referee": [f"{D1}::test_cohort_retention_matches_bruteforce"],
@@ -650,7 +651,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "session_window_native": {
         "referee": [f"{D4}::test_session_windows_cross_proof_and_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "session_gaps": {
         "referee": [f"{D4}::test_session_windows_cross_proof_and_bruteforce"],
@@ -658,7 +659,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "windowed_counts": {
         "referee": ["tests/test_streaming.py::test_windowed_counts_stream_matches_batch"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "asof_join": {
         "referee": [
@@ -688,7 +689,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "pit_enrich": {
         "referee": [f"{D2}::test_pit_enrich_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "state_dwell_time": {
         "referee": [f"{D2}::test_state_dwell_time_matches_bruteforce_sf"],
@@ -768,7 +769,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "trigram_search": {
         "referee": ["tests/test_graph_temporal.py::test_trigram_search_equals_contains_scan"],
-        "property": [],
+        "property": [f"{PLAN8}::test_plan_contract"],
     },
     "encoding_audit": {
         "referee": [

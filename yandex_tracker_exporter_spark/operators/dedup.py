@@ -292,7 +292,14 @@ def minhash_signatures_expr(
     shingles is immaterial under the min-fold.
     """
     coded = df.select(
-        F.col(id_col), _codepoints(F.col(content_col)).alias("_codes")
+        F.col(id_col),
+        _codepoints(F.col(content_col)).alias("_codes"),
+        # null-text parity with the Arrow kernel (round-8 hardening):
+        # the kernel returns a NULL signature for NULL text, but the
+        # fold below silently returned the INIT sentinel — `least(init,
+        # null)` ignores the null base hash — making a null doc a
+        # perfect LSH duplicate of every other null doc on this path
+        F.col(content_col).isNotNull().alias("_has_text"),
     )
     base_hashes = _rolling_hashes_from_codes(F.col("_codes"), shingle_k)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
@@ -307,7 +314,10 @@ def minhash_signatures_expr(
         return F.zip_with(acc, candidates, lambda a, b: F.least(a, b))
 
     signature = F.aggregate(base_hashes, init, fold_step)
-    return coded.select(F.col(id_col), signature.alias("minhash_sig"))
+    return coded.select(
+        F.col(id_col),
+        F.when(F.col("_has_text"), signature).alias("minhash_sig"),
+    )
 
 
 def minhash_lsh_duplicates(

@@ -82,6 +82,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _usable_norm(n: Column) -> Column:
+    """Quarantine predicate for a precomputed vector norm: cosine is
+    undefined for zero vectors (ANSI sessions RAISE on the 0/0 —
+    the driver runs bare-session ANSI, so an unguarded zero vector
+    kills the whole query, not just its row), a NULL norm marks a
+    NULL vector or a NULL element (the ``aggregate`` fold propagates
+    element nulls into the sum), and a NaN norm marks a non-finite
+    element — which Spark's ordering treats as LARGER than every
+    real number, so an unfiltered NaN would both survive ``> 0`` and
+    outrank every true neighbor. Rows failing this are excluded from
+    similarity operators the same way kmeans quarantines bad codes."""
+    return n.isNotNull() & ~F.isnan(n) & (n > 0)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -93,19 +107,30 @@ def cosine_topk(
 
     ``queries`` is expected small (it is broadcast); output:
     (query_id, neighbor_id, cosine_sim) with deterministic tie-break
-    (sim desc, neighbor id asc). Self-matches are excluded.
-    """
+    (sim desc, neighbor id asc). Self-matches are excluded. Norms are
+    computed ONCE per row on each side (not once per pair) and rows
+    with an unusable norm (NULL / zero / non-finite vector — see
+    :func:`_usable_norm`) are quarantined; a dimension mismatch
+    between a query and a corpus vector yields a NULL cosine, which
+    is dropped rather than ranked. dot/(qn*cn) with precomputed norms
+    is the IEEE-identical expression to dot/(norm(a)*norm(b))."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    ).where(_usable_norm(F.col("_qn")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    ).where(_usable_norm(F.col("_cn")))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
-    )
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine_sim"
+        ),
+    ).where(F.col("cosine_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -173,21 +198,27 @@ def lsh_bucket_topk(
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
             lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
-        )
+        ).where(_usable_norm(F.col("_cn")))
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
             lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
-        )
+        ).where(_usable_norm(F.col("_qn")))
         scored = (
             c.join(q, "bucket")
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id",
                 "neighbor_id",
-                cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+                (
+                    dot(F.col("_qvec"), F.col("_cvec"))
+                    / (F.col("_qn") * F.col("_cn"))
+                ).alias("cosine_sim"),
             )
+            .where(F.col("cosine_sim").isNotNull())
         )
     else:
         # Band keys come from the Arrow prep kernel (bit-identical to
@@ -203,9 +234,16 @@ def lsh_bucket_topk(
         prep = _neardup_prep_kernel(num_planes, num_bands, dim)
 
         def banded(df: DataFrame, out_id: str) -> DataFrame:
-            return df.select(
-                F.col(id_col).alias(out_id), prep(F.col(vec_col)).alias("_p")
-            ).select(out_id, F.posexplode("_p.buckets").alias("band", "bucket"))
+            # the kernel nulls out unusable vectors (NULL / ragged /
+            # non-finite); zero vectors carry nrm 0 — both quarantine
+            # here, so invalid ids never reach the candidate join
+            return (
+                df.select(
+                    F.col(id_col).alias(out_id), prep(F.col(vec_col)).alias("_p")
+                )
+                .where(F.col("_p.nrm").isNotNull() & (F.col("_p.nrm") > 0))
+                .select(out_id, F.posexplode("_p.buckets").alias("band", "bucket"))
+            )
 
         cand = (
             banded(corpus, "neighbor_id")
@@ -264,6 +302,12 @@ def ivf_topk(
     candidate volume drops by ~``num_centroids/nprobe``× versus brute
     force.
     """
+    # quarantine BEFORE centroid selection: a NULL/zero/non-finite
+    # vector among the lowest-id rows would otherwise become a
+    # centroid whose cn=0 raises DIVIDE_BY_ZERO in every row's ANSI
+    # assignment (the driver runs bare-session ANSI)
+    corpus = corpus.where(_usable_norm(norm(F.col(vec_col))))
+    queries = queries.where(_usable_norm(norm(F.col(vec_col))))
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
@@ -355,7 +399,7 @@ def ivf_topk(
         (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
             "cosine_sim"
         ),
-    )
+    ).where(F.col("cosine_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -447,7 +491,24 @@ def _neardup_prep_kernel(num_planes: int, num_bands: int, dim: int):
         nrms = np.full(len(vecs), np.nan)
         buckets: list = [None] * len(vecs)
         bits = 1 << np.arange(num_planes, dtype=np.int64)
-        idx = [i for i, v in enumerate(vecs) if v is not None]
+        # latent-input quarantine (round-8 hardening): a NULL vector,
+        # a wrong-width vector (np.stack would raise on the ragged
+        # batch and kill the TASK, failing the whole query for one bad
+        # row), or a non-finite element (NULL float elements arrive as
+        # NaN through Arrow; NaN survives `> 0` under Spark ordering)
+        # all yield a NULL struct — the expression twin's norm is NULL
+        # or NaN for the same rows, so both paths drop them.
+        idx = []
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            try:
+                arr = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                continue
+            if arr.ndim != 1 or arr.shape[0] != dim or not np.isfinite(arr).all():
+                continue
+            idx.append(i)
         for lo in range(0, len(idx), 128):
             rows = idx[lo:lo + 128]
             x = np.stack(
@@ -543,6 +604,11 @@ def cosine_neardup_pairs(
             F.col("_p.nrm").alias("_nrm"),
             F.col("_p.buckets").alias("_buckets"),
         )
+        # quarantine unusable vectors: kernel nulls NULL/ragged/
+        # non-finite rows; zero vectors carry nrm 0 (cosine undefined —
+        # the pair scorer would 0/0 into NaN and NaN >= threshold is
+        # TRUE under Spark ordering, emitting bogus pairs)
+        .where(F.col("_nrm").isNotNull() & (F.col("_nrm") > 0))
     )
     # Materialize the kernel prep ONCE for both self-join sides. The
     # nondeterministic kernel (see above) never canonicalizes equal, so

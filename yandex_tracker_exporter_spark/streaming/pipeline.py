@@ -77,6 +77,7 @@ def run_micro_batch_upsert(
     keys: list[str],
     available_now: bool = True,
     processing_time: str = "30 minutes",
+    on_batch_complete=None,
 ):
     """ST1+ST7: foreachBatch latest-version upsert with checkpointing.
 
@@ -89,6 +90,20 @@ def run_micro_batch_upsert(
     use the O1 dedup view — identical contract to the reference's
     ReplacingMergeTree upsert, but the offsets log replaces the JSON
     watermark file.
+
+    ``on_batch_complete(batch_id)`` (optional) runs after a batch's
+    sink write but BEFORE the engine commits the batch's offsets — the
+    per-batch counter hook (the reference posts run counters after
+    every sync, ``etl.py:229-259``). Because it precedes the commit,
+    an exception here (or a crash anywhere in the batch) leaves the
+    batch uncommitted: on restart Spark replays the SAME batch id over
+    the SAME input slice, the replayed append writes byte-identical
+    (key, version=batch_id) rows next to the originals, and the O1
+    latest-version dedup view absorbs the duplicates — this
+    write-then-commit + idempotent-read contract is the exactly-once
+    story, and ``tests/test_stateful_streaming.py`` pins it by
+    injecting a mid-run failure and oracle-checking the restarted
+    table against a no-failure run.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -98,6 +113,8 @@ def run_micro_batch_upsert(
             .write.mode("append")
             .parquet(output_path)
         )
+        if on_batch_complete is not None:
+            on_batch_complete(batch_id)
 
     writer = stream.writeStream.foreachBatch(upsert).option(
         "checkpointLocation", checkpoint_path
