@@ -302,3 +302,22 @@ def test_pagerank_local_finish_equals_distributed(spark):
         ).collect()
     )
     assert local == dist
+
+
+def test_kcore_cap_binds_loudly(spark):
+    """ADVICE r7: the SQL oracle peels to the UNCAPPED fixpoint, so a
+    peel that exhausts `rounds` without converging must RAISE instead
+    of returning a silent superset. A 30-node path graph at k=2 peels
+    one endpoint pair per round (~15 rounds to empty): rounds=3 must
+    raise on BOTH the local-finish and the distributed path, and a
+    sufficient budget must converge (to the empty core) on both."""
+    import pytest
+
+    path_edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(path_edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, rounds=3).collect()  # local finish (tiny graph)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, rounds=3, local_finish_edges=0).collect()
+    assert kcore(df, k=2, rounds=64).collect() == []
+    assert kcore(df, k=2, rounds=64, local_finish_edges=0).collect() == []

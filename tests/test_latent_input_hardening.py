@@ -166,3 +166,24 @@ def test_hll_and_kmv_ignore_null_values(spark):
     kmv_w = kmv_bottom_k(with_nulls, "v", "grp", k=16).collect()[0]["kmv"]
     kmv_wo = kmv_bottom_k(without, "v", "grp", k=16).collect()[0]["kmv"]
     assert kmv_w == kmv_wo and len(kmv_w) == 16
+
+
+def test_bloom_semi_join_mixed_key_type_classes_raise(spark):
+    """ADVICE r7: inference from the keys side alone still hashed a
+    string CORPUS key with the integer family (or vice versa) — the
+    same silent 100%-false-negative drop. Mixed type classes now raise
+    loud; explicit text_keys remains the caller's override."""
+    import pytest
+
+    from yandex_tracker_exporter_spark.operators.bloom import bloom_semi_join
+
+    corpus_s = spark.createDataFrame(
+        [(f"u_{i}", i) for i in range(10)], "k string, v long"
+    )
+    keys_i = spark.createDataFrame([(1,), (2,)], "k long")
+    with pytest.raises(TypeError, match="type classes disagree"):
+        bloom_semi_join(corpus_s, "k", keys_i, "k")
+    corpus_i = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    keys_s = spark.createDataFrame([("u_1",)], "k string")
+    with pytest.raises(TypeError, match="type classes disagree"):
+        bloom_semi_join(corpus_i, "k", keys_s, "k")

@@ -226,3 +226,31 @@ def test_empty_embeddings_corpus(spark):
     q = spark.createDataFrame(_vecs(1, 16), "vec_id long, embedding array<float>")
     assert cosine_topk(empty, q, k=3).collect() == []
     assert cosine_neardup_pairs(empty, dim=16).collect() == []
+
+
+def test_minhash_hub_bucket_cap(spark):
+    """Boilerplate hub buckets make the LSH candidate join quadratic
+    (factor-100 scale run: one 2.5k-doc bucket -> 112M candidate pairs
+    -> executor OOM). Buckets above max_bucket are dropped before the
+    self-join; real near-dup pairs outside the hub survive, and
+    max_bucket=None restores the uncapped behavior."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+    )
+
+    boiler = "all work and no play makes jack a dull boy " * 4
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, boiler) for i in range(40)]          # 40-doc hub
+    rows += [(100, base), (101, base.replace("jumps", "jumped"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_duplicates(df, max_bucket=10).collect()
+    }
+    assert capped == {(100, 101)}  # hub dropped, real pair intact
+    uncapped = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_duplicates(df, max_bucket=None).collect()
+    }
+    assert (100, 101) in uncapped
+    assert len(uncapped) == 1 + 40 * 39 // 2  # hub pairs all present

@@ -973,3 +973,118 @@ def test_decoder_hostile_headers_quarantine_not_crash():
     )
     with _pt.raises(ValueError, match="past the declared raster"):
         decode_png(over)
+
+
+# ------------------------------------------------- round-8 ADVICE items
+
+
+def test_quarantine_report_distinguishes_cap_from_malformed(spark):
+    """ADVICE r7: a valid-but-large image dropped by DECODE_SAMPLE_CAP
+    used to vanish exactly like malformed bytes. The quarantine report
+    classes them distinctly, and clean rows emit nothing."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from yandex_tracker_exporter_spark.multimodal import (
+        PNG_SIG,
+        encode_ppm,
+        media_quarantine_report,
+    )
+
+    def _chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body))
+            + tag + body
+            + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # valid PNG structure CLAIMING 4000x4000 RGB (48M samples > cap)
+    ihdr = _struct.pack(">IIBBBBB", 4000, 4000, 8, 2, 0, 0, 0)
+    big_png = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 100))
+        + _chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, bytearray(encode_ppm(2, 2, bytes(12)))),   # decodes fine
+        (2, bytearray(big_png)),                        # cap
+        (3, bytearray(PNG_SIG + b"\x00garbage")),       # malformed
+        (4, None),                                      # null payload
+        (5, bytearray(b"\x00\x01\x02\x03nonsense")),    # unknown magic
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["reason_class"]
+        for r in media_quarantine_report(df).collect()
+    }
+    assert got == {
+        2: "cap_exceeded",
+        3: "malformed",
+        4: "null_payload",
+        5: "unknown_format",
+    }
+
+
+def test_decode_cap_is_one_module_constant():
+    """Raising DECODE_SAMPLE_CAP must open BOTH raster decoders (PNG and
+    JPEG read the same constant — no second hard-coded copy)."""
+    import yandex_tracker_exporter_spark.multimodal as mm
+
+    ihdr_dims = (1300, 1100)  # 1300*1100*3 = 4.29M > 2^22, < 2^23
+    import struct as _struct
+    import zlib as _zlib
+
+    def _chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body))
+            + tag + body
+            + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    w, h = ihdr_dims
+    raw = b"".join(b"\x00" + b"\x10" * (w * 3) for _ in range(h))
+    png = (
+        mm.PNG_SIG
+        + _chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", _zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="decode cap"):
+        mm.decode_png(png)
+    old = mm.DECODE_SAMPLE_CAP
+    try:
+        mm.DECODE_SAMPLE_CAP = 1 << 23
+        out = mm.decode_png(png)
+        assert (out["width"], out["height"]) == (w, h)
+    finally:
+        mm.DECODE_SAMPLE_CAP = old
+
+
+def test_app_metadata_skips_fill_bytes_and_standalone_markers():
+    """T.81 allows 0xFF fill bytes before any marker and length-less
+    standalone markers (TEM 0x01, RSTn) in the stream; the APP walk
+    used to read their next bytes as a segment length and quarantine
+    valid files (ADVICE r7)."""
+    from yandex_tracker_exporter_spark.multimodal import (
+        encode_exif_app1,
+        encode_jfif_app0,
+        jpeg_app_metadata,
+    )
+
+    app0 = encode_jfif_app0(xdensity=300, ydensity=150, units=1)
+    app1 = encode_exif_app1(orientation=6)
+    # SOI + fill bytes + APP0 + TEM + RST3 + fill + APP1 + EOI
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xff" + app0[1:]
+        + b"\xff\x01"
+        + b"\xff\xd3"
+        + b"\xff" + app1[1:]
+        + b"\xff\xd9"
+    )
+    out = jpeg_app_metadata(payload)
+    assert out["xdensity"] == 300 and out["ydensity"] == 150
+    assert out["orientation"] == 6

@@ -13,11 +13,20 @@ Blow-up construction (deterministic, join-consistent):
 - every fact table gets FACTOR copies with primary AND foreign keys
   shifted by copy*stride (strides larger than any real key, so copies
   never collide and every FK still resolves inside its copy).
-- documents: copy 0 is verbatim; copy i>0 suffixes every token with
-  _i, so the blow-up multiplies the corpus without multiplying the
-  near-duplicate rate (10 verbatim copies of every doc would grow
-  LSH-bucket pairs quadratically IN THE REPLICATION — a different
-  experiment than scaling the corpus).
+- documents: copy 0 is verbatim; copy i>0 applies a PER-COPY BIJECTIVE
+  character map (letters rotated by i%25+1, digits by i//25%10 — 250
+  distinct maps), so the blow-up multiplies the corpus without
+  multiplying the near-duplicate rate (10 verbatim copies of every doc
+  would grow LSH-bucket pairs quadratically IN THE REPLICATION — a
+  different experiment than scaling the corpus). A bijective char map
+  preserves every shingle (in)equality WITHIN a copy — the near-dup
+  structure per copy is exactly sf0.1's — while cross-copy shingles
+  never match. The previous construction (suffix every token with _i)
+  was subtly degenerate at high factors: the suffix appears at every
+  token boundary of every doc in a copy, creating copy-UNIVERSAL
+  shingles that dominate the MinHash argmin — at factor 100 a single
+  band bucket held ~2,500 UNRELATED docs (vs 10 at sf0.1), 112M
+  candidate pairs, and a 24 GB OOM that said nothing about the engine.
 - embeddings: copy i rotates the vector by i positions — norm-
   preserving, and rotated vectors decorrelate, so the planted-pair
   density per vector stays what sf0.1 has.
@@ -100,15 +109,29 @@ def build_big(spark, factor: int) -> None:
             for col, stride in shifts.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * stride))
             if t == "documents" and i > 0:
+                # per-copy bijective char map (see module docstring):
+                # shingle-structure-preserving within a copy, disjoint
+                # across copies — never token-suffixing, which creates
+                # copy-universal shingles and degenerate LSH buckets.
+                # Affine permutation of the letter index (a*k+b mod 26,
+                # gcd(a,26)=1): 312 distinct non-identity maps, so no
+                # two copies share a map for any factor <= 312 even on
+                # digit-free text (plain rotations give only 25).
+                letters = "abcdefghijklmnopqrstuvwxyz"
+                digits = "0123456789"
+                units = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
+                a = units[i % 12]
+                b = i // 12 + (1 if a == 1 else 0)  # never the identity
+                mapped = "".join(
+                    letters[(a * k + b) % 26] for k in range(26)
+                )
+                drot = i % 10 if i % 10 else 3
+                src_alpha = letters + letters.upper() + digits
+                dst_alpha = (
+                    mapped + mapped.upper() + digits[drot:] + digits[:drot]
+                )
                 c = c.withColumn(
-                    "text",
-                    F.array_join(
-                        F.transform(
-                            F.split(F.col("text"), r"\s+"),
-                            lambda x: F.concat(x, F.lit(f"_{i}")),
-                        ),
-                        " ",
-                    ),
+                    "text", F.translate(F.col("text"), src_alpha, dst_alpha)
                 )
             if t == "embeddings" and i > 0:
                 rot = i % 64

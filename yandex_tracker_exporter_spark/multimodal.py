@@ -80,6 +80,16 @@ FEATURE_SCHEMA = StructType(
 # oracle-checked contract query; decoders are the ``decode="real"`` path.
 # --------------------------------------------------------------------------
 
+#: Memory/CPU-bomb guard for the raster decoders (PNG / JPEG): maximum
+#: decoded samples (width × height × components) a single payload may
+#: claim before it quarantines. 2^22 ≈ a 2048×2048 gray or 1184²
+#: RGB frame — sized for the pure-Python block loops, not for the
+#: format. A MODULE CONSTANT (ADVICE r7) so a deployment with real
+#: codec kernels can raise it in one place, and cap-quarantined rows
+#: are distinguishable from malformed ones via
+#: :func:`media_quarantine_report` (reason_class "cap_exceeded").
+DECODE_SAMPLE_CAP = 1 << 22
+
 
 def _encode_wav_pcm(data: bytes, sample_rate: int, n_channels: int) -> bytes:
     """RIFF/WAVE wrapper around raw little-endian int16 PCM bytes."""
@@ -421,7 +431,7 @@ def _png_raster(payload: bytes) -> np.ndarray:
     # raster-size check. Cap the claimed dimensions, then inflate with
     # an explicit output bound so a lying stream can never expand past
     # the raster the header promises.
-    if width * height * 3 > (1 << 22):
+    if width * height * 3 > DECODE_SAMPLE_CAP:
         raise ValueError("image dimensions exceed decode cap")
     expected = (width * 3 + 1) * height
     try:
@@ -457,30 +467,52 @@ def _png_dims(payload: bytes) -> tuple[int, int]:
     return int(width), int(height)
 
 
-def _decode_payload_real(payload: bytes | None) -> dict | None:
-    """Magic-byte dispatch to the pure-Python decoders; ``None`` for
-    null/unparseable payloads (quarantine posture, not task failure)."""
+def _dispatch_decoder(payload: bytes):
+    """Magic-byte dispatch table: the decoder for this payload, or
+    ``None`` when no magic matches."""
+    if payload[:4] == b"RIFF":
+        return decode_wav
+    if payload[:2] == b"P6":
+        return decode_ppm
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m
+    if payload[:8] == PNG_SIG:
+        return decode_png
+    if payload[:2] == JPEG_SOI:
+        return decode_jpeg
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return decode_mp4_meta
+    return None
+
+
+def _decode_payload_verbose(
+    payload: bytes | None,
+) -> tuple[dict | None, str, str | None]:
+    """(decoded, reason_class, reason) — the quarantine-observable form
+    of the decode dispatch (ADVICE r7: a valid-but-large image dropped
+    by the sample cap used to be indistinguishable from a malformed
+    payload). reason_class: "ok" / "null_payload" / "unknown_format" /
+    "cap_exceeded" / "malformed"."""
     if payload is None:
-        return None
+        return None, "null_payload", None
+    fn = _dispatch_decoder(payload)
+    if fn is None:
+        return None, "unknown_format", None
     try:
-        if payload[:4] == b"RIFF":
-            return decode_wav(payload)
-        if payload[:2] == b"P6":
-            return decode_ppm(payload)
-        if payload[:9] == b"YUV4MPEG2":
-            return decode_y4m(payload)
-        if payload[:8] == PNG_SIG:
-            return decode_png(payload)
-        if payload[:2] == JPEG_SOI:
-            return decode_jpeg(payload)
-        if len(payload) >= 8 and payload[4:8] == b"ftyp":
-            return decode_mp4_meta(payload)
-    except (ValueError, struct.error, IndexError, ZeroDivisionError):
+        return fn(payload), "ok", None
+    except (ValueError, struct.error, IndexError, ZeroDivisionError) as exc:
         # ZeroDivisionError is defense-in-depth: the parsers now reject
         # zero rates/denominators with ValueError at the header, but a
         # future field must not be able to kill a 100 TB scan task
-        return None
-    return None
+        msg = str(exc)
+        cls = "cap_exceeded" if "decode cap" in msg else "malformed"
+        return None, cls, msg[:200] or type(exc).__name__
+
+
+def _decode_payload_real(payload: bytes | None) -> dict | None:
+    """Magic-byte dispatch to the pure-Python decoders; ``None`` for
+    null/unparseable payloads (quarantine posture, not task failure)."""
+    return _decode_payload_verbose(payload)[0]
 
 
 def _decode_batch_fake(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -596,6 +628,52 @@ def decode_media(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return df.select("media_id", "payload").mapInPandas(kernel, DECODED_SCHEMA)
+
+
+#: media_quarantine_report output: one row per payload the real-decode
+#: path quarantines, with a machine-usable class and the parser's
+#: message, so "valid media above the sample cap" is observable and
+#: distinguishable from genuinely malformed bytes (ADVICE r7).
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("reason_class", StringType(), True),
+        StructField("reason", StringType(), True),
+    ]
+)
+
+
+def media_quarantine_report(df: DataFrame) -> DataFrame:
+    """Rows that :func:`decode_media` / the ``decode="real"`` feature
+    path quarantine, each with its reason class: "null_payload",
+    "unknown_format", "cap_exceeded" (valid header, dimensions above
+    ``DECODE_SAMPLE_CAP`` — raise the constant to decode them), or
+    "malformed" (parser rejected the bytes). Map-only Arrow stage,
+    same scan pruning as the decoders; rows that decode cleanly emit
+    nothing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, classes, reasons = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                _, cls, msg = _decode_payload_verbose(
+                    None if b is None else bytes(b)
+                )
+                if cls != "ok":
+                    ids.append(mid)
+                    classes.append(cls)
+                    reasons.append(msg)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "reason_class": pd.array(classes, dtype="object"),
+                    "reason": pd.array(reasons, dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, QUARANTINE_SCHEMA
+    )
 
 
 ENERGY_SCHEMA = StructType(
@@ -1452,7 +1530,7 @@ def _jpeg_decode_planes(payload: bytes):
     #     entropy byte; a tiny file claiming a huge SOF quarantines
     #     here instead of stalling the executor until the bit reader
     #     runs dry deep inside the MCU loop.
-    if width * height * len(comps) > (1 << 22):
+    if width * height * len(comps) > DECODE_SAMPLE_CAP:
         raise ValueError("image dimensions exceed decode cap")
     mcux = -(-width // (8 * max_h))
     mcuy = -(-height // (8 * max_v))
@@ -1601,12 +1679,28 @@ def jpeg_app_metadata(payload: bytes) -> dict:
         "orientation": None,
     }
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of misreading 0xFF as a
+        # marker whose "length" is the next two bytes (ADVICE r7)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker in (0xDA, 0xD9):  # scan data / EOI: APPn all seen
             break
+        # standalone markers carry NO length field (T.81 table B.1):
+        # TEM (0x01) and RSTn (0xD0-0xD7) are spec-legal before SOS —
+        # treating their following bytes as a length misparsed valid
+        # files into quarantine (ADVICE r7)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:

@@ -80,11 +80,26 @@ def bloom_semi_join(
     silently dropped the WHOLE corpus — a 100% false-negative rate on
     an operator whose contract is "no false negatives".
     """
+    def _is_texty(dtype: str) -> bool:
+        return dtype in ("string", "varchar") or dtype.startswith("char")
+
     if text_keys is None:
-        key_type = dict(keys.dtypes).get(key_col, "")
-        text_keys = key_type in ("string", "varchar") or key_type.startswith(
-            "char"
-        )
+        keys_texty = _is_texty(dict(keys.dtypes).get(key_col, ""))
+        corpus_texty = _is_texty(dict(corpus.dtypes).get(corpus_key, ""))
+        # infer from BOTH sides (ADVICE r7): a string corpus key probed
+        # with the integer family (or vice versa) reproduces the silent
+        # 100%-false-negative full-corpus drop the inference exists to
+        # prevent — mixed type classes are a caller error, raised loud
+        if keys_texty != corpus_texty:
+            raise TypeError(
+                f"bloom_semi_join key type classes disagree: "
+                f"corpus[{corpus_key}] is "
+                f"{'text' if corpus_texty else 'numeric'} but "
+                f"keys[{key_col}] is "
+                f"{'text' if keys_texty else 'numeric'}; cast one side "
+                f"or pass text_keys explicitly"
+            )
+        text_keys = keys_texty
     if text_keys:
         fams = [
             (lambda c, s=s: _text_position(c, s, m_bits)) for s in salts

@@ -328,6 +328,7 @@ def minhash_lsh_duplicates(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 9,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding.
 
@@ -336,6 +337,20 @@ def minhash_lsh_duplicates(
     band key — linear, no cross join); candidates are scored by the
     fraction of matching signature components and filtered at
     ``threshold``. Output: (a_id, b_id, est_jaccard), a_id < b_id.
+
+    ``max_bucket`` is the hub-bucket skew rail (same class as the
+    winnowing stop-fingerprint cap): a real corpus's boilerplate
+    (license headers, templated pages) can put thousands of UNRELATED
+    documents into one band bucket — the candidate join is quadratic
+    in bucket size, so one 100k-doc bucket is 5e9 pairs and a dead
+    executor regardless of cluster size. Band buckets larger than the
+    cap are dropped BEFORE the self-join (one partial-aggregable count
+    over narrow (band, key) rows). Recall caveat: a true near-dup pair
+    whose EVERY matching band is capped is missed — for boilerplate
+    hubs those pairs are overwhelmingly sub-threshold anyway, and a
+    pair of real dups still surfaces through any uncapped band.
+    ``None`` disables. The default (10k ⇒ ≤50M pairs per bucket) never
+    binds at harness scale (largest observed bucket: 10).
     """
     rows_per_band = num_hashes // bands
     # single-row-group corpora scan as one split; re-split before the
@@ -367,6 +382,19 @@ def minhash_lsh_duplicates(
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
     banded = banded.repartition("band_idx", "band_key")
+    if max_bucket is not None:
+        # hub-bucket rail: count per (band, key) over the already
+        # co-partitioned narrow rows (map-side partial agg, no extra
+        # wide data moves) and drop oversized buckets before they can
+        # enter the quadratic self-join
+        sizes = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = banded.join(
+            sizes.where(F.col("_bn") <= max_bucket),
+            ["band_idx", "band_key"],
+            "left_semi",
+        )
 
     left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")

@@ -266,13 +266,22 @@ def _peel_local(pairs, k: int, max_rounds: int) -> dict:
         return d
 
     done = 0
+    converged = not alive
     while done < max_rounds:
         deg = _deg(alive)
         nxt = {n for n, dd in deg.items() if dd >= k}
         done += 1
         if nxt == alive:
+            converged = True
             break
         alive = nxt
+    if not converged:
+        # same loud-cap contract as the distributed loop (ADVICE r7):
+        # a silent superset would diverge from the uncapped SQL oracle
+        raise RuntimeError(
+            f"kcore did not converge within {max_rounds} rounds "
+            f"(local finish); raise `rounds`"
+        )
     deg = _deg(alive)
     return {n: d for n, d in deg.items() if d >= k}
 
@@ -294,13 +303,15 @@ def kcore(
     The peeling loop runs until a round removes no nodes (the true
     fixpoint — each convergence check is one count() over the
     checkpointed node-sized alive vector, driver-small), bounded by
-    ``rounds`` as a safety cap. NOTE THE BOUND: a graph whose peeling
-    needs more than ``rounds`` synchronous rounds returns a SUPERSET of
-    the true k-core; the default cap of 64 covers any graph whose
-    peeling depth is < 64, and the early-exit means the common case
-    stops as soon as the alive count is stable (ADVICE r4). The SQL
-    oracle replays the identical recurrence (recursive CTE fixpoint);
-    differential brute-force tests pin both paths.
+    ``rounds`` as a safety cap. THE CAP IS LOUD (ADVICE r7): a graph
+    whose peeling exhausts ``rounds`` without converging RAISES
+    RuntimeError instead of returning a silent superset — the SQL
+    oracle peels to the UNCAPPED fixpoint (recursive CTE), so a capped
+    superset would be an invisible engine/oracle divergence. The
+    default 64 covers any graph whose peeling depth is < 64, and the
+    early-exit means the common case stops as soon as the alive count
+    is stable (ADVICE r4). Differential brute-force tests pin both
+    paths; ``tests/test_graph_temporal.py`` pins the raise.
 
     Scale shape per round: the alive-node vector (one id per node)
     drives two semi-joins and one partial-aggregable degree count —
@@ -383,6 +394,7 @@ def kcore(
     # safety.
     prev_n = alive.count()
     done = 0
+    converged = prev_n == 0
     while done < rounds:
         step = min(2, rounds - done)
         for _ in range(step):
@@ -396,6 +408,7 @@ def kcore(
         n = alive.count()
         if n == prev_n:
             # no node removed in the block ⇒ fixpoint
+            converged = True
             break
         prev_n = n
         # Edge compaction between blocks: drop every edge with a dead
@@ -419,6 +432,16 @@ def kcore(
         # next block would do anyway) and gates the local finish
         if local_finish_edges and e.count() <= local_finish_edges:
             return _local_finish(e, rounds - done)
+    if not converged:
+        # LOUD cap (ADVICE r7): the SQL oracle peels to the uncapped
+        # fixpoint, so a capped superset would be a silent
+        # engine/oracle divergence on any graph whose peeling depth
+        # exceeds `rounds`. Raising makes the caller raise the cap
+        # instead of shipping a superset as "the k-core".
+        raise RuntimeError(
+            f"kcore did not converge within {rounds} rounds "
+            f"(alive={prev_n}); raise `rounds`"
+        )
     return (
         _degrees(alive)
         .where(F.col("deg") >= k)
