@@ -383,17 +383,17 @@ def minhash_lsh_duplicates(
     ).select(id_col, "band.band_idx", "band.band_key")
     banded = banded.repartition("band_idx", "band_key")
     if max_bucket is not None:
-        # hub-bucket rail: count per (band, key) over the already
-        # co-partitioned narrow rows (map-side partial agg, no extra
-        # wide data moves) and drop oversized buckets before they can
-        # enter the quadratic self-join
-        sizes = banded.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        banded = banded.join(
-            sizes.where(F.col("_bn") <= max_bucket),
-            ["band_idx", "band_key"],
-            "left_semi",
+        # hub-bucket rail: a window count over the already
+        # co-partitioned narrow rows — rides the repartition exchange
+        # above (no second shuffle, no second branch of the signature
+        # pipeline; an agg+semi-join formulation was measured to plan
+        # two extra kernel evaluations) — and drops oversized buckets
+        # before they can enter the quadratic self-join
+        wb = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
         )
 
     left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
