@@ -67,17 +67,35 @@ def test_clusters_on_real_minhash_pairs(spark):
     assert got == _union_find(edge_list)
 
 
-def test_dedup_labels_refresh_releases_blocks(spark):
+def test_dedup_labels_refresh_releases_blocks(spark, monkeypatch):
     """q_dedup_labels refreshes the session-scoped materialized labels;
     an evicted entry's checkpoint blocks must survive ONE refresh
     generation (an in-flight same-app consumer of the old labels must
     not lose its blocks mid-job — round-7 review) and be unpersisted by
     the NEXT refresh, not left in the block manager until GC (driver
-    ADVICE r5 — unbounded-ish storage growth under repeated refresh)."""
-    import __spark_entry__ as entry_mod
+    ADVICE r5 — unbounded-ish storage growth under repeated refresh).
 
+    Round 8: the default CC path takes the counted-bound union-find
+    finish at harness scale, so the labels relation is a LOCAL
+    (blockless) relation and the lifecycle has nothing to manage — the
+    machinery is pinned here by forcing the distributed loop, exactly
+    what a >100k-edge corpus would run."""
+    import functools
+
+    import __spark_entry__ as entry_mod
+    from yandex_tracker_exporter_spark.operators import dedup as dedup_mod
+
+    monkeypatch.setattr(
+        entry_mod,
+        "duplicate_clusters",
+        functools.partial(dedup_mod.duplicate_clusters, local_finish_edges=0),
+    )
     sf = "/root/testdata/sf0.001"
     q = entry_mod.queries()["dedup_labels"]
+    # drop any cache entry built by earlier tests under the default path
+    entry_mod._DEDUP_LABELS_CACHE.pop(
+        (spark.sparkContext.applicationId, sf), None
+    )
     q(spark, sf).count()  # populate the cache
     key = (spark.sparkContext.applicationId, sf)
     _, first_ids = entry_mod._DEDUP_LABELS_CACHE[key]
@@ -108,3 +126,51 @@ def test_dedup_labels_refresh_releases_blocks(spark):
     assert all(live.get(rid) is not None for rid in by_ids)
     # the refreshed relation is intact and non-trivial
     assert q(spark, sf).count() > 0
+
+
+def test_cc_local_finish_equals_distributed_and_cap_is_loud(spark):
+    """Round 8: the counted-bound union-find finish must label exactly
+    like the distributed min-label loop (long ids, string ids, chains,
+    multiple components), and the distributed loop's iteration cap must
+    raise on non-convergence instead of returning moving labels (a
+    201-node path needs ~log-diameter rounds; 2 iterations cannot
+    converge it)."""
+    import pytest
+
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    import random
+    rng = random.Random(31)
+    # random sparse graph + a long chain + an isolated pair
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pairs += [(1000 + i, 1001 + i) for i in range(40)]  # 41-node chain
+    pairs += [(5000, 5001)]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    loc = sorted(
+        (r["id"], r["cluster_id"]) for r in duplicate_clusters(df).collect()
+    )
+    # min-label propagation needs ~diameter rounds: give the 41-node
+    # chain a sufficient budget on the forced-distributed twin
+    dist = sorted(
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            df, local_finish_edges=0, max_iterations=64
+        ).collect()
+    )
+    assert loc == dist
+    # string ids through the local path
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "a_id string, b_id string"
+    )
+    assert sorted(
+        (r["id"], r["cluster_id"]) for r in duplicate_clusters(sdf).collect()
+    ) == [("a", "a"), ("b", "a"), ("c", "a")]
+    # loud cap on the distributed loop
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iterations=2, local_finish_edges=0)

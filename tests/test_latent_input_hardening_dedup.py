@@ -254,3 +254,29 @@ def test_minhash_hub_bucket_cap(spark):
     }
     assert (100, 101) in uncapped
     assert len(uncapped) == 1 + 40 * 39 // 2  # hub pairs all present
+
+
+def test_simhash_and_ngram_hub_bucket_caps(spark):
+    """The skew rail extends to the whole banded-pair family: identical
+    boilerplate docs share every simhash band value and every minhash
+    band key, so the candidate joins go quadratic in the hub size
+    without the cap."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_hamming_pairs,
+    )
+
+    boiler = "all work and no play makes jack a dull boy " * 4
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, boiler) for i in range(40)]
+    # exact duplicates: hamming 0 / jaccard 1.0 on every operator, so
+    # the pair must survive any cap that the 40-doc hub does not
+    rows += [(100, base), (101, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (simhash_hamming_pairs, ngram_jaccard_pairs):
+        capped = {(r["a_id"], r["b_id"]) for r in fn(df, max_bucket=10).collect()}
+        assert capped == {(100, 101)}, fn.__name__
+        uncapped = {
+            (r["a_id"], r["b_id"]) for r in fn(df, max_bucket=None).collect()
+        }
+        assert (100, 101) in uncapped and len(uncapped) == 1 + 40 * 39 // 2, fn.__name__

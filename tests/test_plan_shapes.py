@@ -352,19 +352,28 @@ def test_kmeans_assignment_plan_by_k(spark):
     interpreted k×dim fold is the NOTES megamorphic-HOF class and its
     per-iteration centroid LITERALS recompile codegen every round).
     Either way: no join, no exchange in the returned plan (iteration
-    sums run as separate driver-small jobs)."""
+    sums run as separate driver-small jobs). At the test scale the
+    contract query takes the round-8 counted-bound driver-local finish
+    (plan is a local relation — no Python, no exchange at all), so the
+    distributed shapes are probed with local_finish=False."""
     df = entry_mod.queries()["kmeans_clusters"](spark, SF_DIR)
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange" not in plan  # local finish: no shuffle whatsoever
 
     from yandex_tracker_exporter_spark.operators.clustering import (
         kmeans_quantized,
     )
 
     emb = entry_mod._t_wide(spark, SF_DIR, "embeddings")
-    big_k = kmeans_quantized(emb, k=32, iters=1)
+    small_k = kmeans_quantized(emb, k=8, iters=1, local_finish=False)
+    plan = _plan(small_k)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    big_k = kmeans_quantized(emb, k=32, iters=1, local_finish=False)
     plan = _plan(big_k)
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan

@@ -424,11 +424,38 @@ def minhash_lsh_duplicates(
     )
 
 
+def _cc_local(pairs: list) -> dict:
+    """Driver-side connected components with min-id labels (union-find
+    with min-root merging) — EXACTLY the fixpoint the distributed
+    min-label propagation converges to, so the two paths are
+    interchangeable (pytest-pinned equal). Returns {id: cluster_id}."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # merge toward the smaller label so the root IS the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 20,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → cluster
     labels — the step that turns pairwise LSH output into dedup groups
@@ -448,6 +475,20 @@ def duplicate_clusters(
 
     Input: distinct undirected pairs (a, b). Output: (id, cluster_id)
     for every id that appears in any pair.
+
+    ``local_finish_edges``: counted-bound driver-local finish (the
+    graph/kmeans escape hatch, round 8) — near-dup pair graphs are
+    SPARSE by LSH construction, so once the distinct edge list is
+    counted at or below this bound (the count doubles as the
+    materializing action the loop needs anyway) the components are
+    resolved by a driver-side union-find with min-root merging:
+    byte-equal to the distributed fixpoint (twin-tested), none of the
+    per-round join/agg/checkpoint jobs. At 100 TB the bound never
+    binds until the pairs ARE driver-small; 0 disables. The
+    ``max_iterations`` cap on the distributed loop is LOUD (same
+    contract as kcore): exhausting it without convergence raises
+    instead of returning wrong labels — the DuckDB oracle runs the
+    recursion to its true fixpoint.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -461,6 +502,19 @@ def duplicate_clusters(
     # with the barrier the loop costs only its own tiny id-key joins).
     # Same durability class as shuffle files (recompute-on-loss).
     edges = edges.localCheckpoint(eager=False)
+    if local_finish_edges and edges.count() <= local_finish_edges:
+        spark = edges.sparkSession
+        collected = [(r[0], r[1]) for r in edges.collect()]
+        labels_map = _cc_local(collected)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", edges.schema["src"].dataType),
+                T.StructField("cluster_id", edges.schema["src"].dataType),
+            ]
+        )
+        return spark.createDataFrame(sorted(labels_map.items()), schema)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
     )
@@ -487,8 +541,15 @@ def duplicate_clusters(
         changed = updated.where(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # LOUD cap (same contract as kcore, round 8): labels that are still
+    # moving when the round budget runs out are WRONG labels, and the
+    # recursive-CTE oracle runs to its true fixpoint — raise instead of
+    # silently returning a non-converged labeling.
+    raise RuntimeError(
+        f"duplicate_clusters did not converge within {max_iterations} "
+        f"iterations; raise `max_iterations`"
+    )
 
 
 def canonical_representatives(
@@ -660,8 +721,16 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     salt: str = "#",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by 62-bit SimHash Hamming distance.
+
+    ``max_bucket`` is the hub-bucket skew rail shared with
+    :func:`minhash_lsh_duplicates`: a corpus with many byte-identical
+    boilerplate documents puts them ALL in one (band, value) bucket on
+    every band (identical signatures), and the candidate join goes
+    quadratic in that count. Buckets above the cap drop before the
+    self-join; ``None`` disables.
 
     Two independent 31-bit simhashes (plain + ``salt``-appended token
     hash family) form a 62-bit signature; at this width random document
@@ -714,6 +783,16 @@ def simhash_hamming_pairs(
             )
         ).alias("band"),
     ).select(id_col, "sim_lo", "sim_hi", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        # hub-bucket rail: the window's required hashpartitioning on
+        # (band_idx, band_val) is the same partitioning the self-join
+        # needs, so this adds no extra exchange — only the count
+        wb = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
 
     left = banded.select(
         F.col(id_col).alias("a_id"),
@@ -750,8 +829,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """n-gram Jaccard over MinHash-LSH candidate pairs.
+
+    ``max_bucket`` is the hub-bucket skew rail shared with
+    :func:`minhash_lsh_duplicates` (see its docstring): boilerplate-
+    driven band buckets above the cap are dropped before the quadratic
+    candidate self-join; ``None`` disables.
 
     A naive shingle self-join blows up quadratically on frequent
     shingles (word-soup corpora share most 9-grams across documents), so
@@ -800,6 +885,16 @@ def ngram_jaccard_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
     banded = banded.repartition("band_idx", "band_key")
+    if max_bucket is not None:
+        # hub-bucket rail: window count rides the repartition exchange
+        # (see minhash_lsh_duplicates — the agg+semi-join form planned
+        # two extra kernel evaluations)
+        wb = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
 
     left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("b_id"), "band_idx", "band_key")
