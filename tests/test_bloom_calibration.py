@@ -59,6 +59,21 @@ def test_bloom_empty_filter_side_drops_everything(spark):
     assert bloom_semi_join(corpus, "k", keys, "key").count() == 0
 
 
+def test_bloom_missing_column_raises_named_error(spark):
+    """ADVICE r8: a misspelled column used to classify as dtype "" →
+    numeric and surface as the confusing "type classes disagree"
+    TypeError; it must raise a column-not-found error NAMING the
+    column instead."""
+    import pytest
+
+    corpus = spark.range(5).select(F.col("id").alias("k"))
+    keys = spark.range(3).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="no column 'kay'"):
+        bloom_semi_join(corpus, "kay", keys, "key")
+    with pytest.raises(ValueError, match="no column 'keey'"):
+        bloom_semi_join(corpus, "k", keys, "keey")
+
+
 def test_bloom_plan_corpus_never_shuffles(spark):
     """The probe side must stay exchange-free: broadcast semi-joins
     only (no Exchange on the corpus lineage)."""

@@ -124,20 +124,43 @@ def test_neardup_pairs_quarantine_not_task_failure(spark):
 
 def test_nan_vector_never_outranks_or_pairs(spark):
     """NaN sorts larger than every real number in Spark: an unfiltered
-    NaN norm would win every top-k ranking and pass >= threshold."""
+    NaN norm would win every top-k ranking and pass >= threshold.
+
+    Inf is the sneakier sibling (ADVICE r8): an Inf-element vector has
+    norm = inf (NOT NaN — it passes an isnan-only quarantine), its
+    cosine is inf/inf = NaN, which passes isNotNull and sorts LARGEST
+    under desc() — the bad row becomes the top neighbor of EVERY query
+    on the expression branches (cosine_topk / lsh_bucket_topk /
+    ivf_topk) while the Arrow kernel branch correctly drops it."""
     from yandex_tracker_exporter_spark.operators.similarity import (
         cosine_neardup_pairs,
         cosine_topk,
+        ivf_topk,
+        lsh_bucket_topk,
     )
 
-    rows = _vecs(8, 16) + [(200, [float("nan")] * 16)]
+    rows = _vecs(8, 16) + [
+        (200, [float("nan")] * 16),
+        (201, [float("inf")] + [0.5] * 15),
+        (202, [float("-inf")] + [0.5] * 15),
+    ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = cosine_topk(df, df.where(F.col("vec_id") == 0), k=3).collect()
-    assert 200 not in {r["neighbor_id"] for r in out}
+    bad = {200, 201, 202}
+    q = df.where(F.col("vec_id") == 0)
+    for out in (
+        cosine_topk(df, q, k=5).collect(),
+        lsh_bucket_topk(df, q, k=5, num_planes=2, dim=16, num_bands=1).collect(),
+        lsh_bucket_topk(df, q, k=5, num_planes=2, dim=16, num_bands=2).collect(),
+        ivf_topk(df, q, k=5, num_centroids=2).collect(),
+    ):
+        hit = {r["neighbor_id"] for r in out} & bad
+        assert not hit, f"non-finite vectors ranked as neighbors: {hit}"
     pairs = cosine_neardup_pairs(
         df, threshold=0.0, num_planes=4, num_bands=2, dim=16
     ).collect()
-    assert not any(200 in (r["a_id"], r["b_id"]) for r in pairs)
+    assert not any(
+        bad & {r["a_id"], r["b_id"]} for r in pairs
+    ), "non-finite vectors paired"
 
 
 def test_minhash_expr_kernel_null_and_short_text_parity(spark):

@@ -1088,3 +1088,29 @@ def test_app_metadata_skips_fill_bytes_and_standalone_markers():
     out = jpeg_app_metadata(payload)
     assert out["xdensity"] == 300 and out["ydensity"] == 150
     assert out["orientation"] == 6
+
+
+def test_cap_classification_is_type_based_not_message_based():
+    """ADVICE r8: cap_exceeded used to be inferred from the substring
+    "decode cap" in the ValueError message, so rewording a decoder's
+    message would silently reclassify cap-quarantined rows as
+    malformed. The classifier must key on DecodeCapExceeded's TYPE."""
+    from unittest import mock
+
+    import yandex_tracker_exporter_spark.multimodal as mm
+
+    def reworded(payload):
+        raise mm.DecodeCapExceeded("raster too large for sampling budget")
+
+    with mock.patch.object(mm, "_dispatch_decoder", return_value=reworded):
+        _, cls, msg = mm._decode_payload_verbose(b"anything")
+    assert cls == "cap_exceeded"
+    assert "sampling budget" in msg
+    # and a plain ValueError that HAPPENS to mention "decode cap" in
+    # prose is malformed, not cap_exceeded
+    def misleading(payload):
+        raise ValueError("expected marker before decode cap section")
+
+    with mock.patch.object(mm, "_dispatch_decoder", return_value=misleading):
+        _, cls, _ = mm._decode_payload_verbose(b"anything")
+    assert cls == "malformed"

@@ -14,8 +14,11 @@ Blow-up construction (deterministic, join-consistent):
   shifted by copy*stride (strides larger than any real key, so copies
   never collide and every FK still resolves inside its copy).
 - documents: copy 0 is verbatim; copy i>0 applies a PER-COPY BIJECTIVE
-  character map (letters rotated by i%25+1, digits by i//25%10 — 250
-  distinct maps), so the blow-up multiplies the corpus without
+  character map (an affine permutation of the letter index, a*k+b mod
+  26 with gcd(a,26)=1, plus a digit rotation — 312 distinct
+  non-identity letter maps, stated here once as the code's source of
+  truth; plain rotations give just 25), so the blow-up multiplies the
+  corpus without
   multiplying the near-duplicate rate (10 verbatim copies of every doc
   would grow LSH-bucket pairs quadratically IN THE REPLICATION — a
   different experiment than scaling the corpus). A bijective char map
@@ -109,14 +112,11 @@ def build_big(spark, factor: int) -> None:
             for col, stride in shifts.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * stride))
             if t == "documents" and i > 0:
-                # per-copy bijective char map (see module docstring):
-                # shingle-structure-preserving within a copy, disjoint
-                # across copies — never token-suffixing, which creates
-                # copy-universal shingles and degenerate LSH buckets.
-                # Affine permutation of the letter index (a*k+b mod 26,
-                # gcd(a,26)=1): 312 distinct non-identity maps, so no
-                # two copies share a map for any factor <= 312 even on
-                # digit-free text (plain rotations give only 25).
+                # per-copy bijective char map — affine permutation of
+                # the letter index; distinct-map bound and rationale in
+                # the module docstring (the single statement of both).
+                # Never token-suffixing, which creates copy-universal
+                # shingles and degenerate LSH buckets.
                 letters = "abcdefghijklmnopqrstuvwxyz"
                 digits = "0123456789"
                 units = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]

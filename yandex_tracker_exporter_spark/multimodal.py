@@ -91,6 +91,15 @@ FEATURE_SCHEMA = StructType(
 DECODE_SAMPLE_CAP = 1 << 22
 
 
+class DecodeCapExceeded(ValueError):
+    """A payload was structurally valid but larger than
+    :data:`DECODE_SAMPLE_CAP` — quarantined by POLICY, not malformed.
+    A dedicated type (ADVICE r8): the quarantine classifier used to
+    substring-match "decode cap" in the ValueError message, so any
+    rewording of a decoder's message silently reclassified
+    cap-quarantined media as "malformed" in the report."""
+
+
 def _encode_wav_pcm(data: bytes, sample_rate: int, n_channels: int) -> bytes:
     """RIFF/WAVE wrapper around raw little-endian int16 PCM bytes."""
     fmt = struct.pack(
@@ -432,7 +441,7 @@ def _png_raster(payload: bytes) -> np.ndarray:
     # an explicit output bound so a lying stream can never expand past
     # the raster the header promises.
     if width * height * 3 > DECODE_SAMPLE_CAP:
-        raise ValueError("image dimensions exceed decode cap")
+        raise DecodeCapExceeded("image dimensions exceed decode cap")
     expected = (width * 3 + 1) * height
     try:
         d = zlib.decompressobj()
@@ -505,7 +514,7 @@ def _decode_payload_verbose(
         # zero rates/denominators with ValueError at the header, but a
         # future field must not be able to kill a 100 TB scan task
         msg = str(exc)
-        cls = "cap_exceeded" if "decode cap" in msg else "malformed"
+        cls = "cap_exceeded" if isinstance(exc, DecodeCapExceeded) else "malformed"
         return None, cls, msg[:200] or type(exc).__name__
 
 
@@ -1531,7 +1540,7 @@ def _jpeg_decode_planes(payload: bytes):
     #     here instead of stalling the executor until the bit reader
     #     runs dry deep inside the MCU loop.
     if width * height * len(comps) > DECODE_SAMPLE_CAP:
-        raise ValueError("image dimensions exceed decode cap")
+        raise DecodeCapExceeded("image dimensions exceed decode cap")
     mcux = -(-width // (8 * max_h))
     mcuy = -(-height // (8 * max_v))
     total_blocks = mcux * mcuy * sum(h * v for _, h, v, _ in comps)

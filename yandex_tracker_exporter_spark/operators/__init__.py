@@ -21,6 +21,7 @@ from yandex_tracker_exporter_spark.operators.dedup import (
     minhash_lsh_duplicates,
     simhash,
     ngram_jaccard_pairs,
+    dedup_skew_report,
 )
 from yandex_tracker_exporter_spark.operators.watermark import (
     compute_watermark,
@@ -50,6 +51,7 @@ __all__ = [
     "minhash_lsh_duplicates",
     "simhash",
     "ngram_jaccard_pairs",
+    "dedup_skew_report",
     "compute_watermark",
     "is_up_to_date",
     "asof_join",

@@ -83,6 +83,20 @@ def bloom_semi_join(
     def _is_texty(dtype: str) -> bool:
         return dtype in ("string", "varchar") or dtype.startswith("char")
 
+    # column existence FIRST (ADVICE r8): a missing/misspelled column
+    # used to classify as dtype "" → numeric, so a typo surfaced as the
+    # confusing "type classes disagree" TypeError instead of naming the
+    # absent column
+    if corpus_key not in corpus.columns:
+        raise ValueError(
+            f"bloom_semi_join: corpus has no column {corpus_key!r} "
+            f"(columns: {corpus.columns})"
+        )
+    if key_col not in keys.columns:
+        raise ValueError(
+            f"bloom_semi_join: keys has no column {key_col!r} "
+            f"(columns: {keys.columns})"
+        )
     if text_keys is None:
         keys_texty = _is_texty(dict(keys.dtypes).get(key_col, ""))
         corpus_texty = _is_texty(dict(corpus.dtypes).get(corpus_key, ""))

@@ -320,6 +320,98 @@ def minhash_signatures_expr(
     )
 
 
+def _lsh_banded(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Narrow (id, band_idx, band_key) relation from MinHash signatures —
+    the ONE banding construction shared by :func:`minhash_lsh_duplicates`,
+    :func:`ngram_jaccard_pairs`, and :func:`dedup_skew_report` (so the
+    report observes exactly the buckets the operators join on).
+
+    NULL signatures (null-text documents) are filtered BEFORE banding
+    (ADVICE r8): ``concat_ws`` skips nulls, so an all-null signature used
+    to band to ``md5("")`` — every null-text document collided into one
+    shared hub bucket per band and entered the quadratic candidate join
+    (their pairs were dropped later at scoring, but the join work
+    happened, bounded only by ``max_bucket``)."""
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> Column:
+        parts = [
+            F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat_ws("_", *parts))
+
+    return (
+        sigs.where(F.col(sig_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            band_hash(b).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_idx", "band.band_key")
+    )
+
+
+def _cap_hub_buckets(
+    banded: DataFrame,
+    keys: tuple[str, ...],
+    max_bucket: int,
+    strategy: str = "window",
+) -> DataFrame:
+    """Drop bucket groups larger than ``max_bucket`` before a quadratic
+    self-join — the hub-bucket skew rail, in two plan shapes:
+
+    - ``"window"`` (default): a window count over the already
+      co-partitioned narrow rows — zero extra exchanges when the caller
+      repartitions on ``keys`` anyway (the self-join needs that
+      partitioning). Caveat at extreme scale: the window's sort puts an
+      ENTIRE hub bucket into one task, so a 100M-row boilerplate bucket
+      is a single spill-and-complete sort task before the filter drops
+      it (narrow rows — it finishes, but it is the hottest task in the
+      stage).
+    - ``"agg"`` (the hub-proof form, VERDICT r8): a map-side-combinable
+      ``groupBy(keys).count()`` — the hub collapses to one row per
+      input partition BEFORE any shuffle — then the tiny over-cap key
+      set is broadcast as a LEFT ANTI join. Two extra exchanges in the
+      plan at harness scale, but no task ever materializes the hub.
+
+    Both shapes keep exactly the same rows (twin-tested byte-equal on
+    capped and uncapped corpora)."""
+    if strategy == "window":
+        wb = Window.partitionBy(*keys)
+        return (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    if strategy == "agg":
+        over_cap = (
+            banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > max_bucket)
+            .select(*keys)
+        )
+        return banded.join(F.broadcast(over_cap), list(keys), "left_anti")
+    raise ValueError(
+        f"unknown cap strategy {strategy!r}: expected 'window' or 'agg'"
+    )
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     content_col: str = "text",
@@ -329,6 +421,7 @@ def minhash_lsh_duplicates(
     shingle_k: int = 9,
     threshold: float = 0.5,
     max_bucket: int | None = 10_000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding.
 
@@ -350,50 +443,29 @@ def minhash_lsh_duplicates(
     hubs those pairs are overwhelmingly sub-threshold anyway, and a
     pair of real dups still surfaces through any uncapped band.
     ``None`` disables. The default (10k ⇒ ≤50M pairs per bucket) never
-    binds at harness scale (largest observed bucket: 10).
+    binds at harness scale (largest observed bucket: 10). Capped-bucket
+    volume is OBSERVABLE via :func:`dedup_skew_report` — no silent
+    recall loss. ``cap_strategy`` picks the rail's plan shape (see
+    :func:`_cap_hub_buckets`): ``"window"`` rides the band repartition
+    with zero extra exchanges; ``"agg"`` is the hub-proof
+    map-side-combinable count + broadcast anti-join for corpora whose
+    hubs are too large for a single window task.
     """
-    rows_per_band = num_hashes // bands
     # single-row-group corpora scan as one split; re-split before the
     # CPU-heavy signature stage (no-op when input is already parallel)
     sigs = minhash_signatures(
         ensure_parallelism(df), content_col, id_col, num_hashes, shingle_k
     )
 
-    def band_hash(b: int) -> Column:
-        parts = [
-            F.element_at("minhash_sig", b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)
-        ]
-        return F.md5(F.concat_ws("_", *parts))
-
     # Band on NARROW rows (id + band key only), collapse duplicate
     # candidates while rows are tiny, then join signatures back for
     # scoring (AQE broadcasts the sig relation when small; at scale this
     # is two linear id-equi-joins — the band exchange never widens).
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = _lsh_banded(sigs, id_col, num_hashes, bands)
     banded = banded.repartition("band_idx", "band_key")
     if max_bucket is not None:
-        # hub-bucket rail: a window count over the already
-        # co-partitioned narrow rows — rides the repartition exchange
-        # above (no second shuffle, no second branch of the signature
-        # pipeline; an agg+semi-join formulation was measured to plan
-        # two extra kernel evaluations) — and drops oversized buckets
-        # before they can enter the quadratic self-join
-        wb = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        banded = _cap_hub_buckets(
+            banded, ("band_idx", "band_key"), max_bucket, cap_strategy
         )
 
     left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
@@ -715,6 +787,43 @@ def simhash62_signatures(
     )
 
 
+def _simhash_banded(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, sim_lo, sim_hi, band_idx, band_val) — the 4×16-bit chunk
+    banding shared by :func:`simhash_hamming_pairs` and
+    :func:`dedup_skew_report`. NULL signatures (null-text documents)
+    are filtered BEFORE banding (ADVICE r8 class): a null band value
+    never matches the equi-join, but the rows still rode the band
+    exchange and pooled into one null window group under the skew
+    rail's count."""
+    mask16 = F.lit(65535).cast("long")
+    bands = [
+        F.col("sim_lo").bitwiseAND(mask16),
+        F.shiftright(F.col("sim_lo"), 16),
+        F.col("sim_hi").bitwiseAND(mask16),
+        F.shiftright(F.col("sim_hi"), 16),
+    ]
+    return (
+        sigs.where(F.col("sim_lo").isNotNull() & F.col("sim_hi").isNotNull())
+        .select(
+            id_col,
+            "sim_lo",
+            "sim_hi",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            b.cast("long").alias("band_val"),
+                        )
+                        for i, b in enumerate(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "sim_lo", "sim_hi", "band.band_idx", "band.band_val")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -722,6 +831,7 @@ def simhash_hamming_pairs(
     max_hamming: int = 3,
     salt: str = "#",
     max_bucket: int | None = 10_000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Near-duplicate pairs by 62-bit SimHash Hamming distance.
 
@@ -761,37 +871,13 @@ def simhash_hamming_pairs(
         ensure_parallelism(df), content_col, id_col, salt=salt
     ).localCheckpoint(eager=False)
 
-    mask16 = F.lit(65535).cast("long")
-    bands = [
-        F.col("sim_lo").bitwiseAND(mask16),
-        F.shiftright(F.col("sim_lo"), 16),
-        F.col("sim_hi").bitwiseAND(mask16),
-        F.shiftright(F.col("sim_hi"), 16),
-    ]
-    banded = sigs.select(
-        id_col,
-        "sim_lo",
-        "sim_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"), b.cast("long").alias("band_val")
-                    )
-                    for i, b in enumerate(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "sim_lo", "sim_hi", "band.band_idx", "band.band_val")
+    banded = _simhash_banded(sigs, id_col)
     if max_bucket is not None:
-        # hub-bucket rail: the window's required hashpartitioning on
+        # window path: the window's required hashpartitioning on
         # (band_idx, band_val) is the same partitioning the self-join
-        # needs, so this adds no extra exchange — only the count
-        wb = Window.partitionBy("band_idx", "band_val")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        # needs, so it adds no extra exchange — only the count
+        banded = _cap_hub_buckets(
+            banded, ("band_idx", "band_val"), max_bucket, cap_strategy
         )
 
     left = banded.select(
@@ -830,6 +916,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     max_bucket: int | None = 10_000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """n-gram Jaccard over MinHash-LSH candidate pairs.
 
@@ -852,7 +939,6 @@ def ngram_jaccard_pairs(
     the corpus-wide candidate volume stays linear. Output:
     (a_id, b_id, jaccard), a_id < b_id, jaccard ≥ threshold.
     """
-    rows_per_band = num_hashes // bands
     # Re-split first: the signature/hash-set kernels are the CPU-heavy
     # stage and must not run on a single-row-group scan's one partition.
     par = ensure_parallelism(df)
@@ -861,39 +947,16 @@ def ngram_jaccard_pairs(
         F.col(id_col), sig_kernel(F.col(content_col)).alias("minhash_sig")
     )
 
-    def band_hash(b: int) -> Column:
-        parts = [
-            F.element_at("minhash_sig", b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)
-        ]
-        return F.md5(F.concat_ws("_", *parts))
-
     # Band on NARROW rows (id, band_idx, band_key only — the ~2 KB
     # hash-set payload does NOT ride the band exchange; carrying it was
     # measured ~90 MB of shuffle at sf0.1 vs ~3 MB for the keys alone),
     # collapse duplicate candidates (pairs sharing several bands) while
     # rows are tiny, and only THEN join the verification payload back.
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_hash(b).alias("band_key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = _lsh_banded(sigs, id_col, num_hashes, bands)
     banded = banded.repartition("band_idx", "band_key")
     if max_bucket is not None:
-        # hub-bucket rail: window count rides the repartition exchange
-        # (see minhash_lsh_duplicates — the agg+semi-join form planned
-        # two extra kernel evaluations)
-        wb = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        banded = _cap_hub_buckets(
+            banded, ("band_idx", "band_key"), max_bucket, cap_strategy
         )
 
     left = banded.select(F.col(id_col).alias("a_id"), "band_idx", "band_key")
@@ -1446,4 +1509,105 @@ def prefix_filter_jaccard_join(
         )
         .selectExpr("a_id", "b_id", "(_i * 1000) div _u AS jac_milli")
         .where(F.col("jac_milli") >= threshold_milli)
+    )
+
+
+def dedup_skew_report(
+    df: DataFrame,
+    method: str = "minhash",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = 10_000,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 9,
+    salt: str = "#",
+    window: int = 4,
+    max_df: int = 10,
+) -> DataFrame:
+    """Observability for the banded-dedup skew rails — "no silent caps"
+    (VERDICT r8; template: ``media_quarantine_report``).
+
+    Every ``max_bucket`` rail (and winnowing's ``max_df`` stop-
+    fingerprint cap) drops whole bucket groups before the quadratic
+    candidate self-join; the recall caveat used to live only in
+    docstrings. This report rebuilds EXACTLY the bucket relation the
+    operator joins on (the banding builders ``_lsh_banded`` /
+    ``_simhash_banded`` and the winnow posting explode are shared code,
+    not re-derivations) and aggregates, per band:
+
+    - ``buckets``              — distinct bucket groups
+    - ``capped_buckets``       — groups larger than the cap (dropped)
+    - ``rows_dropped``         — banded rows inside capped groups
+    - ``max_bucket_size``      — largest group seen (capped or not)
+    - ``max_surviving_bucket`` — largest group the rail lets through
+
+    ``method``: ``"minhash"`` / ``"ngram"`` (both use the MinHash band
+    keys; ngram signs with the Arrow kernel exactly like its operator),
+    ``"simhash"`` (4×16-bit chunk bands; cap column is ``band_val``),
+    ``"winnow"`` (fingerprint document frequencies vs ``max_df``;
+    ``band_idx`` is 0 — winnowing has one "band").
+
+    Scale shape: one map-side-combinable ``groupBy(bucket).count()`` —
+    a 100M-row hub collapses to one row per input partition before the
+    shuffle — then a second aggregate over one row per bucket. Safe to
+    run on the full corpus alongside the operator.
+    """
+    par = ensure_parallelism(df)
+    if method == "minhash":
+        sigs = minhash_signatures(par, content_col, id_col, num_hashes, shingle_k)
+        banded = _lsh_banded(sigs, id_col, num_hashes, bands)
+        keys, cap = ("band_idx", "band_key"), max_bucket
+    elif method == "ngram":
+        sig_kernel = _minhash_sig_kernel(num_hashes, shingle_k)
+        sigs = par.select(
+            F.col(id_col), sig_kernel(F.col(content_col)).alias("minhash_sig")
+        )
+        banded = _lsh_banded(sigs, id_col, num_hashes, bands)
+        keys, cap = ("band_idx", "band_key"), max_bucket
+    elif method == "simhash":
+        sigs = simhash62_signatures(par, content_col, id_col, salt=salt)
+        banded = _simhash_banded(sigs, id_col).select(
+            id_col, "band_idx", "band_val"
+        )
+        keys, cap = ("band_idx", "band_val"), max_bucket
+    elif method == "winnow":
+        fps = winnow_fingerprints(par, content_col, id_col, shingle_k, window)
+        banded = fps.select(
+            F.col(id_col),
+            F.lit(0).alias("band_idx"),
+            F.explode("fingerprints").alias("fp"),
+        )
+        keys, cap = ("band_idx", "fp"), max_df
+    else:
+        raise ValueError(
+            f"unknown method {method!r}: expected one of "
+            "'minhash', 'ngram', 'simhash', 'winnow'"
+        )
+
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    over = F.lit(False) if cap is None else (F.col("_n") > cap)
+    return (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(
+                F.sum(F.when(over, 1).otherwise(0)), F.lit(0)
+            ).alias("capped_buckets"),
+            F.coalesce(
+                F.sum(F.when(over, F.col("_n")).otherwise(0)), F.lit(0)
+            ).alias("rows_dropped"),
+            F.max("_n").alias("max_bucket_size"),
+            F.max(F.when(~over, F.col("_n"))).alias("max_surviving_bucket"),
+        )
+        .select(
+            F.lit(method).alias("method"),
+            F.col("band_idx").cast("long"),
+            F.col("buckets").cast("long"),
+            F.col("capped_buckets").cast("long"),
+            F.col("rows_dropped").cast("long"),
+            F.col("max_bucket_size").cast("long"),
+            F.col("max_surviving_bucket").cast("long"),
+        )
+        .orderBy("band_idx")
     )

@@ -88,12 +88,32 @@ def _usable_norm(n: Column) -> Column:
     the driver runs bare-session ANSI, so an unguarded zero vector
     kills the whole query, not just its row), a NULL norm marks a
     NULL vector or a NULL element (the ``aggregate`` fold propagates
-    element nulls into the sum), and a NaN norm marks a non-finite
-    element — which Spark's ordering treats as LARGER than every
-    real number, so an unfiltered NaN would both survive ``> 0`` and
-    outrank every true neighbor. Rows failing this are excluded from
+    element nulls into the sum), a NaN norm marks a mixed-sign
+    non-finite element — which Spark's ordering treats as LARGER than
+    every real number, so an unfiltered NaN would both survive ``> 0``
+    and outrank every true neighbor — and an INFINITE norm marks a
+    ±Inf element (or overflow): its cosine is inf/inf = NaN, which
+    passes an isNotNull post-filter and ALSO sorts above every real
+    score, so the bad row would become the top neighbor of every
+    query (ADVICE r8). Requiring ``n < inf`` makes the expression
+    branch match the Arrow prep kernel, which drops non-finite
+    elements via ``np.isfinite``. Rows failing this are excluded from
     similarity operators the same way kmeans quarantines bad codes."""
-    return n.isNotNull() & ~F.isnan(n) & (n > 0)
+    return n.isNotNull() & ~F.isnan(n) & (n > 0) & (n < F.lit(float("inf")))
+
+
+def _finite_score(c: Column) -> Column:
+    """Post-score guard: keep only real-valued cosines. NULL marks a
+    dimension mismatch; NaN/±Inf mark element overflow that slipped
+    past the norm quarantine (finite norms, infinite dot — possible
+    because the dot folds before the norms divide). NaN sorts LARGEST
+    under ``desc()``, so it must be dropped here, not just nulled."""
+    return (
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c > F.lit(float("-inf")))
+        & (c < F.lit(float("inf")))
+    )
 
 
 def cosine_topk(
@@ -130,7 +150,7 @@ def cosine_topk(
         (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
             "cosine_sim"
         ),
-    ).where(F.col("cosine_sim").isNotNull())
+    ).where(_finite_score(F.col("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -218,7 +238,7 @@ def lsh_bucket_topk(
                     / (F.col("_qn") * F.col("_cn"))
                 ).alias("cosine_sim"),
             )
-            .where(F.col("cosine_sim").isNotNull())
+            .where(_finite_score(F.col("cosine_sim")))
         )
     else:
         # Band keys come from the Arrow prep kernel (bit-identical to
@@ -399,7 +419,7 @@ def ivf_topk(
         (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
             "cosine_sim"
         ),
-    ).where(F.col("cosine_sim").isNotNull())
+    ).where(_finite_score(F.col("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
