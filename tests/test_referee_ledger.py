@@ -42,13 +42,16 @@ def test_committed_artifact_matches_ledger():
 
 
 def test_property_coverage_floor():
-    """Round-8 floor (VERDICT r7 #6): at least 90 of the contract
-    queries must carry a targeted property or plan test on top of the
-    oracle referee — the ledger ENFORCES the floor instead of just
-    reporting it, so coverage can only ratchet up."""
+    """Round-9 floor (VERDICT r8 #4 closed the ratchet): EVERY contract
+    query carries a targeted property or plan test on top of the oracle
+    referee — the ledger ENFORCES it, so a new query cannot ship with
+    oracle parity plus blanket guards as its only evidence."""
     import referee_coverage
 
     n_prop = sum(
         1 for ev in referee_coverage.LEDGER.values() if ev["property"]
     )
-    assert n_prop >= 90, f"property/plan coverage regressed to {n_prop} < 90"
+    n_total = len(referee_coverage.LEDGER)
+    assert n_prop == n_total, (
+        f"property/plan coverage regressed to {n_prop} < {n_total}"
+    )

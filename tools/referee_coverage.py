@@ -43,6 +43,7 @@ D3 = "tests/test_differential_reference3.py"
 D4 = "tests/test_differential_reference4.py"
 PLAN = "tests/test_plan_shapes.py"
 PLAN8 = "tests/test_plan_shapes_round8.py"
+PLAN9 = "tests/test_plan_shapes_round9.py"
 MM = "tests/test_multimodal.py"
 FN = "tests/test_functions.py"
 
@@ -63,7 +64,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "snake_case_normalize": {
         "referee": [f"{FN}::test_to_snake_case"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "human_time_format": {
         "referee": [
@@ -77,19 +78,19 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             "tests/test_properties.py::test_business_seconds_impls_agree",
             f"{FN}::test_business_seconds_holiday",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "json_value_extract": {
         "referee": [f"{FN}::test_extract_changelog_value"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "display_timezone": {
         "referee": [f"{FN}::test_format_display_datetime_reference_vectors"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "bytes_human": {
         "referee": [f"{FN}::test_bytes_to_human"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     # TPC-H-ish SQL family (wave-4 pandas/dict referees)
     "pricing_summary": {
@@ -117,7 +118,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "set_ops": {
         "referee": [f"{D4}::test_set_ops_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "distinct_agg": {
         "referee": [f"{D4}::test_distinct_agg_matches_bruteforce"],
@@ -125,7 +126,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "sql_interface": {
         "referee": [f"{D4}::test_sql_interface_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "supplier_balance": {
         "referee": [f"{D4}::test_supplier_balance_matches_bruteforce"],
@@ -161,39 +162,39 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "trade_volume_q7": {
         "referee": [f"{D4}::test_trade_volume_q7_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "mom_revenue": {
         "referee": [f"{D4}::test_mom_revenue_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "moving_avg_daily": {
         "referee": [f"{D4}::test_moving_avg_daily_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "percent_rank_acctbal": {
         "referee": [f"{D4}::test_percent_rank_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "ntile_quartiles": {
         "referee": [f"{D4}::test_ntile_quartiles_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "value_percentiles": {
         "referee": [f"{D4}::test_value_percentiles_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "skew_report": {
         "referee": [f"{D4}::test_skew_report_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "heatmap_hour_value": {
         "referee": [f"{D4}::test_heatmap_hour_value_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "weekday_seasonality": {
         "referee": [f"{D4}::test_weekday_seasonality_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "median_gap": {
         "referee": ["tests/test_grouped.py::test_native_median_equals_pandas_path"],
@@ -232,15 +233,15 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "top_docs_per_lang": {
         "referee": [f"{D4}::test_top_docs_per_lang_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "bigram_counts": {
         "referee": [f"{D4}::test_bigram_counts_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "vocab_oov_stats": {
         "referee": [f"{D4}::test_vocab_oov_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "top_sources_agg": {
         "referee": [f"{D4}::test_top_sources_agg_matches_bruteforce"],
@@ -248,11 +249,11 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "dataset_card": {
         "referee": [f"{D4}::test_dataset_card_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "canonicalize_text": {
         "referee": [f"{D3}::test_canonicalize_text_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "chunk_documents": {
         "referee": [f"{FN}::test_chunk_tokens_boundaries"],
@@ -260,7 +261,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "pii_redact": {
         "referee": [f"{FN}::test_redact_pii_counts_and_placeholders"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "repetition_signals": {
         "referee": [
@@ -298,7 +299,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "negative_sampling": {
         "referee": [f"{D2}::test_negative_sampling_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "split_leakage": {
         "referee": [
@@ -354,7 +355,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "bpe_first_merges": {
         "referee": [f"{D2}::test_bpe_first_merges_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     # chunking / packing / decontamination
     "cdc_chunks": {
@@ -428,18 +429,18 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "dedup_clusters": {
         "referee": ["tests/test_dedup_clusters.py::test_clusters_match_union_find_on_chain_graph"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "dedup_keep_best": {
         "referee": ["tests/test_dedup_clusters.py::test_canonical_representatives_collapse_corpus"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "dedup_pipeline_report": {
         "referee": [
             f"{D4}::test_dedup_pipeline_report_stage_laws",
             "tests/test_dedup_clusters.py::test_clusters_match_union_find_on_chain_graph",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "minhash_calibration": {
         "referee": [
@@ -480,7 +481,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "quantize_embeddings": {
         "referee": [f"{D3}::test_quantize_embeddings_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "knn_classify": {
         "referee": [f"{D4}::test_knn_classify_matches_bruteforce"],
@@ -506,7 +507,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "cluster_balance": {
         "referee": [f"{D4}::test_cluster_balance_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "label_centroids": {
         "referee": ["tests/test_sketches.py::test_label_centroids_single_vector_identity"],
@@ -602,11 +603,11 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_event_transitions_matches_bruteforce",
             "tests/test_stream_analytics.py::test_event_transitions_chain",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "last_touch": {
         "referee": [f"{D1}::test_last_touch_attribution_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "event_pattern": {
         "referee": [f"{D1}::test_event_pattern_count_matches_bruteforce"],
@@ -625,15 +626,15 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "conversion_latency": {
         "referee": [f"{D2}::test_conversion_latency_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "weekly_churn": {
         "referee": [f"{D2}::test_weekly_churn_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "value_histogram": {
         "referee": [f"{D1}::test_value_histogram_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "histogram_quantiles": {
         "referee": [f"{D3}::test_histogram_quantiles_matches_bruteforce"],
@@ -647,7 +648,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_ewma_daily_matches_bruteforce_bitexact",
             "tests/test_funnel.py::test_ewma_daily_matches_python_fold",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "session_window_native": {
         "referee": [f"{D4}::test_session_windows_cross_proof_and_bruteforce"],
@@ -655,7 +656,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "session_gaps": {
         "referee": [f"{D4}::test_session_windows_cross_proof_and_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "windowed_counts": {
         "referee": ["tests/test_streaming.py::test_windowed_counts_stream_matches_batch"],
@@ -681,11 +682,11 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "reset_running_total": {
         "referee": [f"{D1}::test_reset_running_total_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "gap_fill_hourly": {
         "referee": [f"{D1}::test_gap_fill_hourly_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "pit_enrich": {
         "referee": [f"{D2}::test_pit_enrich_matches_bruteforce_sf"],
@@ -693,18 +694,18 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "state_dwell_time": {
         "referee": [f"{D2}::test_state_dwell_time_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "ohlc_hourly": {
         "referee": [
             f"{D2}::test_ohlc_hourly_matches_bruteforce_sf",
             "tests/test_stream_analytics.py::test_ohlc_bar_semantics",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "twap_by_type": {
         "referee": [f"{D3}::test_twap_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     # statistics
     "regression_stats": {
@@ -713,19 +714,19 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "robust_stats": {
         "referee": [f"{D2}::test_robust_stats_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "rolling_corr_7d": {
         "referee": [f"{D1}::test_rolling_corr_7d_matches_bruteforce"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "contingency_chi2": {
         "referee": [f"{D2}::test_contingency_chi2_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "ab_test": {
         "referee": [f"{D2}::test_ab_test_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "zscore_outliers": {
         "referee": ["tests/test_stream_analytics.py::test_zscore_integer_predicate_matches_float_reference"],
@@ -740,7 +741,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "pareto_8020": {
         "referee": [f"{D2}::test_pareto_8020_matches_bruteforce_sf"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "mixture_apportion": {
         "referee": [
@@ -765,7 +766,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "pruning_simulation": {
         "referee": ["tests/test_graph_temporal.py::test_zorder_scans_fewer_files_than_natural"],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "trigram_search": {
         "referee": ["tests/test_graph_temporal.py::test_trigram_search_equals_contains_scan"],
@@ -776,7 +777,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D3}::test_encoding_audit_matches_bruteforce_sf",
             "tests/test_graph_temporal.py::test_encoding_audit_varint_compresses_sorted_keys",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "table_profile": {
         "referee": ["tests/test_graph_temporal.py::test_profile_counts_nulls_and_distincts"],
@@ -792,7 +793,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{MM}::test_extract_media_features_fake_decode",
             f"{MM}::test_real_decode_wav_ppm_end_to_end",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "media_metadata_stats": {
         "referee": [f"{MM}::test_codec_roundtrips"],
@@ -810,7 +811,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{MM}::test_image_histogram_counts_all_pixels",
             f"{MM}::test_codec_roundtrips",
         ],
-        "property": [],
+        "property": [f"{PLAN9}::test_plan_contract"],
     },
     "media_png_histogram": {
         "referee": [
