@@ -2766,23 +2766,48 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity_moments(_copurchase_edges(spark, sf_dir))
 
 
-def q_copurchase_recs(spark, sf_dir):
-    """Item-item co-purchase recommendations (the classic recsys
-    aggregate): parts sharing an order pair up (bounded by order width,
-    never a corpus self-join), pair counts rank per part, top-3 kept —
-    one window over the pair-count relation. _t_wide: the 600k-row
-    single-file harness scan serialized the pair-join's map side
-    (measured 3.2 -> 1.7 s); at real scale the split count makes the
-    repartition a no-op."""
-    li = _t_wide(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+#: basket-width rail for the co-purchase self-join (VERDICT r8): the
+#: order-key self-join is quadratic in basket size — TPC-H bounds
+#: baskets at 7 lineitems but a real corpus doesn't (one 100k-item
+#: "order" is 1e10 pairs and a dead executor regardless of cluster
+#: size). Same rail class as the LSH ``max_bucket``: baskets wider
+#: than the cap are dropped BEFORE the self-join via the shared
+#: ``_cap_hub_buckets`` (so the cap rides the self-join's own
+#: order-key partitioning — no extra exchange). The default never
+#: binds on TPC-H-shaped data, keeping the DuckDB oracle exact.
+COPURCHASE_MAX_BASKET = 1_000
+
+
+def _copurchase_pairs(li, max_basket=COPURCHASE_MAX_BASKET):
+    """(p1, p2, n_together) co-purchase pair counts from a
+    (l_orderkey, l_partkey) relation, with the basket-width rail
+    applied ONCE to the shared side so both self-join branches see the
+    same capped lineage. ``max_basket=None`` disables (tested
+    capped-vs-uncapped in tests/test_skew_rails.py)."""
+    from yandex_tracker_exporter_spark.operators.dedup import _cap_hub_buckets
+
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = (
+    if max_basket is not None:
+        a = _cap_hub_buckets(a, ("ok",), max_basket, "window")
+    b = a.select("ok", F.col("p1").alias("p2"))
+    return (
         a.join(b, "ok")
         .where(F.col("p1") != F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_together"))
     )
+
+
+def q_copurchase_recs(spark, sf_dir):
+    """Item-item co-purchase recommendations (the classic recsys
+    aggregate): parts sharing an order pair up (bounded by order width
+    AND the ``COPURCHASE_MAX_BASKET`` rail, never a corpus self-join),
+    pair counts rank per part, top-3 kept — one window over the
+    pair-count relation. _t_wide: the 600k-row single-file harness
+    scan serialized the pair-join's map side (measured 3.2 -> 1.7 s);
+    at real scale the split count makes the repartition a no-op."""
+    li = _t_wide(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = _copurchase_pairs(li)
     w = Window.partitionBy("p1").orderBy(
         F.col("n_together").desc(), F.col("p2").asc()
     )

@@ -183,3 +183,35 @@ def test_null_text_docs_never_enter_banding(spark):
     # operator results unchanged: the real pair, nothing else
     got = {(r["a_id"], r["b_id"]) for r in minhash_lsh_duplicates(df).collect()}
     assert got == {(100, 101)}
+
+
+# ------------------------------------------------- basket-width rail
+
+def test_copurchase_basket_width_rail(spark):
+    """VERDICT r8 #7: the co-purchase order-key self-join is quadratic
+    in basket size. Baskets over COPURCHASE_MAX_BASKET drop before the
+    join; pairs from normal baskets are unchanged, and None disables."""
+    from __spark_entry__ import _copurchase_pairs
+
+    rows = [(1, p) for p in range(50)]          # one 50-item mega-basket
+    rows += [(2, 900), (2, 901)]                # a normal 2-item basket
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    capped = {
+        (r["p1"], r["p2"])
+        for r in _copurchase_pairs(li, max_basket=10).collect()
+    }
+    assert capped == {(900, 901), (901, 900)}
+    uncapped = _copurchase_pairs(li, max_basket=None).collect()
+    assert len(uncapped) == 50 * 49 + 2  # mega-basket pairs all present
+
+
+def test_copurchase_default_rail_never_binds_on_harness(spark):
+    """The default cap (1000) must be result-neutral on TPC-H-shaped
+    data (basket width <= 7) — byte-equal to the uncapped run."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    li = m._t_wide(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    want = sorted(map(tuple, m._copurchase_pairs(li, max_basket=None).collect()))
+    got = sorted(map(tuple, m._copurchase_pairs(li).collect()))
+    assert got == want
