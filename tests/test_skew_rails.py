@@ -215,3 +215,72 @@ def test_copurchase_default_rail_never_binds_on_harness(spark):
     want = sorted(map(tuple, m._copurchase_pairs(li, max_basket=None).collect()))
     got = sorted(map(tuple, m._copurchase_pairs(li).collect()))
     assert got == want
+
+
+# ------------------------------------------------- embedding hub rail
+
+def _vec_corpus(spark, hub_n=40, dim=16, seed=7):
+    """hub_n byte-identical vectors (the re-encoded-dup hub) + random
+    singles + one planted near-identical pair (200, 201)."""
+    import random
+
+    rng = random.Random(seed)
+    hub = [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+    rows = [(i, hub) for i in range(hub_n)]
+    rows += [
+        (100 + i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+        for i in range(10)
+    ]
+    near = [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+    near2 = list(near)
+    near2[0] = near2[0] * 0.5
+    rows += [(200, near), (201, near2)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_hub_rail_and_twin(spark):
+    """Byte-identical embeddings (a re-encoded dup hub) collide in
+    EVERY band: the self-join goes quadratic in the hub without the
+    cap. Capped runs keep the planted pair, drop the hub, and the two
+    cap strategies stay byte-equal."""
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    df = _vec_corpus(spark)
+    kw = dict(threshold=0.9, num_planes=6, num_bands=4, dim=16)
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_neardup_pairs(df, max_bucket=10, **kw).collect()
+    }
+    assert (200, 201) in capped
+    assert not any(a < 40 and b < 40 for a, b in capped)  # hub dropped
+    agg = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_neardup_pairs(
+            df, max_bucket=10, cap_strategy="agg", **kw
+        ).collect()
+    }
+    assert agg == capped
+    uncapped = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_neardup_pairs(df, max_bucket=None, **kw).collect()
+    }
+    assert (200, 201) in uncapped
+    assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 // 2
+
+
+def test_embedding_skew_report_and_saturation_gauge(spark):
+    """method="embedding" reports the sign-LSH buckets the operator
+    joins on: the 40-vector hub shows as one capped bucket per band
+    with 40 rows dropped; max_bucket_size is the saturation gauge."""
+    df = _vec_corpus(spark)
+    rows = dedup_skew_report(
+        df, method="embedding", content_col="embedding", id_col="vec_id",
+        max_bucket=10, num_planes=6, num_bands=4, dim=16,
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["capped_buckets"] >= 1
+        assert r["rows_dropped"] >= 40
+        assert r["max_bucket_size"] >= 40

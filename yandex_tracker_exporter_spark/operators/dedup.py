@@ -1524,6 +1524,9 @@ def dedup_skew_report(
     salt: str = "#",
     window: int = 4,
     max_df: int = 10,
+    num_planes: int = 10,
+    num_bands: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Observability for the banded-dedup skew rails — "no silent caps"
     (VERDICT r8; template: ``media_quarantine_report``).
@@ -1546,7 +1549,13 @@ def dedup_skew_report(
     keys; ngram signs with the Arrow kernel exactly like its operator),
     ``"simhash"`` (4×16-bit chunk bands; cap column is ``band_val``),
     ``"winnow"`` (fingerprint document frequencies vs ``max_df``;
-    ``band_idx`` is 0 — winnowing has one "band").
+    ``band_idx`` is 0 — winnowing has one "band"), ``"embedding"``
+    (sign-LSH buckets of :func:`~.similarity.cosine_neardup_pairs`;
+    pass ``content_col`` = the vector column, plus
+    ``num_planes``/``num_bands``/``dim``; this report is ALSO the
+    saturation gauge — ``max_bucket_size`` near ``rows/2^num_planes``
+    means the plane family is saturated and ``num_planes`` should
+    grow with log2(n), see the operator's operating-point note).
 
     Scale shape: one map-side-combinable ``groupBy(bucket).count()`` —
     a 100M-row hub collapses to one row per input partition before the
@@ -1579,10 +1588,24 @@ def dedup_skew_report(
             F.explode("fingerprints").alias("fp"),
         )
         keys, cap = ("band_idx", "fp"), max_df
+    elif method == "embedding":
+        from yandex_tracker_exporter_spark.operators.similarity import (
+            _neardup_prep_kernel,
+        )
+
+        prep = _neardup_prep_kernel(num_planes, num_bands, dim)
+        banded = (
+            par.select(F.col(id_col), prep(F.col(content_col)).alias("_p"))
+            .where(F.col("_p.nrm").isNotNull() & (F.col("_p.nrm") > 0))
+            .select(
+                id_col, F.posexplode("_p.buckets").alias("band_idx", "bucket")
+            )
+        )
+        keys, cap = ("band_idx", "bucket"), max_bucket
     else:
         raise ValueError(
             f"unknown method {method!r}: expected one of "
-            "'minhash', 'ngram', 'simhash', 'winnow'"
+            "'minhash', 'ngram', 'simhash', 'winnow', 'embedding'"
         )
 
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))

@@ -588,6 +588,8 @@ def cosine_neardup_pairs(
     num_planes: int = 10,
     num_bands: int = 8,
     dim: int = 64,
+    max_bucket: int | None = 10_000,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Embedding near-duplicate pairs via **multi-band** sign-LSH.
 
@@ -600,6 +602,23 @@ def cosine_neardup_pairs(
     ``1 - (1 - p^num_planes)^num_bands``: at cosine ≥ 0.95 the default
     10×8 family recalls ≳ 99%; sub-0.7-cosine pairs almost never
     collide, which is what keeps candidate volume linear-ish.
+
+    **Operating point — scale num_planes with the corpus.** The bucket
+    space is FIXED at ``2^num_planes`` per band, so random-pair
+    candidate volume is ``≈ n²·num_bands/2^num_planes``: quadratic in
+    ``n`` once buckets saturate (``n ≫ 2^num_planes``). The defaults
+    are sized for ~10⁴ vectors (n/2^p ≈ 10); at 10⁸ vectors pass
+    ``num_planes ≈ log2(n) - 3`` (e.g. 24) to hold per-bucket occupancy
+    — and with it cost per vector — constant. Measured: a factor-100
+    corpus (200k vectors) at the 10-plane default saturates all 1024
+    buckets/band (~195 occupancy → ~156M scored pairs), while 16 planes
+    restores the sparse regime at identical planted recall (see
+    NOTES.md round 9). ``max_bucket`` is the orthogonal HUB rail shared
+    with the text-LSH family (byte-identical vectors land in one bucket
+    in EVERY band): bucket groups above the cap drop before the
+    self-join (``None`` disables; ``cap_strategy`` as in
+    ``minhash_lsh_duplicates``). The default cap never binds at harness
+    scale — saturation is fixed by planes, hubs by the cap.
 
     Plan shape: Arrow-kernel prep (norm + per-band buckets, bit-identical
     to the expression fold — see ``_neardup_prep_kernel``), explode to
@@ -653,6 +672,17 @@ def cosine_neardup_pairs(
         )
         .repartition("band_idx", "bucket")
     )
+    if max_bucket is not None:
+        # hub rail (shared with the text-LSH family): identical vectors
+        # collide in EVERY band, so a dup hub enters the quadratic
+        # self-join on all of them; the cap rides the repartition above
+        from yandex_tracker_exporter_spark.operators.dedup import (
+            _cap_hub_buckets,
+        )
+
+        banded = _cap_hub_buckets(
+            banded, ("band_idx", "bucket"), max_bucket, cap_strategy
+        )
     a = banded.select(
         F.col("_id").alias("a_id"),
         F.col("_vec").alias("_avec"),
