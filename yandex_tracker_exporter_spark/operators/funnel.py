@@ -29,6 +29,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _timed(events: DataFrame, ts_col: str) -> DataFrame:
+    """Corrupt-event guard — the sessionize F8 posture extended to the
+    funnel family (round 9). A row with no timestamp cannot participate
+    in a time-ordered or time-windowed computation, but left in the
+    stream it POISONS real rows, because NULL sorts FIRST in every
+    ordering this family uses: a null-ts anchor pins window_funnel
+    users at level 1 forever (t0=NULL nulls every window comparison),
+    a null day seeds the EWMA fold and corrupts every later day's
+    value, lead() manufactures transitions/paths from the junk row to
+    a real one, and a NULL day-of-week nulls seasonality indices
+    through the overall mean. All pinned in
+    tests/test_funnel_latent_inputs.py; harness data has no null
+    timestamps, so the guard is result-neutral on the contract."""
+    return events.where(F.col(ts_col).isNotNull())
+
+
+def _measurable(events: DataFrame, value_col: str) -> DataFrame:
+    """NULL/NaN measure guard for value-folding operators: a NULL day
+    mean (an all-null day) or a NaN propagates through the EWMA fold
+    and the rolling moments FOREVER — one junk measurement corrupts
+    every subsequent output row — and a NaN bins arbitrarily in the
+    histogram (NaN compares LARGEST under Spark ordering)."""
+    c = F.col(value_col).cast("double")
+    return events.where(c.isNotNull() & ~F.isnan(c))
+
+
 def window_funnel(
     events: DataFrame,
     steps: list[str],
@@ -44,6 +70,7 @@ def window_funnel(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    events = _timed(events, ts_col)
     ev = F.sort_array(
         F.collect_list(
             F.struct(
@@ -148,6 +175,10 @@ def gap_fill_hourly(
 
     Output: hour_epoch, type, n_events.
     """
+    # null ts has no hour slot and a null TYPE is grid-poison: distinct
+    # put the null type INTO the grid but the left join's null key never
+    # matched its own count row — the slot showed 0 while events existed
+    events = _timed(events, ts_col).where(F.col(type_col).isNotNull())
     hour = F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).cast("long")
     counts = events.groupBy(
         hour.alias("hour_epoch"), F.col(type_col).alias("type")
@@ -207,6 +238,7 @@ def event_transitions(
     (`tracker_exporter/models/issue.py` metrics loop); this generalizes
     it to an arbitrary event alphabet.
     """
+    events = _timed(events, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
     paired = events.select(
@@ -243,6 +275,7 @@ def ewma_daily(
     moving_avg_daily argument). Output: event_type, day_epoch,
     day_mean, ewma.
     """
+    events = _measurable(_timed(events, ts_col), value_col)
     alpha = alpha_milli / 1000.0
     day_epoch = F.floor(F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))).cast(
         "long"
@@ -318,7 +351,13 @@ def event_pattern_count(
 
     Output: user_id, seq_len, n_matches.
     """
-    initial = F.substring(F.col(type_col), 1, 1)
+    events = _timed(events, ts_col)
+    # sentinel for a NULL type: array_join SKIPS null elements, so a
+    # junk-typed event BETWEEN v and c used to vanish from the string
+    # and manufacture a contiguous "vc" match; the non-alphanumeric
+    # sentinel (pattern is alnum-restricted below) breaks contiguity
+    # exactly like any other foreign event
+    initial = F.coalesce(F.substring(F.col(type_col), 1, 1), F.lit("\x00"))
     per_user = events.select(
         F.col(user_col).alias("user_id"),
         F.struct(
@@ -357,6 +396,7 @@ def value_histogram(
     """Equi-width value histogram per type: bin = clamp(floor(v / w)).
     The one-shuffle, partial-aggregable distribution profile (bounded
     key space |types| × bins) that feeds drift monitors."""
+    events = _measurable(events, value_col)
     bin_col = F.least(
         F.greatest(F.floor(F.col(value_col) / F.lit(float(bin_width))), F.lit(0)),
         F.lit(n_bins - 1),
@@ -386,10 +426,15 @@ def top_paths(
 
     Output: path (" > "-joined), n_occurrences.
     """
+    events = _timed(events, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    steps = [F.col(type_col)] + [
-        F.lead(type_col, d).over(w) for d in range(1, depth)
-    ]
+    # sentinel BEFORE the leads: concat_ws silently elides null
+    # elements, so a null-typed event mid-path used to shorten a
+    # 3-step path into a string colliding with genuine 2-step paths;
+    # end-of-stream detection still works because lead() itself yields
+    # NULL past the last row (the sentinel only replaces null TYPES)
+    typ = F.coalesce(F.col(type_col), F.lit("\x00"))
+    steps = [typ] + [F.lead(typ, d).over(w) for d in range(1, depth)]
     paths = events.select(
         F.concat_ws(" > ", *steps).alias("path"),
         steps[-1].isNotNull().alias("_full"),
@@ -482,6 +527,7 @@ def last_touch_attribution(
     floored-epoch seconds), plus the 'unattributed' bucket for
     conversions with no qualifying touch.
     """
+    events = _timed(events, ts_col)
     epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
     base = events.select(
         F.col(user_col).alias("_user"),
@@ -545,6 +591,7 @@ def weekday_seasonality(
     Output: event_type, dow (1=Monday … 7=Sunday), n_events,
     index_milli.
     """
+    events = _measurable(_timed(events, ts_col), value_col)
     cents = F.floor(F.col(value_col) * 100).cast("long")
     # ISO weekday: Monday = 1 (Spark dayofweek is Sunday=1 — shifted)
     dow = ((F.dayofweek(F.col(ts_col)) + 5) % 7 + 1).cast("long")
@@ -646,6 +693,9 @@ def rolling_corr_7d(
     Uses daily mean in milli (exact div) as the series value so the
     moments stay integer. Output: day_epoch, n_days (frame size), r.
     """
+    # a null day would enter the 7-row frame FIRST (nulls sort first)
+    # and corrupt its neighbors' moments; NaN cents poison the sums
+    events = _measurable(_timed(events, ts_col), value_col)
     day_epoch = F.floor(
         F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
     ).cast("long")
