@@ -5500,9 +5500,11 @@ _ORACLES["corpus_clean"] = _build_corpus_clean_sql()
 
 def _build_hll_distinct_sql() -> str:
     from yandex_tracker_exporter_spark.operators.sketches import (
+        HLL_LC_THRESHOLD,
         HLL_M,
         HLL_RHO_MAX,
         HLL_SALT,
+        hll_lc_table_literal,
         hll_numerator_literal,
     )
 
@@ -5527,12 +5529,21 @@ def _build_hll_distinct_sql() -> str:
     ), s AS (
         SELECT event_type,
                sum(1::BIGINT << ({HLL_RHO_MAX} - m_reg))::BIGINT
-                   + ({HLL_M} - count(*)) * {scale}::BIGINT AS s_total
+                   + ({HLL_M} - count(*)) * {scale}::BIGINT AS s_total,
+               ({HLL_M} - count(*))::INTEGER AS v_zero
         FROM m GROUP BY event_type
     ), est AS (
+        -- small-range correction: linear counting below 5/2*m, via the
+        -- SAME precomputed integer table the engine embeds (no ln())
         SELECT event_type,
-               CAST(floor({hll_numerator_literal()} / s_total::DOUBLE)
-                    AS BIGINT) AS est_users
+               CASE WHEN CAST(floor({hll_numerator_literal()}
+                                    / s_total::DOUBLE) AS BIGINT)
+                         <= {HLL_LC_THRESHOLD}
+                         AND v_zero > 0
+                    THEN ({hll_lc_table_literal()})[v_zero]::BIGINT
+                    ELSE CAST(floor({hll_numerator_literal()}
+                                    / s_total::DOUBLE) AS BIGINT)
+               END AS est_users
         FROM s
     ), exact AS (
         SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
@@ -6909,9 +6920,11 @@ _ORACLES["rolling_corr_7d"] = """
 
 def _build_hll_union_sql() -> str:
     from yandex_tracker_exporter_spark.operators.sketches import (
+        HLL_LC_THRESHOLD,
         HLL_M,
         HLL_P,
         HLL_RHO_MAX,
+        hll_lc_table_literal,
         hll_numerator_literal,
     )
 
@@ -6948,13 +6961,22 @@ def _build_hll_union_sql() -> str:
                    AS s_present,
                count(*)::BIGINT AS n_regs
         FROM merged GROUP BY grp_a, grp_b
-    ), est AS (
+    ), raw AS (
         SELECT grp_a, grp_b,
                floor({hll_numerator_literal()}
                      / (s_present
                         + ({HLL_M} - n_regs)
-                          * {1 << 26}::BIGINT)::DOUBLE)::BIGINT AS est_union
+                          * {1 << 26}::BIGINT)::DOUBLE)::BIGINT AS est_raw,
+               ({HLL_M} - n_regs)::INTEGER AS v_zero
         FROM summed
+    ), est AS (
+        -- small-range correction, same table as hll_distinct
+        SELECT grp_a, grp_b,
+               CASE WHEN est_raw <= {HLL_LC_THRESHOLD} AND v_zero > 0
+                    THEN ({hll_lc_table_literal()})[v_zero]::BIGINT
+                    ELSE est_raw
+               END AS est_union
+        FROM raw
     ), du AS (
         SELECT DISTINCT event_type AS grp, user_id FROM events
     ), counts AS (

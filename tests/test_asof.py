@@ -47,3 +47,29 @@ def test_asof_join_single_shuffle(spark):
     # produce a join or a second exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_asof_junk_right_rows_never_match(spark):
+    """Round-9 latent-input pins: a NULL-ts right row used to sort
+    FIRST in the carry window and become the as-of match for every
+    left row earlier than the first real quote (rows that should get
+    NULL got the junk payload); a NULL-key right row used to match
+    NULL-key left rows through the window partition, diverging from
+    equi-join semantics."""
+    import datetime as dt
+
+    T = dt.datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, T("2024-01-01 09:00:00")), (1, T("2024-01-01 12:00:00")),
+         (None, T("2024-01-01 09:00:00"))],
+        "k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999.0),                            # junk: no timestamp
+         (None, T("2024-01-01 08:00:00"), 555.0),     # junk: no key
+         (1, T("2024-01-01 10:00:00"), 10.0)],
+        "k long, rts timestamp, px double",
+    )
+    out = {(r["k"], r["lts"].hour): r["px"]
+           for r in asof_join(left, right, "k", "lts", "rts").collect()}
+    assert out == {(1, 9): None, (1, 12): 10.0, (None, 9): None}

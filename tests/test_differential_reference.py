@@ -276,6 +276,11 @@ def test_last_touch_attribution_matches_bruteforce(spark, seed):
 
 
 def _hll_ref(values):
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        HLL_LC_TABLE,
+        HLL_LC_THRESHOLD,
+    )
+
     regs = {}
     for v in values:
         h = _mixed(str(v), ":hll")
@@ -285,7 +290,11 @@ def _hll_ref(values):
         regs[reg] = max(regs.get(reg, 0), rho)
     s = sum(1 << (HLL_RHO_MAX - m) for m in regs.values())
     s += (HLL_M - len(regs)) * (1 << HLL_RHO_MAX)
-    return math.floor(HLL_NUMERATOR / float(s))
+    raw = math.floor(HLL_NUMERATOR / float(s))
+    v_zero = HLL_M - len(regs)
+    if raw <= HLL_LC_THRESHOLD and v_zero > 0:
+        return HLL_LC_TABLE[v_zero - 1]  # table is 1-indexed by V
+    return raw
 
 
 @pytest.mark.parametrize("seed", [5, 6])

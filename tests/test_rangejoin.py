@@ -72,3 +72,27 @@ def test_interval_join_rejects_outer(spark):
     )
     with pytest.raises(ValueError, match="inner"):
         interval_join(p, i, "ts", "s", "e", how="left")
+
+
+def test_interval_join_degenerate_intervals_drop_quietly(spark):
+    """Round-9 pins: an INVERTED interval (start > end) and a NULL
+    bound both produce zero matches without crashing — sequence() with
+    start > end steps DOWN in Spark (wasted buckets, but the
+    containment predicate start <= p < end is vacuously false), and a
+    NULL bound nulls the sequence, dropping the interval at explode."""
+    import datetime as dt
+
+    T = dt.datetime.fromisoformat
+    pts = spark.createDataFrame(
+        [(1, T("2024-01-01 10:00:00"))], "pid long, pts timestamp"
+    )
+    inverted = spark.createDataFrame(
+        [(7, T("2024-01-02 00:00:00"), T("2024-01-01 00:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    nullb = spark.createDataFrame(
+        [(8, None, T("2024-01-01 23:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    assert interval_join(pts, inverted, "pts", "s", "e").collect() == []
+    assert interval_join(pts, nullb, "pts", "s", "e").collect() == []

@@ -8,6 +8,8 @@ from yandex_tracker_exporter_spark.operators.clustering import label_centroids
 from yandex_tracker_exporter_spark.operators.sketches import (
     HLL_M,
     HLL_RHO_MAX,
+    cms_counters,
+    cms_estimate,
     hll_distinct,
 )
 from yandex_tracker_exporter_spark.operators.text_analysis import (
@@ -253,3 +255,49 @@ def test_hll_union_merge_equals_direct_union_sketch(spark):
         out_col="est",
     ).collect()[0]
     assert merged["est_union"] == direct["est"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Round-9 accuracy fix (Flajolet et al. 2007 §4): the raw m=64
+    estimator is ~3-45x biased below 5/2*m — a single-value group used
+    to estimate 45 and a 2-distinct group 46. Linear counting over the
+    zero-register count takes over there, via a precomputed integer
+    table so no engine evaluates ln() at runtime."""
+    for n in (1, 2, 5, 15, 50, 100):
+        df = spark.range(n).select(
+            F.lit("g").alias("g"),
+            F.concat(F.lit("key-"), F.col("id")).alias("v"),
+        )
+        [(est,)] = hll_distinct(df, "v", ["g"], out_col="e").select("e").collect()
+        assert abs(est - n) <= max(2, int(0.25 * n)), (n, est)
+
+
+def test_hll_lc_table_matches_formula():
+    import math
+
+    from yandex_tracker_exporter_spark.operators.sketches import (
+        HLL_LC_TABLE,
+        HLL_M,
+    )
+
+    assert len(HLL_LC_TABLE) == HLL_M - 1
+    for v in (1, 7, 32, 63):
+        assert HLL_LC_TABLE[v - 1] == math.floor(HLL_M * math.log(HLL_M / v))
+
+
+def test_cms_null_terms_never_enter_counters(spark):
+    """A NULL term used to land depth phantom (salt, bucket=NULL) rows
+    in the counter state; real terms' estimates were unaffected but
+    the junk rode every merge."""
+    tc = spark.createDataFrame(
+        [("a", 3), (None, 7), ("b", 2)], "term string, cnt long"
+    )
+    rows = cms_counters(tc).collect()
+    assert all(r["bucket"] is not None for r in rows)
+    est = {
+        r["term"]: r["est_cnt"]
+        for r in cms_estimate(
+            spark.createDataFrame([("a",), ("b",)], "term string"), cms_counters(tc)
+        ).collect()
+    }
+    assert est["a"] >= 3 and est["b"] >= 2

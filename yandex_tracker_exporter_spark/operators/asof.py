@@ -49,6 +49,17 @@ def asof_join(
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (key, right_ts)]
 
+    # Corrupt-record guard (round 9, the funnel `_timed` posture): a
+    # right row with a NULL timestamp sorts FIRST in the carry window,
+    # so its payload used to become the "most recent at or before"
+    # match for every left row EARLIER than the first real right row —
+    # rows that should get NULL got the junk payload. A NULL-key right
+    # row is dropped for join-semantics consistency: an equi-join never
+    # matches NULL keys, so the window formulation must not either
+    # (left rows keep standard left-join behavior: present, NULL
+    # payload when nothing matches).
+    right = right.where(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
+
     payload = F.struct(*[F.col(c) for c in payload_cols])
     right_tagged = right.select(
         F.col(key).alias("_k"),

@@ -61,6 +61,32 @@ def hll_numerator_literal() -> str:
     return repr(HLL_NUMERATOR)
 
 
+#: Small-range (linear-counting) threshold: Flajolet et al. 2007 §4 —
+#: below 5/2·m the raw HLL estimator is badly biased upward (a single
+#: distinct value raw-estimates ~45 with m=64, a 45× error) and the
+#: zero-register count V carries more information: LC = m·ln(m/V).
+HLL_LC_THRESHOLD = (5 * HLL_M) // 2
+
+#: floor(m·ln(m/V)) for V = 1..m-1, precomputed ONCE in Python and
+#: embedded as integer literals in BOTH engines — ln is transcendental
+#: and engines disagree in the last ulp, so the correction is shipped
+#: as this fixed 63-entry table instead of a runtime ln() (the same
+#: discipline as hll_numerator_literal / the LSH plane components).
+#: V = 0 never consults the table (the raw estimator applies); a group
+#: always has ≥ 1 occupied register, so V ≤ m-1.
+import math as _math
+
+HLL_LC_TABLE = [
+    int(_math.floor(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M)
+]
+
+
+def hll_lc_table_literal() -> str:
+    """The linear-counting table as a SQL list literal (1-indexed by V
+    in both DuckDB and Spark ``element_at``)."""
+    return "[" + ",".join(str(x) for x in HLL_LC_TABLE) + "]"
+
+
 #: appended to every key before hashing: the polynomial fold only fills
 #: the upper hash bits once the folded value has wrapped the 2^31-1
 #: modulus a few times (131^5 > 2^31), so a SHORT key ("42") hashes to a
@@ -158,7 +184,21 @@ def _estimate_from_registers(
     s_total = F.col("_s_present") + (
         (F.lit(HLL_M) - F.col("_n_regs")) * F.lit(1 << HLL_RHO_MAX)
     )
-    est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast("long")
+    raw = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast("long")
+    # Small-range correction (round 9; Flajolet et al. 2007 §4): below
+    # 5/2·m the raw estimator is biased ~3-45× upward — a 2-distinct
+    # group raw-estimated 46. Linear counting over the zero-register
+    # count V replaces it there, via the precomputed integer table so
+    # no engine evaluates ln() at runtime (the oracles embed the SAME
+    # table; V ≥ 1 always — a group exists only with ≥ 1 register).
+    v_zero = (F.lit(HLL_M) - F.col("_n_regs")).cast("int")
+    lc = F.element_at(
+        F.expr("array(" + ",".join(str(x) for x in HLL_LC_TABLE) + ")"),
+        v_zero,
+    ).cast("long")
+    est = F.when(
+        (raw <= F.lit(HLL_LC_THRESHOLD)) & (v_zero > 0), lc
+    ).otherwise(raw)
     return per_group.select(*group_cols, est.alias(out_col))
 
 
@@ -244,7 +284,11 @@ def cms_counters(
     from yandex_tracker_exporter_spark.operators.dedup import MINHASH_PRIME, _hash64
 
     salts = F.array(*[F.lit(d) for d in range(depth)])
-    exploded = term_counts.select(
+    # a NULL term hashes to NULL and used to land `depth` phantom
+    # (salt, bucket=NULL, cnt) rows in the counter state — never
+    # queryable (the estimate join skips NULL buckets) but carried and
+    # merged as junk; frequency semantics exclude NULL terms anyway
+    exploded = term_counts.where(F.col(term_col).isNotNull()).select(
         F.col(term_col).alias("_term"),
         F.col(count_col).alias("_cnt"),
         F.explode(salts).alias("salt"),
