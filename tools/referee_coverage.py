@@ -194,7 +194,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "weekday_seasonality": {
         "referee": [f"{D4}::test_weekday_seasonality_matches_bruteforce"],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_null_ts_does_not_null_seasonality_index", f"{PLAN9}::test_plan_contract"],
     },
     "median_gap": {
         "referee": ["tests/test_grouped.py::test_native_median_equals_pandas_path"],
@@ -519,21 +519,21 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_hll_distinct_matches_bruteforce",
             "tests/test_sketches.py::test_hll_accuracy_synthetic",
         ],
-        "property": ["tests/test_sketches.py::test_hll_register_bounds"],
+        "property": ["tests/test_sketches.py::test_hll_small_range_linear_counting", "tests/test_sketches.py::test_hll_register_bounds"],
     },
     "hll_union": {
         "referee": [
             f"{D2}::test_hll_union_pairs_matches_bruteforce",
             "tests/test_sketches.py::test_hll_union_merge_equals_direct_union_sketch",
         ],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": ["tests/test_sketches.py::test_hll_small_range_linear_counting", f"{PLAN8}::test_plan_contract"],
     },
     "cms_heavy_hitters": {
         "referee": [
             f"{D3}::test_cms_heavy_hitters_matches_bruteforce_sf",
             f"{D1}::test_cms_estimate_matches_bruteforce",
         ],
-        "property": [
+        "property": ["tests/test_sketches.py::test_cms_null_terms_never_enter_counters", 
             f"{PLAN}::test_cms_heavy_hitters_topk_never_global_sorts",
             "tests/test_stream_analytics.py::test_cms_never_undercounts",
         ],
@@ -589,40 +589,40 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     # funnels / sequences / temporal
     "window_funnel": {
         "referee": [f"{D1}::test_window_funnel_matches_bruteforce"],
-        "property": [f"{PLAN}::test_window_funnel_single_shuffle"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_null_ts_anchor_does_not_pin_funnel_level", f"{PLAN}::test_window_funnel_single_shuffle"],
     },
     "funnel_conversion": {
         "referee": [
             f"{D1}::test_funnel_conversion_matches_bruteforce_with_level_gaps",
             "tests/test_funnel.py::test_funnel_conversion_monotone_and_consistent",
         ],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_junk_rows_are_result_neutral_for_clean_streams", f"{PLAN8}::test_plan_contract"],
     },
     "event_transitions": {
         "referee": [
             f"{D1}::test_event_transitions_matches_bruteforce",
             "tests/test_stream_analytics.py::test_event_transitions_chain",
         ],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_null_ts_manufactures_no_transition", f"{PLAN9}::test_plan_contract"],
     },
     "last_touch": {
         "referee": [f"{D1}::test_last_touch_attribution_matches_bruteforce"],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_junk_rows_are_result_neutral_for_clean_streams", f"{PLAN9}::test_plan_contract"],
     },
     "event_pattern": {
         "referee": [f"{D1}::test_event_pattern_count_matches_bruteforce"],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_null_type_breaks_pattern_contiguity", f"{PLAN8}::test_plan_contract"],
     },
     "top_paths": {
         "referee": [
             f"{D1}::test_top_paths_matches_bruteforce",
             "tests/test_funnel.py::test_top_paths_counts_consecutive_triples",
         ],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_null_type_does_not_collide_paths", f"{PLAN8}::test_plan_contract"],
     },
     "cohort_retention": {
         "referee": [f"{D1}::test_cohort_retention_matches_bruteforce"],
-        "property": [f"{PLAN}::test_cohort_retention_two_aggregation_shuffles"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_junk_rows_are_result_neutral_for_clean_streams", f"{PLAN}::test_cohort_retention_two_aggregation_shuffles"],
     },
     "conversion_latency": {
         "referee": [f"{D2}::test_conversion_latency_matches_bruteforce_sf"],
@@ -634,7 +634,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "value_histogram": {
         "referee": [f"{D1}::test_value_histogram_matches_bruteforce"],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_nan_value_excluded_from_histogram_and_folds", f"{PLAN9}::test_plan_contract"],
     },
     "histogram_quantiles": {
         "referee": [f"{D3}::test_histogram_quantiles_matches_bruteforce"],
@@ -648,7 +648,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_ewma_daily_matches_bruteforce_bitexact",
             "tests/test_funnel.py::test_ewma_daily_matches_python_fold",
         ],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_null_ts_day_does_not_seed_ewma", f"{PLAN9}::test_plan_contract"],
     },
     "session_window_native": {
         "referee": [f"{D4}::test_session_windows_cross_proof_and_bruteforce"],
@@ -667,14 +667,14 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_asof_join_matches_bruteforce",
             "tests/test_asof.py::test_asof_join_semantics",
         ],
-        "property": ["tests/test_asof.py::test_asof_join_single_shuffle"],
+        "property": ["tests/test_asof.py::test_asof_junk_right_rows_never_match", "tests/test_asof.py::test_asof_join_single_shuffle"],
     },
     "range_join": {
         "referee": [
             f"{D1}::test_interval_join_matches_bruteforce",
             "tests/test_rangejoin.py::test_interval_join_containment",
         ],
-        "property": ["tests/test_rangejoin.py::test_interval_join_is_equi_join"],
+        "property": ["tests/test_rangejoin.py::test_interval_join_degenerate_intervals_drop_quietly", "tests/test_rangejoin.py::test_interval_join_is_equi_join"],
     },
     "scd2_intervals": {
         "referee": [f"{D1}::test_scd2_intervals_matches_bruteforce"],
@@ -686,7 +686,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "gap_fill_hourly": {
         "referee": [f"{D1}::test_gap_fill_hourly_matches_bruteforce"],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_gap_fill_drops_null_type_instead_of_zero_slot", f"{PLAN9}::test_plan_contract"],
     },
     "pit_enrich": {
         "referee": [f"{D2}::test_pit_enrich_matches_bruteforce_sf"],
@@ -718,7 +718,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "rolling_corr_7d": {
         "referee": [f"{D1}::test_rolling_corr_7d_matches_bruteforce"],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": ["tests/test_funnel_latent_inputs.py::test_junk_rows_are_result_neutral_for_clean_streams", f"{PLAN9}::test_plan_contract"],
     },
     "contingency_chi2": {
         "referee": [f"{D2}::test_contingency_chi2_matches_bruteforce_sf"],
