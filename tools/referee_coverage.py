@@ -44,6 +44,7 @@ D4 = "tests/test_differential_reference4.py"
 PLAN = "tests/test_plan_shapes.py"
 PLAN8 = "tests/test_plan_shapes_round8.py"
 PLAN9 = "tests/test_plan_shapes_round9.py"
+LAT_G = "tests/test_graph_latent_inputs.py"
 MM = "tests/test_multimodal.py"
 FN = "tests/test_functions.py"
 
@@ -429,7 +430,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "dedup_clusters": {
         "referee": ["tests/test_dedup_clusters.py::test_clusters_match_union_find_on_chain_graph"],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": [f"{PLAN9}::test_plan_contract", f"{LAT_G}::test_duplicate_clusters_null_ids_cannot_participate"],
     },
     "dedup_keep_best": {
         "referee": ["tests/test_dedup_clusters.py::test_canonical_representatives_collapse_corpus"],
@@ -558,29 +559,29 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D1}::test_triangle_count_matches_bruteforce",
             "tests/test_graph.py::test_triangle_matches_bruteforce",
         ],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{LAT_G}::test_triangle_count_null_edges_inert"],
     },
     "pagerank_nations": {
         "referee": [
             f"{D1}::test_pagerank_matches_bruteforce",
             "tests/test_graph.py::test_pagerank_matches_python_replica",
         ],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{LAT_G}::test_pagerank_null_edges_do_not_move_real_ranks"],
     },
     "kcore_3": {
         "referee": [
             f"{D1}::test_kcore_deep_peeling_matches_bruteforce",
             "tests/test_graph_temporal.py::test_kcore_contract_is_true_fixpoint",
         ],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{LAT_G}::test_kcore_null_edges_inert"],
     },
     "component_sizes": {
         "referee": ["tests/test_dedup_clusters.py::test_clusters_match_union_find_on_chain_graph"],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{LAT_G}::test_duplicate_clusters_null_ids_cannot_participate"],
     },
     "assortativity": {
         "referee": [f"{D1}::test_assortativity_matches_bruteforce"],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{LAT_G}::test_assortativity_null_edges_inert"],
     },
     "copurchase_recs": {
         "referee": [f"{D2}::test_copurchase_recs_matches_bruteforce_sf"],

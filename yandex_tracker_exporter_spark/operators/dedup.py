@@ -562,9 +562,17 @@ def duplicate_clusters(
     instead of returning wrong labels — the DuckDB oracle runs the
     recursion to its true fixpoint.
     """
+    # A pair with a NULL id has only one endpoint — it cannot
+    # participate at all (the asof-join posture: NULL keys never
+    # match). Without the filter a NULL id CRASHED the local
+    # union-find (None is unorderable in Python 3) while the
+    # distributed min-label loop emitted a NULL node and kept the
+    # junk pair's real endpoint as a singleton — a twin divergence
+    # between two paths documented as byte-interchangeable.
+    usable = pairs.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        usable.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(usable.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
     # Materialize the edge list ONCE: every round references `edges`,

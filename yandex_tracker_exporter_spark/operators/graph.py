@@ -176,9 +176,26 @@ def pagerank(
         if weight
         else F.lit(1).cast("long")
     )
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_t"), w.alias("_w")
-    ).localCheckpoint(eager=False)  # scanned by out_w, e_norm, nodes
+    # An edge with a NULL endpoint or a NULL/NaN weight cannot
+    # participate at all (the asof-join posture: NULL keys never
+    # match; the funnel posture: a NaN measure cannot participate).
+    # Without the filter, NULL survived the node-set distinct() and
+    # INFLATED n_nodes — base and teleport depend on N, so one junk
+    # edge changed EVERY real node's rank (measured: 111124608 →
+    # 74083072 on a 4-node graph) and a NULL node was emitted; a
+    # null-weight edge half-participated (its endpoints entered the
+    # node set but its mass flow was null-skipped), and a NaN weight
+    # silently cast to 0 instead of being rejected.
+    usable = F.col(src).isNotNull() & F.col(dst).isNotNull()
+    if weight:
+        usable = usable & F.col(weight).isNotNull()
+        if dict(edges.dtypes).get(weight) in ("float", "double"):
+            usable = usable & ~F.isnan(F.col(weight))
+    e = (
+        edges.where(usable)
+        .select(F.col(src).alias("_s"), F.col(dst).alias("_t"), w.alias("_w"))
+        .localCheckpoint(eager=False)  # scanned by out_w, e_norm, nodes
+    )
     # Local finish (same rationale as kcore's): the iteration moves
     # only node/edge-sized integer relations, and when the AGGREGATED
     # edge list is driver-small — e.g. a nation-level trade graph of a

@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -75,8 +76,18 @@ def _sessionize_group(
     for pdf in pdfs:
         # normalize to ns explicitly: pandas may deliver datetime64[us]
         # (Arrow-backed paths), where a bare int64 view would be µs and
-        # the //1000 below would silently shrink gaps 1000×
-        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000  # ns → µs
+        # the //1000 below would silently shrink gaps 1000×.
+        # dropna FIRST: a NaT casts to the INT64_MIN sentinel, sorts
+        # ahead of every real event, seeds the open session, and the
+        # next real event "closes" a phantom session whose year-1677
+        # timestamp CRASHES pd.to_datetime below — one junk row killed
+        # the whole streaming query (and would corrupt the entity's
+        # state even if it didn't). An event with no timestamp cannot
+        # participate (the sessionize F8 / funnel posture); the
+        # operator also filters plan-side, this is the kernel's own
+        # guard for direct callers.
+        ts = pdf["ts"].dropna()
+        ts_us = ts.astype("datetime64[ns]").astype("int64") // 1000  # ns → µs
         all_ts.extend(ts_us)
     for t in sorted(all_ts):
         if last_ts_us is None:
@@ -116,6 +127,15 @@ def stateful_sessionize(
         yield from _sessionize_group(key, pdfs, state, gap_seconds)
 
     renamed = stream.selectExpr(f"{user_col} as user_id", f"{ts_col} as ts")
+    # An event with no entity key or no timestamp cannot be sessionized
+    # (the sessionize F8 corrupt-event posture): a NULL user_id would
+    # otherwise form its OWN state group (junk sessions under a NULL
+    # entity, state held forever), and a NULL ts would reach the kernel
+    # as a NaT whose INT64_MIN cast crashes the query (see
+    # _sessionize_group). Plan-side filter so the scan prunes them.
+    renamed = renamed.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return renamed.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,
