@@ -1104,9 +1104,13 @@ def q_histogram_quantiles(spark, sf_dir):
     )
 
     events = _t(spark, sf_dir, "events")
-    lo, hi = events.agg(
-        F.min(F.col("value").cast("double")), F.max(F.col("value").cast("double"))
-    ).collect()[0]
+    # NaN is GREATEST in Spark's double ordering: an unguarded max()
+    # over a corpus with one NaN measurement returns hi=NaN, and the
+    # operator's lo < hi domain check raises — one junk row killed the
+    # query. min/max already skip nulls; NaN must be skipped explicitly
+    # (the operator itself NaN-filters its counting pass).
+    _v = F.col("value").cast("double")
+    lo, hi = events.where(~F.isnan(_v)).agg(F.min(_v), F.max(_v)).collect()[0]
     out = histogram_quantiles(
         events, "value", "event_type", lo=lo, hi=hi,
         quantiles=(0.5, 0.95, 0.99), num_buckets=HISTOGRAM_BUCKETS,

@@ -45,6 +45,7 @@ PLAN = "tests/test_plan_shapes.py"
 PLAN8 = "tests/test_plan_shapes_round8.py"
 PLAN9 = "tests/test_plan_shapes_round9.py"
 LAT_G = "tests/test_graph_latent_inputs.py"
+LAT_S = "tests/test_stats_latent_inputs.py"
 MM = "tests/test_multimodal.py"
 FN = "tests/test_functions.py"
 
@@ -199,7 +200,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "median_gap": {
         "referee": ["tests/test_grouped.py::test_native_median_equals_pandas_path"],
-        "property": ["tests/test_grouped.py::test_native_median_plan_has_no_python"],
+        "property": ["tests/test_grouped.py::test_native_median_plan_has_no_python", f"{LAT_S}::test_median_gap_twins_agree_on_null_ts"],
     },
     # map-only text scorers (wave-4 referees)
     "language_id": {
@@ -642,6 +643,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
         "property": [
             f"{PLAN}::test_histogram_quantiles_partial_agg_then_tiny_window",
             "tests/test_grouped.py::test_histogram_quantiles_ignores_null_and_nan",
+            f"{LAT_S}::test_histogram_quantiles_caller_pattern_nan_safe",
         ],
     },
     "ewma_daily": {
@@ -702,7 +704,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
             f"{D2}::test_ohlc_hourly_matches_bruteforce_sf",
             "tests/test_stream_analytics.py::test_ohlc_bar_semantics",
         ],
-        "property": [f"{PLAN9}::test_plan_contract"],
+        "property": [f"{PLAN9}::test_plan_contract", f"{LAT_S}::test_ohlc_junk_rows_do_not_poison_bars"],
     },
     "twap_by_type": {
         "referee": [f"{D3}::test_twap_matches_bruteforce_sf"],
@@ -731,7 +733,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "zscore_outliers": {
         "referee": ["tests/test_stream_analytics.py::test_zscore_integer_predicate_matches_float_reference"],
-        "property": [f"{PLAN}::test_zscore_moments_broadcast_back"],
+        "property": [f"{PLAN}::test_zscore_moments_broadcast_back", f"{LAT_S}::test_zscore_junk_measurements_do_not_shift_moments"],
     },
     "pareto_frontier": {
         "referee": [

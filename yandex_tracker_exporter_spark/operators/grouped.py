@@ -51,7 +51,12 @@ def exact_median_gap(
     )
 
     def median_of_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        ordered = pdf["epoch_s"].sort_values().to_numpy()
+        # dropna: a null ts arrives as NaN, sorts LAST, and forms one
+        # NaN trailing gap — pd.median skips it but len() counted it,
+        # inflating n_gaps and diverging from the native twin (whose
+        # lag()-minus-null gap is null-dropped). An event with no
+        # timestamp has no gap to any neighbor.
+        ordered = pdf["epoch_s"].dropna().sort_values().to_numpy()
         if len(ordered) < 2:
             return pd.DataFrame(columns=["entity", "n_gaps", "median_gap_s"])
         gaps = ordered[1:] - ordered[:-1]
@@ -125,7 +130,15 @@ def histogram_quantiles(
     Output: group, n, then one ``p<q>`` column per requested quantile.
     """
     if not lo < hi:
-        raise ValueError("need lo < hi")
+        # NaN bounds fail this check too (NaN compares false): Spark's
+        # max() treats NaN as GREATEST, so an unfiltered min/max over a
+        # corpus with one NaN measurement hands hi=NaN here. Loud and
+        # actionable beats a bare "need lo < hi".
+        raise ValueError(
+            f"need lo < hi (got lo={lo!r}, hi={hi!r}); a NaN bound "
+            "means the min/max that derived the domain was not "
+            "NaN-filtered — exclude isnan(value) rows first"
+        )
     width = (hi - lo) / num_buckets
     v = F.col(value_col).cast("double")
     bucket = F.least(
@@ -188,11 +201,23 @@ def ohlc_hourly(
     hour_epoch = F.floor(F.unix_timestamp(F.date_trunc("hour", F.col(ts_col)))).cast(
         "long"
     )
-    base = events.select(
-        hour_epoch.alias("hour_epoch"),
-        F.col(value_col).alias("_v"),
-        F.col(ts_col).alias("_ts"),
-        F.col(id_col).alias("_id"),
+    v = F.col(value_col).cast("double")
+    base = (
+        # A bar summarizes real measurements: a NaN value would poison
+        # the hour's high (NaN is greatest in Spark's double order) and
+        # close; a null value as the hour's last event nulled close; a
+        # null ts would form a phantom NULL-hour bar. None of them is a
+        # measurement — drop before any window (funnel _measurable
+        # posture), so n_events counts only real measurements.
+        events.where(
+            F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+        )
+        .select(
+            hour_epoch.alias("hour_epoch"),
+            F.col(value_col).alias("_v"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+        )
     )
     w_asc = Window.partitionBy("hour_epoch").orderBy("_ts", "_id")
     w_desc = Window.partitionBy("hour_epoch").orderBy(
@@ -238,10 +263,19 @@ def zscore_outliers(
     < 2^63 — noted at the operator boundary.
     """
     cents = F.floor(F.col(value_col) * 100).cast("long")
-    base = events.select(
-        F.col(segment_col).alias("segment"),
-        F.col(id_col).alias("event_id"),
-        cents.alias("cents"),
+    raw = F.col(value_col).cast("double")
+    base = (
+        # A null/NaN value yields null cents: count(1) counted the row
+        # into n while sum() skipped it in S and Q, so ONE junk row
+        # shifted dev = n·x − S (and the var term) for EVERY real row
+        # in the segment — the moments must be over exactly the rows
+        # the predicate tests (funnel _measurable posture).
+        events.where(raw.isNotNull() & ~F.isnan(raw))
+        .select(
+            F.col(segment_col).alias("segment"),
+            F.col(id_col).alias("event_id"),
+            cents.alias("cents"),
+        )
     )
     moments = base.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_seg"),
