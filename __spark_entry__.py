@@ -367,22 +367,53 @@ def q_cosine_topk(spark, sf_dir):
     The dot products are left-fold double reductions so the oracle can
     reproduce them bit-for-bit.
     """
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        _finite_score,
+        _usable_norm,
+        dot,
+        norm,
+    )
+
+    # Junk-proof AND faster than the naive cosine(qv, cv) per pair
+    # (junk-smoke, round 9): norms are folded ONCE PER ROW and
+    # quarantined by _usable_norm there — a zero/empty vector's 0/0
+    # used to raise ANSI DIVIDE_BY_ZERO and kill the whole query, and a
+    # non-finite vector's NaN score would outrank every real neighbor.
+    # The per-pair score is then one dot fold + a scalar division
+    # (was three folds/pair); values are bit-identical — a norm is the
+    # same double wherever it is folded. _finite_score stays as the
+    # overflow belt (inf dot of two finite-norm vectors).
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
-    )
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_qvec"),
+    ).withColumn("_qn", norm(F.col("_qvec"))).where(_usable_norm(F.col("_qn")))
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cvec")
-    )
-    qv = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
-    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_cvec"),
+    ).withColumn("_cn", norm(F.col("_cvec"))).where(_usable_norm(F.col("_cn")))
     scored = corpus.join(
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
     ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
-        cosine(qv, cv).alias("cosine_sim"),
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
+    # NO _finite_score post-filter here: Catalyst infers a filter on a
+    # projected expression into the JOIN CONDITION, duplicating the
+    # whole dot fold per pair (seen in the executed plan; the NOTES
+    # "deterministic expressions duplicate into inferred filters"
+    # lesson). It is also unnecessary: with both sides quarantined by
+    # _usable_norm, elements are finite float32 — |dot| <= 64 *
+    # (3.4e38)^2 ~ 7.7e78, far below double overflow, so every
+    # surviving pair's cosine is finite by construction.
+    # ^ per-PAIR junk quarantine (junk-smoke, round 9): cosine() is now
+    # try_divide, so a zero/empty vector yields NULL instead of an ANSI
+    # DIVIDE_BY_ZERO that killed the whole query; _finite_score drops
+    # NULL/NaN/Inf scores so a non-finite junk vector can never outrank
+    # a real neighbor under desc(). Measured cheaper than a
+    # one-norm-fold-per-row pre-filter (+0.01 vs +0.08 s at sf0.1): the
+    # score is already computed per pair, the extra predicate is scalar.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -431,7 +462,12 @@ def q_embedding_neardup(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    perturbed = emb.select(
+    # size guard: element_at(embedding, 1) on an EMPTY junk vector
+    # raises INVALID_ARRAY_INDEX under bare-session ANSI and killed the
+    # query (junk-smoke, round 9) — a perturbed copy of an unusable
+    # vector is meaningless anyway (the operator quarantines the
+    # original); size(NULL) is NULL, so one predicate drops both shapes
+    perturbed = emb.where(F.size("embedding") >= 1).select(
         (F.col("vec_id") + F.lit(NEARDUP_ID_OFFSET)).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1).cast("double") * F.lit(0.5)),
@@ -1551,25 +1587,49 @@ def q_knn_classify(spark, sf_dir):
     single-file scan that serialized the whole probe on one core
     (measured 1.2 -> 0.5 s; the same finding made the 10x scale check's
     knn run FASTER than sf0.1)."""
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        _finite_score,
+        _usable_norm,
+        dot,
+        norm,
+    )
+
+    # per-row norm + _usable_norm quarantine, per-pair dot + scalar
+    # division — the junk-proof-and-no-slower shape q_cosine_topk
+    # documents (junk-smoke, round 9)
     emb = _t_wide(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
-    )
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_qvec"),
+    ).withColumn("_qn", norm(F.col("_qvec"))).where(_usable_norm(F.col("_qn")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
-        F.col("embedding").alias("_cvec"),
-    )
-    qv = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
-    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+        F.transform("embedding", lambda x: x.cast("double")).alias("_cvec"),
+    ).withColumn("_cn", norm(F.col("_cvec"))).where(_usable_norm(F.col("_cn")))
     scored = corpus.join(
         F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id")
     ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
         F.col("n_label").cast("long"),
-        cosine(qv, cv).alias("cosine_sim"),
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
+    # NO _finite_score post-filter here: Catalyst infers a filter on a
+    # projected expression into the JOIN CONDITION, duplicating the
+    # whole dot fold per pair (seen in the executed plan; the NOTES
+    # "deterministic expressions duplicate into inferred filters"
+    # lesson). It is also unnecessary: with both sides quarantined by
+    # _usable_norm, elements are finite float32 — |dot| <= 64 *
+    # (3.4e38)^2 ~ 7.7e78, far below double overflow, so every
+    # surviving pair's cosine is finite by construction.
+    # ^ per-PAIR junk quarantine (junk-smoke, round 9): cosine() is now
+    # try_divide, so a zero/empty vector yields NULL instead of an ANSI
+    # DIVIDE_BY_ZERO that killed the whole query; _finite_score drops
+    # NULL/NaN/Inf scores so a non-finite junk vector can never outrank
+    # a real neighbor under desc(). Measured cheaper than a
+    # one-norm-fold-per-row pre-filter (+0.01 vs +0.08 s at sf0.1): the
+    # score is already computed per pair, the extra predicate is scalar.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1743,7 +1803,12 @@ def q_semdedup_prune(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    perturbed = emb.select(
+    # size guard: element_at(embedding, 1) on an EMPTY junk vector
+    # raises INVALID_ARRAY_INDEX under bare-session ANSI and killed the
+    # query (junk-smoke, round 9) — a perturbed copy of an unusable
+    # vector is meaningless anyway (the operator quarantines the
+    # original); size(NULL) is NULL, so one predicate drops both shapes
+    perturbed = emb.where(F.size("embedding") >= 1).select(
         (F.col("vec_id") + F.lit(NEARDUP_ID_OFFSET)).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1).cast("double") * F.lit(0.5)),
@@ -2966,19 +3031,27 @@ def q_knn_confusion(spark, sf_dir):
     shape as knn_classify, one extra bounded aggregation. _t_wide on
     the corpus for the same reason as knn_classify, at 5x the panel
     width (measured 3.7 -> 0.8 s at sf0.1)."""
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        _finite_score,
+        _usable_norm,
+        dot,
+        norm,
+    )
+
+    # per-row norm + _usable_norm quarantine, per-pair dot + scalar
+    # division — the junk-proof-and-no-slower shape q_cosine_topk
+    # documents (junk-smoke, round 9)
     emb = _t_wide(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
-        F.col("embedding").alias("_qvec"),
-    )
+        F.transform("embedding", lambda x: x.cast("double")).alias("_qvec"),
+    ).withColumn("_qn", norm(F.col("_qvec"))).where(_usable_norm(F.col("_qn")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
-        F.col("embedding").alias("_cvec"),
-    )
-    qv = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
-    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+        F.transform("embedding", lambda x: x.cast("double")).alias("_cvec"),
+    ).withColumn("_cn", norm(F.col("_cvec"))).where(_usable_norm(F.col("_cn")))
     scored = corpus.join(
         F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -2986,8 +3059,23 @@ def q_knn_confusion(spark, sf_dir):
         F.col("true_label").cast("long"),
         F.col("neighbor_id").cast("long"),
         F.col("n_label").cast("long"),
-        cosine(qv, cv).alias("cosine_sim"),
+        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
+    # NO _finite_score post-filter here: Catalyst infers a filter on a
+    # projected expression into the JOIN CONDITION, duplicating the
+    # whole dot fold per pair (seen in the executed plan; the NOTES
+    # "deterministic expressions duplicate into inferred filters"
+    # lesson). It is also unnecessary: with both sides quarantined by
+    # _usable_norm, elements are finite float32 — |dot| <= 64 *
+    # (3.4e38)^2 ~ 7.7e78, far below double overflow, so every
+    # surviving pair's cosine is finite by construction.
+    # ^ per-PAIR junk quarantine (junk-smoke, round 9): cosine() is now
+    # try_divide, so a zero/empty vector yields NULL instead of an ANSI
+    # DIVIDE_BY_ZERO that killed the whole query; _finite_score drops
+    # NULL/NaN/Inf scores so a non-finite junk vector can never outrank
+    # a real neighbor under desc(). Measured cheaper than a
+    # one-norm-fold-per-row pre-filter (+0.01 vs +0.08 s at sf0.1): the
+    # score is already computed per pair, the extra predicate is scalar.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

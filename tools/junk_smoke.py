@@ -1,0 +1,177 @@
+"""Junk-corpus smoke: run EVERY contract query against a clone of the
+harness tables with injected junk rows, and report crashes.
+
+The round-8/9 latent-input probes (dedup/similarity, funnel, graph,
+streaming, stats) each hand-picked one family and found bug classes of
+the shape "one junk row corrupts or kills real results". This tool
+industrializes the CRASH half of that probe over the whole 151-query
+surface: a 100 TB corpus ingested from real feeds WILL contain null
+keys, NaT timestamps, NaN measurements, empty/whitespace text, empty
+and ragged embedding vectors — a query that dies on any one of them is
+not scale-ready, no matter what its plan shape says.
+
+Scope note: result MOVEMENT under junk is deliberately out of scope
+here — whether a junk row legitimately changes an aggregate is a
+per-operator semantics question (the hand probes adjudicate those);
+a Python exception, an ANSI cast error, or a crashed Arrow worker is
+unambiguous.
+
+Usage::
+
+    python tools/junk_smoke.py [SF_DIR] [--only q1,q2] [--keep]
+
+Builds the junk clone under /tmp/junk_smoke_sf (deterministic content,
+rebuilt each run), runs each query under a bare SparkSession (driver
+protocol: ANSI on, default confs), prints one line per query and a
+JSON summary. Exit 1 when any query crashes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+NAN = float("nan")
+
+#: per-table junk rows (column order matches the harness parquet).
+#: Shapes: NULL keys / timestamps, NaN doubles, empty + whitespace
+#: strings, empty / ragged / non-finite vectors. Ids are huge so junk
+#: never collides with real keys.
+JUNK_ROWS: dict[str, list[tuple]] = {
+    "region": [(None, None), (990001, "")],
+    "nation": [(None, "", None), (990001, None, None)],
+    "customer": [
+        (None, None, None, NAN, None),
+        (9900001, "", None, None, " "),
+    ],
+    "supplier": [(None, None, None, NAN), (9900001, "", None, None)],
+    "part": [
+        (None, None, None, None, None, NAN),
+        (9900001, "", " ", "", None, None),
+    ],
+    "orders": [
+        (None, None, None, NAN, None, None),
+        (99000001, None, "", None, None, " "),
+    ],
+    "lineitem": [
+        (None, None, None, None, NAN, NAN, NAN, NAN, None, None, None),
+        (99000001, None, None, None, None, None, None, None, "", " ", None),
+    ],
+    "events": [
+        (None, None, None, None, NAN, None),
+        (99000001, None, None, "", None, ""),
+    ],
+    "documents": [
+        (None, None, None, None, None),
+        (99000001, "", "", "", 0),
+        (99000002, "   \n\t  ", None, " ", 8),
+    ],
+    # embeddings junk is injected separately (vector shapes need the
+    # array type): NULL vector, empty vector, ragged short vector,
+    # NaN element, Inf element, zero vector.
+}
+
+
+def build_junk_corpus(spark, src_dir: str, dst_dir: str) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if os.path.exists(dst_dir):
+        shutil.rmtree(dst_dir)
+    os.makedirs(dst_dir)
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        # everything nullable so the junk rows union cleanly
+        schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+            ]
+        )
+        if t == "embeddings":
+            dim = len(df.select("embedding").first()[0])
+            junk = [
+                (99000001, None, None),
+                (99000002, [], 0),
+                (99000003, [1.0, 2.0], None),  # ragged
+                (99000004, [NAN] * dim, 0),
+                (99000005, [float("inf")] * dim, 0),
+                (99000006, [0.0] * dim, 0),
+            ]
+        else:
+            junk = JUNK_ROWS[t]
+        junk_df = spark.createDataFrame(junk, schema)
+        out = df.unionByName(junk_df)
+        # single file per table, same layout as the harness
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{t}.parquet")
+        )
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src = argv[0] if argv else "/root/testdata/sf0.001"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
+    dst = "/tmp/junk_smoke_sf"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_junk_corpus(spark, src, dst)
+    print(f"junk corpus built at {dst} from {src}", flush=True)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    crashed: dict[str, str] = {}
+    n_run = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        n_run += 1
+        try:
+            fn(spark, dst).collect()
+            print(f"{name} OK", flush=True)
+        except Exception as exc:  # noqa: BLE001 — the point is the report
+            msg = f"{type(exc).__name__}: {str(exc)[:300]}"
+            crashed[name] = msg
+            print(f"{name} CRASH {msg}", flush=True)
+    print(
+        json.dumps(
+            {"src": src, "n_run": n_run, "n_crashed": len(crashed), "crashed": crashed}
+        )
+    )
+    if "--keep" not in sys.argv[1:]:
+        shutil.rmtree(dst, ignore_errors=True)
+    return 1 if crashed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

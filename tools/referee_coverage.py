@@ -46,6 +46,7 @@ PLAN8 = "tests/test_plan_shapes_round8.py"
 PLAN9 = "tests/test_plan_shapes_round9.py"
 LAT_G = "tests/test_graph_latent_inputs.py"
 LAT_S = "tests/test_stats_latent_inputs.py"
+JUNK = "tests/test_junk_smoke.py::test_previously_crashing_queries_survive_junk"
 MM = "tests/test_multimodal.py"
 FN = "tests/test_functions.py"
 
@@ -454,7 +455,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     # similarity / ANN / clustering
     "cosine_topk": {
         "referee": ["tests/test_similarity.py::test_cosine_topk_exact_neighbors"],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{JUNK}"],
     },
     "embedding_neardup": {
         "referee": [
@@ -464,6 +465,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
         "property": [
             "tests/test_similarity.py::test_neardup_plan_has_no_nested_loop",
             "tests/test_similarity.py::test_neardup_kernels_match_expression_path",
+            f"{JUNK}",
         ],
     },
     "lsh_bucket_topk": {
@@ -487,11 +489,11 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "knn_classify": {
         "referee": [f"{D4}::test_knn_classify_matches_bruteforce"],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{JUNK}"],
     },
     "knn_confusion": {
         "referee": [f"{D4}::test_knn_confusion_matches_bruteforce"],
-        "property": [f"{PLAN8}::test_plan_contract"],
+        "property": [f"{PLAN8}::test_plan_contract", f"{JUNK}"],
     },
     "kmeans_clusters": {
         "referee": [
@@ -505,7 +507,7 @@ LEDGER: dict[str, dict[str, list[str]]] = {
     },
     "semdedup_prune": {
         "referee": ["tests/test_clustering.py::test_semdedup_drops_copy_keeps_source"],
-        "property": ["tests/test_scale_smoke_corpus.py::test_kmeans_and_semdedup_at_volume"],
+        "property": ["tests/test_scale_smoke_corpus.py::test_kmeans_and_semdedup_at_volume", f"{JUNK}"],
     },
     "cluster_balance": {
         "referee": [f"{D4}::test_cluster_balance_matches_bruteforce"],

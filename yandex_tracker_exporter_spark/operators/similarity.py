@@ -79,7 +79,32 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity of two float-array columns.
+
+    Crash-proof: ``try_divide`` yields NULL instead of an ANSI
+    DIVIDE_BY_ZERO when either vector has zero norm — the driver runs
+    bare-session ANSI, where one zero/empty vector in a corpus used to
+    kill the WHOLE query, not just its row (junk-smoke finding, round
+    9). Values are bit-identical to plain ``/`` whenever the divisor
+    is nonzero, so oracle parity is unaffected.
+
+    NOT ranking-safe on its own for non-finite vectors: an Inf-element
+    vector gives a NaN score, which sorts ABOVE every real score under
+    ``desc()`` (ADVICE r8). Callers that rank by this score must
+    quarantine rows first — :func:`usable_vectors`, or the
+    per-row-norm + :func:`_usable_norm` pattern every operator in this
+    module uses."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def usable_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Quarantine filter for a vector column: keeps only rows whose
+    norm is usable (non-NULL, positive, finite — see
+    :func:`_usable_norm`). The one-fold-per-ROW guard brute-force
+    scorers need before a broadcast-cross: applied once per row, junk
+    can neither raise in the per-pair division nor outrank real
+    neighbors with a NaN score."""
+    return df.where(_usable_norm(norm(F.col(vec_col))))
 
 
 def _usable_norm(n: Column) -> Column:
@@ -103,11 +128,18 @@ def _usable_norm(n: Column) -> Column:
 
 
 def _finite_score(c: Column) -> Column:
-    """Post-score guard: keep only real-valued cosines. NULL marks a
-    dimension mismatch; NaN/±Inf mark element overflow that slipped
-    past the norm quarantine (finite norms, infinite dot — possible
-    because the dot folds before the norms divide). NaN sorts LARGEST
-    under ``desc()``, so it must be dropped here, not just nulled."""
+    """Post-score guard: keep only real-valued cosines. After the
+    ``_usable_norm`` row quarantine the only non-real score is a NULL
+    from a ragged PAIR (zip_with null-pads the shorter vector, the
+    fold propagates the null) — Cauchy-Schwarz bounds ``|dot| <=
+    norm(a)*norm(b)``, and a vector whose sum of squares overflows has
+    an infinite norm and was already quarantined, so Inf/NaN scores
+    cannot occur. Keep the NaN/Inf terms anyway (they are scalar-cheap
+    and guard callers who skip the quarantine; NaN sorts LARGEST under
+    ``desc()``). PLACEMENT matters: applied below the rank window this
+    filter is pushed into the JOIN CONDITION and re-evaluates the dot
+    fold per pair — apply it ABOVE the window (NULL sorts last, so
+    ranks are unchanged) at k rows per query."""
     return (
         c.isNotNull()
         & ~F.isnan(c)
@@ -150,13 +182,24 @@ def cosine_topk(
         (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
             "cosine_sim"
         ),
-    ).where(_finite_score(F.col("cosine_sim")))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
+    # _finite_score ABOVE the window, not below (junk-smoke, round 9):
+    # a pre-rank filter on the projected score is pushed into the JOIN
+    # CONDITION by Catalyst, re-evaluating the whole dot fold per pair
+    # (2x the scorer, seen in the executed plan). Post-quarantine the
+    # only non-real score is a NULL from a ragged pair (Cauchy-Schwarz:
+    # finite norms bound |dot| <= qn*cn, so overflow to Inf/NaN is
+    # impossible), and NULL sorts LAST under desc() — real rows' row
+    # numbers are identical, so filtering the <= k survivors is
+    # result-equal and costs k rows per query instead of a fold per
+    # pair.
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
+        .where(_finite_score(F.col("cosine_sim")))
         .drop("_rn")
     )
 
@@ -238,7 +281,9 @@ def lsh_bucket_topk(
                     / (F.col("_qn") * F.col("_cn"))
                 ).alias("cosine_sim"),
             )
-            .where(_finite_score(F.col("cosine_sim")))
+            # no pre-rank _finite_score: it pushes into the join
+            # condition and doubles the scorer (see cosine_topk) —
+            # the shared post-rank filter below covers this branch
         )
     else:
         # Band keys come from the Arrow prep kernel (bit-identical to
@@ -290,9 +335,14 @@ def lsh_bucket_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
+    # post-rank _finite_score (see cosine_topk for the placement
+    # argument): drops ragged-pair NULL scores from the single-band
+    # branch at k rows per query; a no-op for the multiband branch,
+    # whose candidate ids are kernel-quarantined
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
+        .where(_finite_score(F.col("cosine_sim")))
         .drop("_rn")
     )
 
@@ -419,13 +469,17 @@ def ivf_topk(
         (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
             "cosine_sim"
         ),
-    ).where(_finite_score(F.col("cosine_sim")))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
+    # post-rank _finite_score — see cosine_topk for the placement
+    # argument (pre-rank it pushes into the join and doubles the
+    # scorer; NULL sorts last so ranks are unchanged)
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
+        .where(_finite_score(F.col("cosine_sim")))
         .drop("_rn")
     )
 
@@ -574,8 +628,13 @@ def _pair_cosine_kernel():
             return pd.Series([], dtype="float64")
         av = np.stack([np.asarray(v, dtype=np.float64) for v in a])
         bv = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        dots = np.add.accumulate(av * bv, axis=1)[:, -1]
-        return pd.Series(dots / (anrm.to_numpy() * bnrm.to_numpy()))
+        # errstate: a quarantine-escaped non-finite pair (or a zero
+        # norm) yields NaN here BY DESIGN — downstream _finite_score
+        # drops it. Without the suppress, every such Arrow batch logs a
+        # numpy RuntimeWarning per executor: pure log spam at scale.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dots = np.add.accumulate(av * bv, axis=1)[:, -1]
+            return pd.Series(dots / (anrm.to_numpy() * bnrm.to_numpy()))
 
     return score
 
