@@ -103,6 +103,35 @@ def test_histogram_quantiles_nan_domain_raises_actionably(spark):
         )
 
 
+def test_hll_junk_rows_confined_and_str_group_accepted(spark):
+    """Pin: hll_distinct with junk — NULL values are filtered (already
+    guarded), a NULL group forms its own confined row (SQL GROUP BY
+    semantics), real groups' estimates are unchanged. Also pins the
+    str-vs-list group_cols fix: a bare "grp" used to splat into
+    per-character column names and fail with an UNRESOLVED_COLUMN
+    error three calls deep."""
+    from yandex_tracker_exporter_spark.operators.sketches import hll_distinct
+
+    clean = [("a", f"v{i}") for i in range(20)] + [
+        ("b", f"v{i}") for i in range(5)
+    ]
+    dirty = clean + [("a", None), (None, "v1"), (None, None)]
+    schema = "grp string, val string"
+
+    def est(rows):
+        # group_cols as a bare string exercises the normalization
+        return {
+            r[0]: r[1]
+            for r in hll_distinct(
+                spark.createDataFrame(rows, schema), "val", "grp"
+            ).collect()
+        }
+
+    got_clean, got_dirty = est(clean), est(dirty)
+    assert got_dirty.pop(None) == 1  # null group: confined, own row
+    assert got_dirty == got_clean
+
+
 def test_histogram_quantiles_caller_pattern_nan_safe(spark):
     """The q_histogram_quantiles derivation: NaN-filtered min/max gives
     the same domain (and estimates) with junk present as without."""

@@ -137,6 +137,11 @@ def hll_distinct(
     property that makes this the distinct-count path that survives
     unbounded groups at 100 TB.
     """
+    if isinstance(group_cols, str):
+        # a bare "grp" would otherwise splat into per-CHARACTER column
+        # names ("g", "r", "p") and fail with a baffling
+        # UNRESOLVED_COLUMN error three calls deep
+        group_cols = [group_cols]
     regs = hll_registers(df, value_col, group_cols)
     return _estimate_from_registers(regs, list(group_cols), out_col)
 
@@ -149,6 +154,8 @@ def hll_registers(
     """The per-(group, register) max-rho state — exposed separately
     because register tables MERGE: max per register across groups is
     the sketch of the groups' UNION (see :func:`hll_union_pairs`)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]  # see hll_distinct
     groups = [F.col(c) for c in group_cols]
     h = _mixed_hash(F.col(value_col).cast("string"), HLL_SALT)
     # NULL values hash to NULL and would survive as a phantom
