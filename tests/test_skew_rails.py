@@ -217,6 +217,42 @@ def test_copurchase_default_rail_never_binds_on_harness(spark):
     assert got == want
 
 
+def test_copurchase_rail_observable_via_hub_cap_report(spark):
+    """No silent caps, extended to the basket rail (the report family's
+    last uncovered rail): hub_cap_report over the same (order-key)
+    relation _copurchase_pairs caps on — zero drops on a normal
+    corpus, and on a mega-basket corpus the reported rows_dropped is
+    exactly the over-cap order's row count the rail suppresses."""
+    from __spark_entry__ import COPURCHASE_MAX_BASKET
+    from yandex_tracker_exporter_spark.operators.dedup import hub_cap_report
+
+    rows = [(1, p) for p in range(50)] + [(2, 900), (2, 901)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    rel = li.select(F.col("l_orderkey").alias("ok"))
+    capped = hub_cap_report(rel, ("ok",), 10, "basket").collect()
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["method"], r["band_idx"]) == ("basket", 0)
+    assert r["buckets"] == 2
+    assert r["capped_buckets"] == 1
+    assert r["rows_dropped"] == 50  # the mega-basket's rows, exactly
+    assert r["max_bucket_size"] == 50
+    assert r["max_surviving_bucket"] == 2
+    # default cap on TPC-H-shaped data: nothing drops
+    import __spark_entry__ as m
+
+    li_h = m._t_wide(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.col("l_orderkey").alias("ok")
+    )
+    r2 = hub_cap_report(
+        li_h, ("ok",), COPURCHASE_MAX_BASKET, "basket"
+    ).collect()[0]
+    assert r2["capped_buckets"] == 0 and r2["rows_dropped"] == 0
+    # the synthetic harness allows wider baskets than TPC-H's 7 (12 at
+    # sf0.001) — the invariant is that the default rail never binds
+    assert r2["max_bucket_size"] < COPURCHASE_MAX_BASKET
+
+
 # ------------------------------------------------- embedding hub rail
 
 def _vec_corpus(spark, hub_n=40, dim=16, seed=7):

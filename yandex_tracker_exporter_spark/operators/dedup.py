@@ -28,6 +28,7 @@ Scale notes:
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -1616,7 +1617,38 @@ def dedup_skew_report(
             "'minhash', 'ngram', 'simhash', 'winnow', 'embedding'"
         )
 
-    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return hub_cap_report(banded, keys, cap, method)
+
+
+def hub_cap_report(
+    banded: DataFrame,
+    keys: Sequence[str],
+    cap: int | None,
+    label: str,
+) -> DataFrame:
+    """Generic "no silent caps" observability over ANY hub-cap key
+    relation — the :func:`_cap_hub_buckets` companion, extracted from
+    :func:`dedup_skew_report` so rails OUTSIDE the text/embedding
+    families report the same way (e.g. the co-purchase basket-width
+    rail: ``hub_cap_report(li_pairs_input, ("l_orderkey",),
+    COPURCHASE_MAX_BASKET, "basket")``).
+
+    ``keys``: the bucket identity the rail counts on. With two or more
+    keys the FIRST is treated as the band index (the dedup banding
+    convention); with one key the report collapses to a single band 0
+    row. Output schema and values are byte-identical to what
+    dedup_skew_report always produced for the banded families.
+
+    Scale shape: one map-side-combinable ``groupBy(keys).count()`` —
+    a 100M-row hub collapses to one row per input partition before the
+    shuffle — then a second aggregate over one row per bucket.
+    """
+    bucket_keys = list(keys)
+    sizes = banded.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("_n"))
+    if len(bucket_keys) > 1:
+        sizes = sizes.withColumnRenamed(bucket_keys[0], "band_idx")
+    else:
+        sizes = sizes.withColumn("band_idx", F.lit(0))
     over = F.lit(False) if cap is None else (F.col("_n") > cap)
     return (
         sizes.groupBy("band_idx")
@@ -1632,7 +1664,7 @@ def dedup_skew_report(
             F.max(F.when(~over, F.col("_n"))).alias("max_surviving_bucket"),
         )
         .select(
-            F.lit(method).alias("method"),
+            F.lit(label).alias("method"),
             F.col("band_idx").cast("long"),
             F.col("buckets").cast("long"),
             F.col("capped_buckets").cast("long"),
