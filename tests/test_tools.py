@@ -97,3 +97,24 @@ def test_diff_manifest_classifies_changes():
     assert any(line.startswith("UPGRADE") and "up" in line for line in info)
     # a rowcount change must not ALSO report as a hash change
     assert sum("rows" in line for line in breaking) == 1
+
+
+def test_junk_smoke_rows_match_table_schemas():
+    """Each injected junk row must have exactly the table's column
+    count — a harness schema change would otherwise break the smoke
+    tool at corpus-build time, silently invalidating its evidence."""
+    import duckdb
+
+    js = _load("junk_smoke")
+    con = duckdb.connect()
+    for t in js.TABLES:
+        cols = con.execute(
+            "DESCRIBE SELECT * FROM read_parquet("
+            f"'/root/testdata/sf0.001/{t}.parquet')"
+        ).fetchall()
+        if t == "embeddings":
+            continue  # vector junk built in-code against the live schema
+        for row in js.JUNK_ROWS[t]:
+            assert len(row) == len(cols), (t, row)
+    # every non-dimension table carries at least one junk row
+    assert set(js.JUNK_ROWS) == set(js.TABLES) - {"embeddings"}
