@@ -174,3 +174,42 @@ def test_cc_local_finish_equals_distributed_and_cap_is_loud(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(chain, max_iterations=2, local_finish_edges=0)
+
+
+def test_lsh_pairs_cache_consumers_read_one_materialization(spark):
+    """The shared LSH pairs cache (_lsh_pairs): q_minhash_pairs prices
+    the one-time materialization (refresh), edit_distance_pairs and
+    dedup_labels read steady-state. Results must be byte-identical to
+    the uncached direct computation, and the second consumer must reuse
+    the FIRST consumer's checkpointed relation (same cache entry)."""
+    import __spark_entry__ as entry_mod
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    entry_mod._LSH_PAIRS_CACHE.pop(key, None)
+
+    got_pairs = sorted(
+        map(tuple, entry_mod.queries()["minhash_lsh_pairs"](spark, sf).collect())
+    )
+    entry_after_refresh = entry_mod._LSH_PAIRS_CACHE.get(key)
+    assert entry_after_refresh is not None, "refresh must populate the cache"
+
+    docs = entry_mod._t_wide(spark, sf, "documents")
+    direct = sorted(
+        tuple(r)
+        for r in minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+        .selectExpr("cast(a_id as long)", "cast(b_id as long)", "est_jaccard")
+        .collect()
+    )
+    assert got_pairs == direct
+
+    # steady-state consumer: edit_distance reads the SAME cache entry
+    ed = entry_mod.queries()["edit_distance_pairs"](spark, sf)
+    ed_rows = {(r[0], r[1]) for r in ed.collect()}
+    assert entry_mod._LSH_PAIRS_CACHE.get(key) is entry_after_refresh
+    assert ed_rows == {(a, b) for a, b, _ in direct}
+    # every scored pair has a real distance (text joined on both sides)
+    assert all(r["edit_distance"] is not None for r in ed.collect())
