@@ -2530,10 +2530,19 @@ def q_kmv_intersection(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    sk = kmv_bottom_k(ev, "user_id", "event_type")
+    # barriers: the sketch table (types x 64 hashes) feeds BOTH pair
+    # sides, and the distinct (type, user) relation feeds both sides
+    # of the exact-intersection self-join — each reference used to
+    # re-scan and re-aggregate the corpus (4 FileScans)
+    sk = kmv_bottom_k(ev, "user_id", "event_type").localCheckpoint(eager=False)
     est = kmv_intersection_estimates(sk)
-    a = ev.select(F.col("event_type").alias("grp_a"), "user_id").distinct()
-    b = ev.select(F.col("event_type").alias("grp_b"), "user_id").distinct()
+    du = (
+        ev.select(F.col("event_type").alias("grp"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = du.select(F.col("grp").alias("grp_a"), "user_id")
+    b = du.select(F.col("grp").alias("grp_b"), "user_id")
     exact = (
         a.join(b, "user_id")
         .where(F.col("grp_a") < F.col("grp_b"))
@@ -2992,7 +3001,14 @@ def q_hll_union(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     est = hll_union_pairs(ev, "user_id", "event_type")
-    du = ev.select(F.col("event_type").alias("grp"), "user_id").distinct()
+    # barrier: the distinct (type, user) relation feeds the per-group
+    # counts AND both sides of the intersection self-join — three
+    # corpus scans without it
+    du = (
+        ev.select(F.col("event_type").alias("grp"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     counts = du.groupBy("grp").agg(F.count(F.lit(1)).alias("c"))
     inter = (
         du.select(F.col("grp").alias("grp_a"), "user_id")
@@ -3479,17 +3495,19 @@ def q_ab_test(spark, sf_dir):
         .alias("arm"),
         "_conv",
     )
-    arms = armed.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("_conv").cast("long").alias("n_converted"),
+    # ONE conditional global aggregate, not groupBy(arm) + two filtered
+    # branches self-joined: the branch formulation planned FOUR
+    # FileScans with ZERO exchange reuse — the corpus was scanned and
+    # user-aggregated twice just to pivot two rows into one (measured
+    # 1.34 s solo best -> see NOTES). Integer counts are identical, so
+    # every downstream double is bit-identical.
+    is_a = F.col("arm") == "A"
+    j = armed.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(is_a, F.col("_conv")).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(~is_a, F.col("_conv")).otherwise(0)).cast("long").alias("cb"),
     )
-    a = arms.where(F.col("arm") == "A").select(
-        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
-    )
-    b = arms.where(F.col("arm") == "B").select(
-        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
-    )
-    j = a.join(F.broadcast(b))
     pa = F.col("ca").cast("double") / F.col("na").cast("double")
     pb = F.col("cb").cast("double") / F.col("nb").cast("double")
     pp = (F.col("ca") + F.col("cb")).cast("double") / (

@@ -226,7 +226,11 @@ def hll_union_pairs(
     """
     regs = hll_registers(df, value_col, [group_col]).withColumnRenamed(
         group_col, "_grp"
-    )
+    # barrier: regs is |groups|x64 rows but derives from a full corpus
+    # aggregation, and it feeds the group list plus BOTH pair-join
+    # sides — without it each reference re-scanned and re-aggregated
+    # the corpus (measured: 10 FileScans in the contract query's plan)
+    ).localCheckpoint(eager=False)
     groups = regs.select("_grp").distinct()
     pairs = (
         groups.select(F.col("_grp").alias("grp_a"))

@@ -1046,10 +1046,22 @@ def term_cooccurrence_pmi(
     Output: term_a < term_b, c_a, c_b, c_ab, n_docs, pmi_milli.
     """
     toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
-    docs = df.select(F.col(id_col).alias("_rid"), toks.alias("_set"))
+    # barrier: the tokenized doc-set relation feeds the frequency agg
+    # AND the per-doc intersect pass — without it every document was
+    # tokenized twice; and `top` (20 rows from a corpus aggregation)
+    # feeds three broadcasts (the array, the c_a side, the c_b side) —
+    # each reference re-ran the corpus explode+agg (5 FileScans in the
+    # contract plan)
+    docs = df.select(F.col(id_col).alias("_rid"), toks.alias("_set")).localCheckpoint(
+        eager=False
+    )
     present = docs.select(F.explode("_set").alias("term"))
     dfreq = present.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    top = dfreq.orderBy(F.col("c").desc(), F.col("term").asc()).limit(top_k)
+    top = (
+        dfreq.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(top_k)
+        .localCheckpoint(eager=False)
+    )
     n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     # collapse the top-k relation to one array row; _set is sorted and
     # distinct, and array_intersect preserves the first argument's
@@ -1164,7 +1176,11 @@ def lm_doc_score(
     map-only explode plus one id-keyed rollup; no corpus-scale join
     shuffle. Output: doc_id, n_bigrams, mean_p_milli.
     """
-    lm = bigram_lm(df, text_col)
+    # barrier: the LM table is vocabulary²-bounded but derives from a
+    # full corpus aggregation, and the broadcast build is a second
+    # consumer of its subtree — without it the corpus was re-scanned
+    # and re-counted per reference (4 FileScans in the contract plan)
+    lm = bigram_lm(df, text_col).localCheckpoint(eager=False)
     toks = _tokens(F.col(text_col))
     doc_bigrams = df.select(F.col(id_col), toks.alias("_t")).select(
         F.col(id_col),
