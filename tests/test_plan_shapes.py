@@ -245,7 +245,10 @@ _SINGLE_PARTITION_ALLOWED = {
     "mixture_apportion": 1,
     "bigram_lm": 1,
     "bm25_rank": 1,
-    "term_pmi": 1,
+    # term_pmi: the top-20-terms limit AND the single-row corpus count
+    # are both checkpoint-materialized (round-9 barrier — each used to
+    # re-run the corpus aggregation per reference), one tiny funnel each
+    "term_pmi": 2,
     "source_gini": 1,
     "table_profile": 1,
     "lm_doc_score": 1,
@@ -260,6 +263,10 @@ _SINGLE_PARTITION_ALLOWED = {
     "skew_report": 1,
     "contingency_chi2": 1,
     "cluster_balance": 1,
+    # ab_test: ONE global conditional aggregate (round 9 — replaced the
+    # two-filtered-branch self-join that scanned the corpus twice); the
+    # final 4-long single row is the textbook global-agg funnel
+    "ab_test": 1,
 }
 
 

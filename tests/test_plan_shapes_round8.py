@@ -49,8 +49,12 @@ PLAN_SPECS = {
         require={"HashAggregate": 2}, forbid=NO_PAIRS_BLOWUP
     ),
     "edit_distance_pairs": dict(
-        require={"ArrowEvalPython": 1},  # vectorized scorer, not per-row
-        forbid=NO_PAIRS_BLOWUP,
+        # the LSH candidate stage (and its Arrow kernel) moved into the
+        # shared session-materialized pairs relation (round 9) — this
+        # query is now the steady-state consumer: JVM levenshtein over
+        # broadcast-joined candidates, no Python anywhere in ITS plan
+        require={"levenshtein": 1, "BroadcastHashJoin": 2},
+        forbid=NO_PAIRS_BLOWUP + ["ArrowEvalPython"],
     ),
     "minhash_calibration": dict(
         require={"BroadcastHashJoin": 1}, forbid=NO_PAIRS_BLOWUP
