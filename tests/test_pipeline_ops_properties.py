@@ -190,3 +190,32 @@ def test_audio_frame_energy_matches_python_replica(spark):
         got[r.media_id].append((r.frame_idx, r.n_samples, r.energy))
     for i, exp in expected.items():
         assert sorted(got[i]) == exp, i
+
+
+def test_global_row_number_null_key_matches_bare_window(spark):
+    """Latent-input pin (round-9 probe): a NULL leading sort key forms
+    a NULL bucket that sorts FIRST in the prefix sum — so its rows take
+    the lowest global ranks and shift every real row up by the null
+    count. That is EXACTLY the bare `row_number() OVER (ORDER BY k)`
+    semantics (Spark asc = nulls first), i.e. the distributed two-pass
+    scheme stays equivalent to the single-window spec on dirty input
+    (junk participates in a global ranking the way SQL says it does —
+    this is the documented contract, not a corruption)."""
+    from pyspark.sql import Window
+
+    rows = [(10, 1), (20, 2), (30, 3), (None, 9), (None, 8)]
+    df = spark.createDataFrame(rows, "k long, id long")
+    got = {
+        r["id"]: r["global_rank"]
+        for r in global_row_number(
+            df,
+            [F.col("k").asc(), F.col("id").asc()],
+            F.floor(F.col("k") / F.lit(20)),
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want

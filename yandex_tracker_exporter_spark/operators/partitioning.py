@@ -59,12 +59,27 @@ def global_row_number(
         F.coalesce(F.sum("_grn_n").over(w_off), F.lit(0)).alias("_grn_off"),
     )
     w_in = Window.partitionBy("_grn_bucket").orderBy(*order_cols)
+    # NULL-SAFE join back (round-9 probe): a NULL leading key forms a
+    # NULL bucket, which the prefix sum counts (it sorts FIRST, so it
+    # shifts every real row's offset) — but a plain equi-join dropped
+    # the NULL bucket's own rows, an incoherent in-between where junk
+    # shifted everyone yet vanished from the output. eqNullSafe keeps
+    # the operator row-for-row equal to the bare
+    # row_number() OVER (ORDER BY ...) window it replaces (Spark asc =
+    # nulls first, so NULL-key rows take the lowest ranks), pinned in
+    # tests/test_pipeline_ops_properties.py.
+    offs = offsets.select(
+        F.col("_grn_bucket").alias("_grn_b2"), "_grn_off"
+    )
     return (
-        b.join(F.broadcast(offsets), "_grn_bucket")
+        b.join(
+            F.broadcast(offs),
+            F.col("_grn_bucket").eqNullSafe(F.col("_grn_b2")),
+        )
         .withColumn(
             out_col, (F.col("_grn_off") + F.row_number().over(w_in)).cast("long")
         )
-        .drop("_grn_bucket", "_grn_off")
+        .drop("_grn_bucket", "_grn_b2", "_grn_off")
     )
 
 
