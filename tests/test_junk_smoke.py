@@ -13,9 +13,12 @@ family, two root causes — both fixed:
   brute-force baselines (cosine_topk, knn_classify, knn_confusion) and
   killed the whole query. ``cosine()`` is now ``try_divide`` (bit-
   identical when the divisor is nonzero) and the three queries
-  quarantine rows once per row via the new ``usable_vectors`` filter
-  (which also stops an Inf vector's NaN score from outranking every
-  real neighbor — the ADVICE-r8 class);
+  precompute norms once per ROW and quarantine there with
+  ``_usable_norm`` — which also stops an Inf vector's NaN score from
+  outranking every real neighbor (the ADVICE-r8 class) and makes the
+  per-pair score one dot fold instead of three. (``usable_vectors``
+  is the same quarantine packaged as a public helper for library
+  users.);
 - the perturbed-copy builders of embedding_neardup / semdedup_prune
   called ``element_at(embedding, 1)`` on an EMPTY junk vector —
   INVALID_ARRAY_INDEX under ANSI. A size guard drops size-0 and NULL
