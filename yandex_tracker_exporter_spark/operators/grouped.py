@@ -284,8 +284,24 @@ def zscore_outliers(
     )
     joined = base.join(F.broadcast(moments), "segment")
     dev = F.col("n_seg") * F.col("cents") - F.col("s_seg")  # n·x − S
-    var_num = F.col("n_seg") * F.col("q_seg") - F.col("s_seg") * F.col("s_seg")
-    out = joined.where(dev * dev > F.lit(sigmas * sigmas) * var_num)
+    # The PREDICATE's products run in decimal(38,0), not int64: the
+    # factor-100 scale check caught n·Q at ~4e20 > 2^63 (ANSI
+    # ARITHMETIC_OVERFLOW killed the query — the old headroom comment
+    # assumed SF-scaled n·x but per-SEGMENT n grows with the corpus).
+    # Decimal(19)×decimal(19) products are exact to 38 digits, which
+    # holds to n ≈ 1e15 rows/segment at 1e4 cents — the overflow
+    # ceiling moves from "factor 100 of the harness" to "beyond 100 TB".
+    # Boolean is identical wherever int64 didn't overflow (both exact),
+    # so the contract is untouched; outputs (dev, dev_milli) keep their
+    # original arithmetic, which fits int64 at any realistic scale.
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — local shorthand
+    dev_dec = d19(F.col("n_seg")) * d19(F.col("cents")) - d19(F.col("s_seg"))
+    var_dec = d19(F.col("n_seg")) * d19(F.col("q_seg")) - d19(
+        F.col("s_seg")
+    ) * d19(F.col("s_seg"))
+    out = joined.where(
+        dev_dec * dev_dec > F.lit(sigmas * sigmas).cast("decimal(19,0)") * var_dec
+    )
     # milli-z numerator: floor(1000·(n·x − S) / n) with floored (not
     # truncated) division so negative deviations match any engine
     dev_milli = F.floor(
