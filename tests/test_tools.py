@@ -99,6 +99,68 @@ def test_diff_manifest_classifies_changes():
     assert sum("rows" in line for line in breaking) == 1
 
 
+def test_junk_smoke_cli_accepts_both_only_forms():
+    """VERDICT r9 "What's wrong" #1: the docstring's ``--only q1,q2``
+    space form crashed the round-9 hand parser with IndexError; both
+    argparse forms (and --keep, and the positional sf_dir) must parse."""
+    import pytest
+
+    js = _load("junk_smoke")
+    src, only, keep = js._parse_args(["--only", "q1,q2"])
+    assert only == {"q1", "q2"}
+    assert src == "/root/testdata/sf0.001" and keep is False
+    _, only_eq, _ = js._parse_args(["--only=q1,q2"])
+    assert only_eq == {"q1", "q2"}
+    src2, only2, keep2 = js._parse_args(["/tmp/sfX", "--keep"])
+    assert src2 == "/tmp/sfX" and only2 is None and keep2 is True
+    _, trail, _ = js._parse_args(["--only", "q1,"])
+    assert trail == {"q1"}  # trailing comma adds no empty name
+    with pytest.raises(SystemExit):
+        js._parse_args(["--bogus"])
+
+
+def test_junk_check_cli_and_expected_movers():
+    """junk_check shares the CLI contract and its EXPECTED_MOVERS
+    allowlist entries (if any ever appear) must carry a reviewed,
+    non-trivial explanation — an empty string would let movement
+    through unadjudicated."""
+    jc = _load("junk_check")
+    src, only, keep, out = jc._parse_args([])
+    assert src == "/root/testdata/sf0.001" and only is None and keep is False
+    assert out.endswith("JUNKCHECK.json")
+    for argv in (
+        ["--only", "a,b", "--out", "/tmp/x.json"],
+        ["--only=a,b", "--out=/tmp/x.json"],
+    ):
+        _, only2, _, out2 = jc._parse_args(argv)
+        assert only2 == {"a", "b"} and out2 == "/tmp/x.json"
+    for name, why in jc.EXPECTED_MOVERS.items():
+        assert isinstance(name, str) and name
+        assert isinstance(why, str) and len(why) > 20
+
+
+def test_committed_junkcheck_has_no_unexplained_movers():
+    """Ratchet on the committed movement artifact (VERDICT r9 #2):
+    every contract query is adjudicated — junk-neutral, oracle-confirmed
+    SQL participation, or documented — with zero UNEXPLAINED and zero
+    ERROR. Regenerate with ``python tools/junk_check.py`` after an
+    intentional junk-semantics change."""
+    import json
+
+    path = os.path.join(REPO, "JUNKCHECK.json")
+    assert os.path.exists(path), "JUNKCHECK.json must be committed"
+    art = json.load(open(path))
+    assert art["counts"]["UNEXPLAINED"] == 0
+    assert art["counts"]["ERROR"] == 0
+    assert art["n_run"] == len(entry_mod.queries())
+    for name, rec in art["queries"].items():
+        assert rec["class"] in (
+            "junk_neutral",
+            "participates_as_sql",
+            "expected_mover_documented",
+        ), f"{name}: {rec['class']}"
+
+
 def test_junk_smoke_rows_match_table_schemas():
     """Each injected junk row must have exactly the table's column
     count — a harness schema change would otherwise break the smoke
