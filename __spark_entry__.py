@@ -234,6 +234,11 @@ def q_snake_case(spark, sf_dir):
 def q_human_time(spark, sf_dir):
     """P7: human-readable durations from aggregated seconds."""
     events = _t(spark, sf_dir, "events")
+    # _measurable guard (junk_check, round 10): a NaN value would
+    # poison its type's decimal sum (and DuckDB raises where Spark
+    # null-saturates); a NULL value row is a duration-less event.
+    # Identical WHERE in the oracle.
+    events = events.where(F.col("value").isNotNull() & ~F.isnan("value"))
     agg = events.groupBy("event_type").agg(
         F.floor(F.sum(F.col("value").cast("decimal(18,2)"))).cast("long").alias(
             "total_s"
@@ -327,8 +332,14 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """Per-document 32-bit SimHash."""
-    docs = _t_wide(spark, sf_dir, "documents")
+    """Per-document 32-bit SimHash. NULL-text docs are quarantined
+    (junk_check, round 10): the engine's signature of NULL is NULL
+    while a SQL empty fold gives 0 — neither is a signature, so the
+    row is dropped in both engines (the filtered-before-banding
+    posture, applied at the signatures surface too)."""
+    docs = _t_wide(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     return simhash(docs, "text", "doc_id").select(
         F.col("doc_id").cast("long"), F.col("simhash").cast("long")
     )
@@ -366,8 +377,12 @@ def q_token_count(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """Rolling polynomial document fingerprint."""
-    docs = _t_wide(spark, sf_dir, "documents")
+    """Rolling polynomial document fingerprint. NULL-text docs are
+    quarantined (junk_check, round 10; same rationale as
+    simhash_signatures — a NULL has no fingerprint)."""
+    docs = _t_wide(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     return fingerprint(docs, "text", "doc_id").select(
         F.col("doc_id").cast("long"), F.col("fingerprint").cast("long")
     )
@@ -393,8 +408,7 @@ def q_cosine_topk(spark, sf_dir):
     # non-finite vector's NaN score would outrank every real neighbor.
     # The per-pair score is then one dot fold + a scalar division
     # (was three folds/pair); values are bit-identical — a norm is the
-    # same double wherever it is folded. _finite_score stays as the
-    # overflow belt (inf dot of two finite-norm vectors).
+    # same double wherever it is folded.
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -411,27 +425,23 @@ def q_cosine_topk(spark, sf_dir):
         F.col("neighbor_id").cast("long"),
         (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
-    # NO _finite_score post-filter here: Catalyst infers a filter on a
-    # projected expression into the JOIN CONDITION, duplicating the
-    # whole dot fold per pair (seen in the executed plan; the NOTES
-    # "deterministic expressions duplicate into inferred filters"
-    # lesson). It is also unnecessary: with both sides quarantined by
-    # _usable_norm, elements are finite float32 — |dot| <= 64 *
-    # (3.4e38)^2 ~ 7.7e78, far below double overflow, so every
-    # surviving pair's cosine is finite by construction.
-    # ^ per-PAIR junk quarantine (junk-smoke, round 9): cosine() is now
-    # try_divide, so a zero/empty vector yields NULL instead of an ANSI
-    # DIVIDE_BY_ZERO that killed the whole query; _finite_score drops
-    # NULL/NaN/Inf scores so a non-finite junk vector can never outrank
-    # a real neighbor under desc(). Measured cheaper than a
-    # one-norm-fold-per-row pre-filter (+0.01 vs +0.08 s at sf0.1): the
-    # score is already computed per pair, the extra predicate is scalar.
+    # The _finite_score belt goes AFTER the rank<=k filter (the
+    # placement the library operators use): pre-rank, Catalyst infers a
+    # filter on a projected expression into the JOIN CONDITION,
+    # duplicating the whole dot fold per pair (seen in the executed
+    # plan; the NOTES "deterministic expressions duplicate into
+    # inferred filters" lesson). Post-rank it is O(k) rows and catches
+    # the one junk shape _usable_norm cannot: a ragged-but-finite-norm
+    # vector whose zip_with dot null-pads to a NULL cosine — with fewer
+    # than k usable neighbors that NULL row would otherwise enter the
+    # top-k. No-op on a clean corpus (zero manifest movers).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 10)
+        .where(_finite_score(F.col("cosine_sim")))
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
 
@@ -537,7 +547,7 @@ def q_grouping_sets(spark, sf_dir):
     scans."""
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.groupingSets(
+        _rollup_guard(orders).groupingSets(
             [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
             "o_orderstatus",
             "o_orderpriority",
@@ -585,12 +595,35 @@ def q_ntile_quartiles(spark, sf_dir):
     )
 
 
+def _rollup_guard(orders):
+    """Shared junk guard for the rollup/cube/grouping-sets family
+    (junk_check, round 10): a NULL grouping key is INDISTINGUISHABLE
+    from the subtotal marker in the output rows (only grouping_id
+    separates them, and the contract schema doesn't carry it for
+    rollup/cube), so one junk NULL-status order silently reads as a
+    corrupted subtotal; a NaN price poisons the decimal revenue sum.
+    Identical WHERE in the oracles; no-op on the clean corpus."""
+    return orders.where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & ~F.isnan("o_totalprice")
+    )
+
+
+#: the oracle-side twin of _rollup_guard
+_DD_ROLLUP_GUARD = (
+    "o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL "
+    "AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)"
+)
+
+
 def q_rollup_orders(spark, sf_dir):
     """Rollup aggregation (SURVEY §2.4 capability extension): order counts
     and revenue by (status, priority) with subtotals and grand total."""
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
+        _rollup_guard(orders).rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -604,7 +637,7 @@ def q_cube_orders(spark, sf_dir):
     """Cube aggregation: all grouping-set combinations of
     (status, priority) in one pass."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+    return _rollup_guard(orders).cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
@@ -1418,6 +1451,13 @@ def q_media_metadata_stats(spark, sf_dir):
     from yandex_tracker_exporter_spark.multimodal import metadata_stats
 
     ev = _t(spark, sf_dir, "events")
+    # Junk guard (junk_check, round 10): a NULL event_id has no media
+    # identity OR kind — and, notably, Spark rewrites element_at over a
+    # LITERAL array into a CASE chain whose ELSE branch swallows a NULL
+    # index (observed: NULL event_id → kind 'video', not NULL), so the
+    # junk row would silently inflate the video group. Identical WHERE
+    # in the oracle.
+    ev = ev.where(F.col("event_id").isNotNull())
     media = ev.select(
         F.col("event_id").cast("long").alias("media_id"),
         F.element_at(
@@ -1657,25 +1697,21 @@ def q_knn_classify(spark, sf_dir):
         F.col("n_label").cast("long"),
         (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
-    # NO _finite_score post-filter here: Catalyst infers a filter on a
-    # projected expression into the JOIN CONDITION, duplicating the
-    # whole dot fold per pair (seen in the executed plan; the NOTES
-    # "deterministic expressions duplicate into inferred filters"
-    # lesson). It is also unnecessary: with both sides quarantined by
-    # _usable_norm, elements are finite float32 — |dot| <= 64 *
-    # (3.4e38)^2 ~ 7.7e78, far below double overflow, so every
-    # surviving pair's cosine is finite by construction.
-    # ^ per-PAIR junk quarantine (junk-smoke, round 9): cosine() is now
-    # try_divide, so a zero/empty vector yields NULL instead of an ANSI
-    # DIVIDE_BY_ZERO that killed the whole query; _finite_score drops
-    # NULL/NaN/Inf scores so a non-finite junk vector can never outrank
-    # a real neighbor under desc(). Measured cheaper than a
-    # one-norm-fold-per-row pre-filter (+0.01 vs +0.08 s at sf0.1): the
-    # score is already computed per pair, the extra predicate is scalar.
+    # _finite_score goes AFTER the rank<=k filter (library placement;
+    # see q_cosine_topk): pre-rank it duplicates the dot fold into the
+    # inferred join condition, post-rank it is O(k) rows and drops the
+    # NULL cosine a ragged-but-finite-norm junk vector produces via
+    # zip_with null-padding — without it that row votes with a NULL
+    # label when a query has fewer than k usable neighbors. No-op on a
+    # clean corpus.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
-    top = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .where(_finite_score(F.col("cosine_sim")))
+    )
     votes = top.groupBy("query_id", "n_label").agg(F.count(F.lit(1)).alias("votes"))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("votes").desc(), F.col("n_label").asc()
@@ -1746,6 +1782,15 @@ def q_moving_avg_daily(spark, sf_dir):
     plan (same justification as global_rank's prefix-sum funnel); the
     corpus itself only ever takes the one groupBy(day) shuffle."""
     orders = _t(spark, sf_dir, "orders")
+    # junk guard (junk_check, round 10): a dateless order cannot land
+    # on a day, and a NaN price would poison (or, in the oracle's
+    # engine, crash) the daily decimal sum. Identical WHERE in the
+    # oracle; no-op on the clean corpus.
+    orders = orders.where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & ~F.isnan("o_totalprice")
+    )
     daily = orders.groupBy(
         F.datediff(
             F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
@@ -3119,26 +3164,19 @@ def q_knn_confusion(spark, sf_dir):
         F.col("n_label").cast("long"),
         (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
-    # NO _finite_score post-filter here: Catalyst infers a filter on a
-    # projected expression into the JOIN CONDITION, duplicating the
-    # whole dot fold per pair (seen in the executed plan; the NOTES
-    # "deterministic expressions duplicate into inferred filters"
-    # lesson). It is also unnecessary: with both sides quarantined by
-    # _usable_norm, elements are finite float32 — |dot| <= 64 *
-    # (3.4e38)^2 ~ 7.7e78, far below double overflow, so every
-    # surviving pair's cosine is finite by construction.
-    # ^ per-PAIR junk quarantine (junk-smoke, round 9): cosine() is now
-    # try_divide, so a zero/empty vector yields NULL instead of an ANSI
-    # DIVIDE_BY_ZERO that killed the whole query; _finite_score drops
-    # NULL/NaN/Inf scores so a non-finite junk vector can never outrank
-    # a real neighbor under desc(). Measured cheaper than a
-    # one-norm-fold-per-row pre-filter (+0.01 vs +0.08 s at sf0.1): the
-    # score is already computed per pair, the extra predicate is scalar.
+    # _finite_score goes AFTER the rank<=k filter (library placement;
+    # see q_cosine_topk/q_knn_classify): post-rank it is O(k) rows and
+    # drops the NULL cosine a ragged-but-finite-norm junk vector
+    # produces via zip_with null-padding, which would otherwise vote
+    # with a NULL label when a query has fewer than k usable
+    # neighbors. No-op on a clean corpus.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
-    top = scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= 10
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .where(_finite_score(F.col("cosine_sim")))
     )
     votes = top.groupBy("query_id", "true_label", "n_label").agg(
         F.count(F.lit(1)).alias("votes")
@@ -3346,7 +3384,14 @@ def q_robust_stats(spark, sf_dir):
     deviations join back against the broadcast 5-row median table."""
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("long")
-    base = ev.select(F.col("event_type").alias("segment"), cents.alias("_c"))
+    # _measurable guard (junk_check, round 10): Spark's floor()
+    # SILENTLY saturates — floor(NaN) = 0 — so an unguarded junk NaN
+    # reading became a fake 0-cent measurement that moved its segment's
+    # median; a NULL value row inflated n the same way the zscore
+    # moments bug did. Identical WHERE in the oracle.
+    base = ev.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(F.col("event_type").alias("segment"), cents.alias("_c"))
     med = base.groupBy("segment").agg(
         F.percentile(F.col("_c"), F.lit(0.5)).alias("median_cents"),
         F.count(F.lit(1)).alias("n"),
@@ -3478,6 +3523,14 @@ def q_ab_test(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
+    # NULL-user quarantine (junk_check, round 10): a NULL user_id is
+    # not a valid experiment participant — and the two engines'
+    # otherwise-identical salted hashes disagree on NULL (Spark's
+    # concat/sequence propagate NULL → arm B; DuckDB's empty range
+    # folds to h=0 → arm A), so one junk row would silently move a
+    # phantom participant between arms. Filtered identically in the
+    # oracle; no-op on a clean corpus.
+    ev = ev.where(F.col("user_id").isNotNull())
     # conversion = "heavy purchaser" (> 26 purchase events): on this
     # corpus EVERY user purchases at least once, so an any-purchase
     # definition gives two 100% arms and a zero z-denominator (which
@@ -3523,6 +3576,13 @@ def q_ab_test(spark, sf_dir):
     )
     # degenerate pooled rate (0 or 1) → z defined as 0, not a crash
     z = F.when(denom > 0.0, (pa - pb) / denom).otherwise(F.lit(0.0))
+    # HAVING-style empty-arm guard: the old filtered-branch cross join
+    # returned ZERO rows when an arm was empty (so does the oracle's
+    # `a CROSS JOIN b`); the single global agg instead returns one row
+    # with n=0, whose `div na` raises under ANSI. Filter it out so the
+    # three formulations stay row-for-row equal on every corpus; no-op
+    # when both arms are populated (the contract case).
+    j = j.where((F.col("na") > 0) & (F.col("nb") > 0))
     return j.select(
         "na",
         "ca",
@@ -3539,6 +3599,12 @@ def q_heatmap_hour_value(spark, sf_dir):
     behind usage dashboards and drift monitors. Pure map + one
     partial-aggregable rollup on ≤ 24×10 keys."""
     ev = _t(spark, sf_dir, "events")
+    # _measurable guard (junk_check, round 10): a NaN value has no
+    # band — Spark's floor/greatest/least chain silently mapped it to
+    # band 0 (floor(NaN) = 0) while plain SQL puts it at band 9 (NaN
+    # sorts above 9 in least()) — and a NULL value likewise bands
+    # nowhere. Identical WHERE in the oracle.
+    ev = ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
     hour = F.hour("ts").cast("long")
     band = F.least(
         F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
@@ -3641,6 +3707,15 @@ def q_streaming_upsert_state(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
+    # Junk guard (junk_check, round 10): a NULL event_id cannot be
+    # upserted (it IS the merge key), and a NaN value would be
+    # fabricated into 0 cents by Spark's saturating floor() at the
+    # final aggregate. NULL values stay — sum() skips them, same as the
+    # oracle's SQL. Identical WHERE in the oracle.
+    ev = ev.where(
+        F.col("event_id").isNotNull()
+        & (F.col("value").isNull() | ~F.isnan("value"))
+    )
     # Per-INVOCATION workdir (pid + monotonic counter): two concurrent
     # runs on the same sf_dir (bench + manifest sweep, pytest-xdist)
     # must never share staging/checkpoint dirs, and a later invocation
@@ -3915,6 +3990,20 @@ def _dd_hash(expr: str) -> str:
     )
 
 
+def _dd_finite_vec(col: str = "embedding") -> str:
+    """DuckDB twin of operators.similarity.finite_vector: the vector
+    exists and every element is a finite number (empty lists pass).
+    Mirrors the engine's quantization quarantine so the junk_check
+    oracle replay adjudicates movement instead of dying on
+    ``floor(NaN)::BIGINT`` (DuckDB raises where Spark's floor()
+    silently saturates)."""
+    return (
+        f"({col} IS NOT NULL AND NOT coalesce(list_contains("
+        f"list_transform({col}, x -> (x IS NULL OR isnan(x::DOUBLE) "
+        f"OR isinf(x::DOUBLE))), true), false))"
+    )
+
+
 def _dd_mixed(expr: str, salt: str) -> str:
     """Suffix-salted poly hash + square-mod avalanche, mirroring
     operators.text_analysis._sample_bucket: the raw fold is affine
@@ -4149,7 +4238,8 @@ _ORACLES: dict[str, str] = {
         WITH agg AS (
             SELECT event_type,
                    CAST(floor(sum(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS total_s
-            FROM events GROUP BY event_type
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type
         )
         SELECT event_type, total_s, {_dd_human_time('total_s', 2)} AS human_duration
         FROM agg
@@ -4277,12 +4367,12 @@ _ORACLES: dict[str, str] = {
                shared_fps::BIGINT AS shared_fps
         FROM pairs WHERE shared_fps >= 3
     """,
-    "grouping_sets_orders": """
+    "grouping_sets_orders": f"""
         SELECT o_orderstatus, o_orderpriority,
                grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
                count(*)::BIGINT AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders
+        FROM orders WHERE {_DD_ROLLUP_GUARD}
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
     """,
@@ -4352,7 +4442,10 @@ _ORACLES: dict[str, str] = {
                        AS day_num,
                    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d,
                    count(*)::BIGINT AS n_orders
-            FROM orders GROUP BY 1
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+              AND NOT isnan(o_totalprice)
+            GROUP BY 1
         )
         SELECT day_num, CAST(rev_d AS DOUBLE) AS revenue, n_orders,
                CAST(sum(rev_d) OVER w AS DOUBLE)
@@ -4487,7 +4580,7 @@ _ORACLES: dict[str, str] = {
             SELECT ['image', 'audio', 'video'][(event_id % 3)::INT + 1] AS kind,
                    ((user_id % 1920) + 1)::BIGINT AS width,
                    ((event_id * 37) % 600000)::BIGINT AS duration_ms
-            FROM events
+            FROM events WHERE event_id IS NOT NULL
         )
         SELECT kind,
                count(*)::BIGINT AS n_media,
@@ -4539,7 +4632,7 @@ _ORACLES: dict[str, str] = {
             SELECT doc_id,
                    list_transform(regexp_split_to_array(text, '\\s+'),
                                   t -> {_dd_hash('t')}) AS th
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         )
         SELECT doc_id::BIGINT AS doc_id,
                CAST(list_reduce(list_prepend(0::BIGINT,
@@ -4568,7 +4661,7 @@ _ORACLES: dict[str, str] = {
                    list_transform(range(1, len(text) + 1),
                                   i -> ascii(substr(text, i, 1))::BIGINT)),
                    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     """,
     "cosine_topk": f"""
         WITH scored AS (
@@ -4585,11 +4678,11 @@ _ORACLES: dict[str, str] = {
     """,
     "embedding_neardup": None,  # generated below (multi-band LSH banding)
     "lsh_bucket_topk": None,  # generated below (plane literals)
-    "rollup_orders": """
+    "rollup_orders": f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*)::BIGINT AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders
+        FROM orders WHERE {_DD_ROLLUP_GUARD}
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     "median_gap": """
@@ -4606,11 +4699,11 @@ _ORACLES: dict[str, str] = {
         FROM gaps WHERE gap IS NOT NULL
         GROUP BY user_id
     """,
-    "cube_orders": """
+    "cube_orders": f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*)::BIGINT AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders
+        FROM orders WHERE {_DD_ROLLUP_GUARD}
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "distinct_agg": """
@@ -4705,7 +4798,7 @@ _ORACLES: dict[str, str] = {
     "chunk_documents": """
         WITH t AS (
             SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), c AS (
             SELECT doc_id, toks,
                    greatest(1, floor((len(toks) - 8 + 23) / 24))::INT AS n_chunks
@@ -4721,7 +4814,7 @@ _ORACLES: dict[str, str] = {
     "dup_window_ratio": """
         WITH t AS (
             SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS toks
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), c AS (
             SELECT doc_id, toks,
                    greatest(1, floor((len(toks) + 15) / 16))::INT AS n_w
@@ -5183,9 +5276,14 @@ _ORACLES["tfidf_top_terms"] = """
     FROM ranked WHERE rank <= 3
 """
 
+# junk semantics (junk_check, round 10): ASC NULLS FIRST is Spark's
+# default ascending null order (DuckDB defaults to NULLS LAST) —
+# global_row_number deliberately RANKS a junk NULL row (first, per
+# Spark SQL; the r9 null-safe-join fix), so the oracle must say so too
 _ORACLES["global_rank"] = """
     SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
-           row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)::BIGINT
+           row_number() OVER (ORDER BY n_chars ASC NULLS FIRST,
+                              doc_id ASC NULLS FIRST)::BIGINT
                AS global_rank
     FROM documents
 """
@@ -5286,13 +5384,14 @@ def _build_canonicalize_sql() -> str:
 
 _ORACLES["canonicalize_text"] = _build_canonicalize_sql()
 
-_ORACLES["quantize_embeddings"] = """
+_ORACLES["quantize_embeddings"] = f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding, x -> x::DOUBLE) AS emb,
                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
                    AS max_abs
         FROM embeddings
+        WHERE {_dd_finite_vec("embedding")}
     ), s AS (
         SELECT vec_id, emb,
                CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
@@ -5458,6 +5557,7 @@ def _build_kmeans_sql(
                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
                    AS max_abs
         FROM {source}
+        WHERE {_dd_finite_vec("embedding")} AND len(embedding) = {dim}
     ), s AS (
         SELECT vec_id, emb,
                CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
@@ -5713,7 +5813,7 @@ _ORACLES["split_assign"] = f"""
     WITH s AS (
         SELECT doc_id, n_chars,
                ({_dd_mixed("doc_id::VARCHAR", "split:")}) % 100 AS b
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT CASE WHEN b < 90 THEN 'train'
                 WHEN b < 95 THEN 'val'
@@ -5744,13 +5844,14 @@ _ORACLES["length_buckets"] = """
     FROM b GROUP BY bucket
 """
 
-_ORACLES["label_centroids"] = """
+_ORACLES["label_centroids"] = f"""
     WITH v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> x::DOUBLE) AS emb,
                list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
                    AS max_abs
         FROM embeddings
+        WHERE {_dd_finite_vec("embedding")}
     ), s AS (
         SELECT vec_id, label, emb,
                CASE WHEN max_abs > 0.0 THEN 127.0 / max_abs
@@ -6042,6 +6143,7 @@ _ORACLES["pareto_frontier"] = """
         SELECT lang, doc_id, n_chars::BIGINT AS cost,
                len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END))::BIGINT AS gain
         FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL
     )
     SELECT a.lang, a.doc_id::BIGINT AS doc_id, a.cost, a.gain
     FROM d a
@@ -6369,7 +6471,9 @@ _ORACLES["source_gini"] = """
         SELECT source,
                sum(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END)))::BIGINT
                    AS tokens
-        FROM documents GROUP BY source
+        FROM documents
+        WHERE source IS NOT NULL AND text IS NOT NULL
+        GROUP BY source
     ), r AS (
         SELECT tokens,
                row_number() OVER (ORDER BY tokens ASC, source ASC)::BIGINT
@@ -6458,6 +6562,7 @@ _ORACLES["scd2_intervals"] = """
                floor(epoch(ts))::BIGINT AS ep, ts, event_id,
                json_extract_string(props, '$.k')::BIGINT AS value
         FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), m AS (
         SELECT entity, ep, value,
                row_number() OVER w AS rn,
@@ -6515,6 +6620,8 @@ _ORACLES["reset_running_total"] = """
                floor(epoch(ts))::BIGINT AS ep,
                floor(value * 100)::BIGINT AS cents
         FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(value)
     ), f AS (
         SELECT entity, ts, event_id, ep, cents,
                CASE WHEN lag(ep) OVER w IS NULL
@@ -7353,7 +7460,7 @@ _ORACLES["media_png_histogram"] = """
 _ORACLES["robust_stats"] = """
     WITH b AS (
         SELECT event_type AS segment, floor(value * 100)::BIGINT AS c
-        FROM events
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ), med AS (
         SELECT segment, quantile_cont(c, 0.5) AS median_cents,
                count(*)::BIGINT AS n
@@ -7461,7 +7568,7 @@ def _build_ab_test_sql() -> str:
                CASE WHEN sum(CASE WHEN event_type = 'purchase'
                                   THEN 1 ELSE 0 END) > 26
                     THEN 1 ELSE 0 END AS conv
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ), armed AS (
         SELECT CASE WHEN ({bucket}) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
                conv
@@ -7492,7 +7599,8 @@ _ORACLES["heatmap_hour_value"] = """
     SELECT hour(ts)::BIGINT AS hour,
            least(greatest(floor(value / 10.0), 0), 9)::BIGINT AS value_band,
            count(*)::BIGINT AS n_events
-    FROM events GROUP BY hour, value_band
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY hour, value_band
 """
 
 
@@ -7550,6 +7658,7 @@ _ORACLES["streaming_upsert_state"] = """
                CASE WHEN event_type = 'purchase' THEN value * 2
                     ELSE value END AS value
         FROM events
+        WHERE event_id IS NOT NULL AND (value IS NULL OR NOT isnan(value))
     )
     SELECT event_type, count(*)::BIGINT AS n_events,
            sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents

@@ -1,0 +1,280 @@
+"""Pins for the round-10 junk-MOVEMENT guards (tools/junk_check.py).
+
+The round-9 junk smoke proved no query CRASHES on junk; the round-10
+movement probe (clean-vs-junk fingerprint + oracle replay on the junk
+corpus) found the class of bugs where junk silently FABRICATES data.
+Root cause in most of them: Spark's ``floor()`` on a double returns
+LONG with silent saturation — ``floor(NaN) = 0``, ``floor(Infinity) =
+Long.MAX`` — even under ANSI (only an explicit CAST raises). These
+tests pin the guards so the fabrication class cannot regress.
+"""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def test_spark_floor_saturates_silently(spark):
+    """The premise: floor() fabricates instead of raising. If a Spark
+    upgrade changes this, the guards below become belt-and-braces and
+    this pin documents the shift."""
+    row = spark.sql(
+        "SELECT floor(CAST('NaN' AS DOUBLE)) AS f_nan, "
+        "floor(CAST('Infinity' AS DOUBLE)) AS f_inf"
+    ).first()
+    assert row.f_nan == 0
+    assert row.f_inf == 9223372036854775807
+
+
+def test_quantize_drops_nonfinite_vectors(spark):
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [NAN, 1.0, 1.0]),  # would quantize to fake codes
+            (3, [INF, 1.0, 1.0]),  # would quantize to ±Long.MAX codes
+            (4, None),
+            (5, [0.0, 0.0, 0.0]),  # zero vector KEEPS the scale-0 path
+            (6, []),  # empty KEEPS the scale-0 path
+        ],
+        schema,
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {1, 5, 6}
+    assert out[5].scale == 0.0 and list(out[5].qvec) == [0, 0, 0]
+    assert out[6].qvec == []
+
+
+def test_label_centroids_excludes_nonfinite_vectors(spark):
+    from yandex_tracker_exporter_spark.operators.clustering import (
+        label_centroids,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(FloatType()), True),
+            StructField("label", LongType(), True),
+        ]
+    )
+    clean = spark.createDataFrame([(1, [2.0, 4.0], 0), (2, [4.0, 8.0], 0)], schema)
+    dirty = clean.unionByName(
+        spark.createDataFrame([(3, [NAN, NAN], 0), (4, [INF, 1.0], 0)], schema)
+    )
+    want = sorted(tuple(r) for r in label_centroids(clean).collect())
+    got = sorted(tuple(r) for r in label_centroids(dirty).collect())
+    assert got == want  # junk vectors contribute NOTHING, not zeros
+
+
+def test_chunkers_skip_null_text_keep_empty(spark):
+    from yandex_tracker_exporter_spark.operators.dedup import cdc_chunks
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        chunk_tokens,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")], schema
+    )
+    tok = chunk_tokens(df, chunk_size=4, overlap=1)
+    assert sorted(r.doc_id for r in tok.collect()) == [1, 3]
+    cdc = cdc_chunks(df)
+    by_doc = {}
+    for r in cdc.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 3}
+    # the documented empty-doc convention survives: one zero-length chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_len == 0
+
+
+def test_reset_running_total_quarantines_fabricated_cents(spark):
+    from yandex_tracker_exporter_spark.operators.temporal import (
+        reset_running_total,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("ts", StringType(), True),
+            StructField("event_id", LongType(), True),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    clean_rows = [
+        (1, "2024-01-01 10:00:00", 1, 5.0),
+        (1, "2024-01-01 10:10:00", 2, 7.0),
+    ]
+    junk_rows = [
+        (1, "2024-01-01 10:05:00", 3, NAN),  # floor(NaN)=0 fabrication
+        (None, "2024-01-01 10:06:00", 4, 1.0),
+        (1, None, 5, 1.0),
+    ]
+    clean = spark.createDataFrame(clean_rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dirty = spark.createDataFrame(clean_rows + junk_rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = sorted(tuple(r) for r in reset_running_total(clean).collect())
+    got = sorted(tuple(r) for r in reset_running_total(dirty).collect())
+    assert got == want
+
+
+def test_zscore_rejects_fractional_sigmas(spark):
+    from yandex_tracker_exporter_spark.operators.grouped import zscore_outliers
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("event_id", LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame([("a", 1.0, 1)], schema)
+    with pytest.raises(TypeError, match="sigmas"):
+        zscore_outliers(df, sigmas=2.5)
+    with pytest.raises(TypeError, match="sigmas"):
+        zscore_outliers(df, sigmas=True)  # bool is not an int here
+
+
+def test_split_assign_drops_null_keys(spark):
+    from yandex_tracker_exporter_spark.operators.text_analysis import split_assign
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame([(1, 10), (None, 20), (2, 30)], schema)
+    out = split_assign(df, "doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+
+
+def test_source_gini_immune_to_null_source(spark):
+    from yandex_tracker_exporter_spark.operators.text_analysis import source_gini
+
+    schema = StructType(
+        [
+            StructField("source", StringType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    clean_rows = [("s1", "a b c"), ("s2", "a")]
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(
+        clean_rows + [(None, "x y"), ("s3", None)], schema
+    )
+    want = [tuple(r) for r in source_gini(clean).collect()]
+    got = [tuple(r) for r in source_gini(dirty).collect()]
+    assert got == want
+
+
+def test_pareto_frontier_drops_unrankable_rows(spark):
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        pareto_frontier,
+    )
+
+    schema = StructType(
+        [
+            StructField("lang", StringType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    clean_rows = [
+        ("en", 1, 10, "a b c"),
+        ("en", 2, 20, "a b"),  # dominated: more cost, less gain
+    ]
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(
+        clean_rows + [(None, 3, None, None)], schema
+    )
+    want = sorted(tuple(r) for r in pareto_frontier(clean).collect())
+    got = sorted(tuple(r) for r in pareto_frontier(dirty).collect())
+    assert got == want
+    assert [r[1] for r in got] == [1]  # only the frontier doc survives
+
+
+def test_scd2_drops_unanchored_rows(spark):
+    from yandex_tracker_exporter_spark.operators.temporal import scd2_intervals
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("ts", StringType(), True),
+            StructField("event_id", LongType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+    clean_rows = [
+        (1, "2024-01-01 10:00:00", 1, '{"k": 1}'),
+        (1, "2024-01-02 10:00:00", 2, '{"k": 2}'),
+    ]
+    junk_rows = [(None, "2024-01-03 10:00:00", 3, '{"k": 9}'), (1, None, 4, "")]
+    clean = spark.createDataFrame(clean_rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dirty = spark.createDataFrame(clean_rows + junk_rows, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = sorted(tuple(r) for r in scd2_intervals(clean).collect())
+    got = sorted(tuple(r) for r in scd2_intervals(dirty).collect())
+    assert got == want
+
+
+def test_finite_vector_predicate_shapes(spark):
+    from yandex_tracker_exporter_spark.operators.similarity import finite_vector
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("v", ArrayType(DoubleType()), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, []),  # empty passes (forall over empty is true)
+            (3, None),
+            (4, [NAN]),
+            (5, [INF]),
+            (6, [-INF]),
+            (7, [1.0, None]),
+        ],
+        schema,
+    )
+    kept = sorted(
+        r.vec_id for r in df.where(finite_vector(F.col("v"))).collect()
+    )
+    assert kept == [1, 2]
+    assert math.isfinite(1.0)  # keep math import honest

@@ -114,6 +114,57 @@ def test_neardup_plan_has_no_nested_loop(spark, corpus):
     assert "CartesianProduct" not in plan
 
 
+def test_auto_num_planes_operating_points():
+    """planes ≈ log2(n) − 3, clamped to [10, 28] (the floor keeps small
+    corpora on the contract-parity default; the ceiling keeps int32
+    bucket keys exact)."""
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        auto_num_planes,
+    )
+
+    assert auto_num_planes(0) == 10
+    assert auto_num_planes(8_000) == 10  # floor clamp
+    assert auto_num_planes(400_000) == 15  # the round-9 remedy regime
+    assert auto_num_planes(100_000_000) == 23
+    assert auto_num_planes(10**12) == 28  # ceiling clamp
+
+
+def test_neardup_auto_planes_equals_explicit(spark, corpus):
+    """The auto≡explicit twin (VERDICT r9 #1): "auto" must be exactly
+    the same operator as the explicit plane count it resolves to —
+    both when the corpus is counted (26 vectors → floor 10, the
+    contract default) and when the caller supplies n_vectors (400k →
+    15 planes, the measured factor-100 remedy point)."""
+    kw = dict(threshold=0.9, num_bands=4, dim=DIM)
+    counted = sorted(
+        tuple(r)
+        for r in cosine_neardup_pairs(corpus, num_planes="auto", **kw).collect()
+    )
+    explicit10 = sorted(
+        tuple(r)
+        for r in cosine_neardup_pairs(corpus, num_planes=10, **kw).collect()
+    )
+    assert counted == explicit10
+    hinted = sorted(
+        tuple(r)
+        for r in cosine_neardup_pairs(
+            corpus, num_planes="auto", n_vectors=400_000, **kw
+        ).collect()
+    )
+    explicit15 = sorted(
+        tuple(r)
+        for r in cosine_neardup_pairs(corpus, num_planes=15, **kw).collect()
+    )
+    assert hinted == explicit15
+
+
+def test_neardup_rejects_non_int_planes(spark, corpus):
+    """A float (or other junk) plane count fails loudly instead of
+    silently truncating inside the kernel."""
+    with pytest.raises(TypeError, match="num_planes"):
+        cosine_neardup_pairs(corpus, num_planes=10.5, dim=DIM)
+
+
 def test_multiband_families_are_independent(spark, corpus):
     """offset must select a different plane family per band — otherwise
     banding degenerates to one band."""

@@ -401,10 +401,16 @@ def label_centroids(
     # into the explode's inferred filters (measured 3.2 s vs 0.5 s at
     # sf0.1). Exploding the raw array and quantizing with a scalar
     # post-explode expression keeps the math in whole-stage codegen.
+    from .similarity import finite_vector
+
     max_abs = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
-    with_scale = df.select(
+    # same non-finite quarantine as quantize_embeddings (junk_check,
+    # round 10): floor() saturates silently, so a junk NaN vector would
+    # otherwise contribute fabricated all-zero codes to its label's
+    # prototype instead of being excluded
+    with_scale = df.where(finite_vector(F.col(vec_col))).select(
         F.col(label_col).cast("long").alias("label"),
         F.col(vec_col).alias("_v"),
         F.when(max_abs > 0.0, F.lit(127.0) / max_abs)

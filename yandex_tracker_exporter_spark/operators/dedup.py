@@ -1281,8 +1281,12 @@ def cdc_chunks(
 
     Output: id, chunk_idx (1-based), start (1-based char), chunk_len,
     chunk_hash. Empty documents yield one zero-length chunk with the
-    empty-fold hash 0 (the '' → 0 convention everywhere in this repo).
+    empty-fold hash 0 (the '' → 0 convention everywhere in this repo);
+    NULL documents are quarantined (junk_check, round 10 — a NULL has
+    no content to chunk, and the unguarded expression chain fabricated
+    one phantom all-NULL chunk row for it).
     """
+    df = df.where(F.col(content_col).isNotNull())
     base = df.select(
         F.col(id_col),
         _codepoints(F.col(content_col)).alias("_codes"),

@@ -262,6 +262,18 @@ def zscore_outliers(
     over the stream. Int64 headroom: n·x ≈ 2e9 at SF100, squared 4e18
     < 2^63 — noted at the operator boundary.
     """
+    # The exact-decimal predicate below squares `sigmas` into a
+    # decimal(19,0): a fractional sigmas (2.5 → 6.25) would be SILENTLY
+    # rounded to 6, quietly widening the threshold where the old float
+    # multiply was exact. Integer-only is the operator's contract
+    # (exact integer arithmetic is the whole point) — fail loudly.
+    if not isinstance(sigmas, int) or isinstance(sigmas, bool):
+        raise TypeError(
+            f"sigmas must be an int (exact-integer predicate); got "
+            f"{sigmas!r} ({type(sigmas).__name__}). For fractional "
+            "thresholds scale the comparison yourself, e.g. compare "
+            "100*dev^2 against (10*sigmas)^2*var."
+        )
     cents = F.floor(F.col(value_col) * 100).cast("long")
     raw = F.col(value_col).cast("double")
     base = (

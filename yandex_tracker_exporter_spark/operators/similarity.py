@@ -107,6 +107,29 @@ def usable_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.where(_usable_norm(norm(F.col(vec_col))))
 
 
+def finite_vector(vec: Column) -> Column:
+    """Row-level quarantine for the QUANTIZATION/code paths: the vector
+    exists and every element is a finite number (zero vectors and
+    ragged widths are fine here — the scale-0 convention handles them;
+    width rules belong to the fixed-dim consumers like kmeans).
+
+    Why it must exist (junk_check, round 10): Spark's ``floor()`` on a
+    double returns LONG with SILENT saturation — ``floor(NaN) = 0``,
+    ``floor(Infinity) = Long.MAX`` — even under ANSI (only an explicit
+    CAST raises). So an unguarded non-finite element does not crash a
+    quantizer, it FABRICATES codes: a junk NaN vector quantizes to a
+    legitimate-looking all-zero code row and silently joins every
+    downstream centroid/assignment. ``F.forall`` is true on the empty
+    array, so ``[]`` passes (by design)."""
+    x = lambda e: e.cast("double")  # noqa: E731 — local shorthand
+    return vec.isNotNull() & F.forall(
+        vec,
+        lambda e: e.isNotNull()
+        & ~F.isnan(x(e))
+        & (F.abs(x(e)) < F.lit(float("inf"))),
+    )
+
+
 def _usable_norm(n: Column) -> Column:
     """Quarantine predicate for a precomputed vector norm: cosine is
     undefined for zero vectors (ANSI sessions RAISE on the 0/0 —
@@ -534,6 +557,30 @@ def band_key_from_projections(
     return key.cast("int")
 
 
+def auto_num_planes(
+    n_vectors: int, min_planes: int = 10, max_planes: int = 28
+) -> int:
+    """The sign-LSH operating point for a corpus of ``n_vectors``:
+    ``planes ≈ log2(n) − 3``, clamped to ``[min_planes, max_planes]``.
+
+    The bucket space per band is FIXED at ``2^planes``, so random-pair
+    candidate volume is ``≈ n²·bands/2^planes`` — quadratic in ``n``
+    once buckets saturate. Holding ``n/2^planes`` (per-bucket occupancy)
+    at ~8 keeps cost per vector constant as the corpus grows: this is
+    the remedy the round-9 factor-100 harness measured (10 planes:
+    287 s / all 1024 buckets saturated at 400k vectors; 16 planes:
+    18.5 s, 99.999% identical pairs at the same planted recall).
+    The clamp floor keeps small corpora on the contract-parity default;
+    the ceiling keeps the int32 bucket key exact (2^28 « 2^31) —
+    beyond ~2^31 vectors, shard the corpus before LSH.
+    """
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    return max(min_planes, min(max_planes, int(math.log2(n_vectors)) - 3))
+
+
 def _neardup_prep_kernel(num_planes: int, num_bands: int, dim: int):
     """Arrow-vectorized per-vector prep for :func:`cosine_neardup_pairs`:
     norm + one bucket id per band, bit-identical to the expression path
@@ -644,11 +691,12 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 10,
+    num_planes: int | str = 10,
     num_bands: int = 8,
     dim: int = 64,
     max_bucket: int | None = 10_000,
     cap_strategy: str = "window",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via **multi-band** sign-LSH.
 
@@ -672,7 +720,22 @@ def cosine_neardup_pairs(
     corpus (200k vectors) at the 10-plane default saturates all 1024
     buckets/band (~195 occupancy → ~156M scored pairs), while 16 planes
     restores the sparse regime at identical planted recall (see
-    NOTES.md round 9). ``max_bucket`` is the orthogonal HUB rail shared
+    NOTES.md round 9). **Pass ``num_planes="auto"`` to apply that
+    remedy at plan-build time**: the plane count becomes
+    :func:`auto_num_planes` of the corpus size — ``n_vectors`` when the
+    caller already knows it, else one cheap column-pruned ``count()``
+    of the id column (a metadata-cheap scan; at 100 TB it reads parquet
+    row counts, not vectors). The static default stays 10 for contract
+    parity; ``auto`` at harness scale (≤ ~2¹³ vectors) resolves to the
+    same 10, so the twin is byte-equal there by construction.
+    Raising planes lowers per-band collision probability for NEAR
+    pairs too (recall = 1−(1−p^planes)^bands with p = 1−θ/π), so
+    ``auto`` holds occupancy ~8 rather than minimizing it; the
+    operating regime is NEAR-DUPLICATE detection (pair cosine ≳ 0.98,
+    p ≳ 0.94), where recall at 8 bands stays ≳ 97% out to 24 planes.
+    For looser thresholds at large n, raise ``num_bands`` alongside —
+    band count is the recall knob, plane count the candidate-volume
+    knob. ``max_bucket`` is the orthogonal HUB rail shared
     with the text-LSH family (byte-identical vectors land in one bucket
     in EVERY band): bucket groups above the cap drop before the
     self-join (``None`` disables; ``cap_strategy`` as in
@@ -687,6 +750,19 @@ def cosine_neardup_pairs(
     the join prunes file groups.
     """
     from .partitioning import ensure_parallelism
+
+    if num_planes == "auto":
+        # cheap plan-build-time corpus count: column-pruned count()
+        # (parquet answers from row-group metadata, no vector bytes);
+        # callers that already know n pass n_vectors and skip the job
+        n = n_vectors if n_vectors is not None else (
+            embeddings.select(id_col).count()
+        )
+        num_planes = auto_num_planes(n)
+    elif not isinstance(num_planes, int) or isinstance(num_planes, bool):
+        raise TypeError(
+            f'num_planes must be an int or "auto"; got {num_planes!r}'
+        )
 
     prep = _neardup_prep_kernel(num_planes, num_bands, dim)
     e = (
@@ -790,9 +866,18 @@ def quantize_embeddings(
     reproduces the codes bit-for-bit.
 
     Output: id, scale, qvec (array<int> in [-127, 127]).
+
+    Non-finite quarantine (junk_check, round 10): NULL vectors and
+    vectors with a NULL/NaN/Inf element are DROPPED — Spark's
+    ``floor()`` saturates silently (``floor(NaN) = 0``), so without
+    the guard a junk NaN vector quantized to a legitimate-looking
+    all-zero code row (and Inf to ±Long.MAX) instead of failing or
+    vanishing. Empty and ragged vectors keep the scale-0 convention.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), v.alias("_v"))
+    base = df.where(finite_vector(F.col(vec_col))).select(
+        F.col(id_col), v.alias("_v")
+    )
     max_abs = F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
     with_scale = base.select(
         F.col(id_col),

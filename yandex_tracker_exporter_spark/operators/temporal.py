@@ -39,7 +39,15 @@ def scd2_intervals(
     One shuffle: both windows (lag for change detection, lead for the
     interval close) partition by the entity and ride one sort. Epochs
     are floored seconds per the repo timestamp rule.
+
+    Junk guard (junk_check, round 10 — the sessionize ``_timed``
+    posture): a row with a NULL entity or NULL timestamp cannot anchor
+    a validity interval; without the guard one junk row fabricated a
+    NULL-entity history run. Dropped here and in the oracle.
     """
+    events = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
     # ``value_type=None`` keeps the extracted value AS IS — the normal
     # SCD2 attribute is a STRING (a status, a tier), and force-casting
@@ -104,10 +112,23 @@ def reset_running_total(
 
     Values are fixed-pointed to cents (the zscore_outliers convention)
     so the running sums are exact int64.
+
+    Junk guard (junk_check, round 10 — the sessionize ``_timed`` +
+    zscore ``_measurable`` posture): rows missing the entity or the
+    timestamp cannot be sessioned, and a non-finite value would be
+    SILENTLY fabricated into cents by Spark's saturating ``floor()``
+    (``floor(NaN) = 0``) — one junk reading would shift every later
+    running total in its session. All three shapes are dropped.
     """
     epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
     cents = F.floor(F.col(value_col) * 100).cast("long")
     w = Window.partitionBy("entity").orderBy("_ts", "_id")
+    events = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
     base = events.select(
         F.col(user_col).alias("entity"),
         F.col(ts_col).alias("_ts"),

@@ -183,10 +183,16 @@ def chunk_tokens(
     Deterministic: chunk boundaries are pure integer arithmetic over
     the token array, so an oracle can re-derive every chunk exactly.
     Output: id, chunk_idx, n_chunk_tokens, chunk_text.
+
+    NULL-text quarantine (junk_check, round 10): a NULL document has
+    no chunks (engines disagree on what a NULL chunk row even looks
+    like — NULL vs '' chunk_text); an EMPTY document still yields its
+    one empty chunk, per the sizing formula.
     """
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
+    df = df.where(F.col(text_col).isNotNull())
     tokens = _tokens(F.col(text_col))
     n = F.size(tokens)
     n_chunks = F.greatest(
@@ -580,7 +586,16 @@ def split_assign(
 
     Output: the input rows (all columns) + ``split`` ∈
     {train, val, test}.
+
+    NULL-key quarantine (junk_check, round 10): a NULL key cannot be
+    deterministically split — and the two engines' otherwise-identical
+    salted hashes DISAGREE on NULL (Spark's concat/sequence propagate
+    NULL → the otherwise-branch 'test'; a SQL twin's empty character
+    fold gives h=0 → 'train'), so one junk row would silently sit in
+    different splits on different engines. Dropped here and in the
+    oracle (the ab_test NULL-participant posture).
     """
+    df = df.where(F.col(key_col).isNotNull())
     bucket = _sample_bucket(F.col(key_col), 100, salt).cast("long")
     split = (
         F.when(bucket < train_pct, F.lit("train"))
@@ -669,8 +684,19 @@ def pareto_frontier(
     one Exchange + one Sort however large the group. Equal (cost, gain)
     duplicates survive together, matching the NOT-EXISTS semantics the
     oracle states directly.
+
+    Junk guard (junk_check, round 10): a doc with NULL group, cost, or
+    text has no place on a (cost, gain) frontier — and the two
+    formulations disagree on it (NULL comparisons make the NOT-EXISTS
+    dominance VACUOUSLY keep the row while the window's NULL max drops
+    it), so the row is quarantined explicitly in both engines.
     """
     toks = F.size(_tokens(F.col(text_col))).cast("long")
+    df = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(cost_col).isNotNull()
+        & F.col(text_col).isNotNull()
+    )
     base = df.select(
         F.col(group_col),
         F.col(id_col),
@@ -1023,6 +1049,7 @@ def term_cooccurrence_pmi(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 20,
+    materialize_docs: bool = True,
 ) -> DataFrame:
     """Document-level co-occurrence PMI (milli-rational) for the top-k
     corpus terms — the association statistic behind phrase mining and
@@ -1046,15 +1073,19 @@ def term_cooccurrence_pmi(
     Output: term_a < term_b, c_a, c_b, c_ab, n_docs, pmi_milli.
     """
     toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
-    # barrier: the tokenized doc-set relation feeds the frequency agg
-    # AND the per-doc intersect pass — without it every document was
-    # tokenized twice; and `top` (20 rows from a corpus aggregation)
-    # feeds three broadcasts (the array, the c_a side, the c_b side) —
-    # each reference re-ran the corpus explode+agg (5 FileScans in the
-    # contract plan)
-    docs = df.select(F.col(id_col).alias("_rid"), toks.alias("_set")).localCheckpoint(
-        eager=False
-    )
+    # barrier TRADE-OFF: the tokenized doc-set relation feeds the
+    # frequency agg AND the per-doc intersect pass — without the
+    # barrier every document is tokenized twice (two full corpus
+    # scans). But the barrier is a MEMORY_AND_DISK materialization of
+    # the ENTIRE tokenized corpus on executors: fine at bench scale,
+    # a cluster-storage-sized persist at the module's 100 TB target.
+    # `materialize_docs=False` keeps the plan purely streaming
+    # (re-tokenize instead of persist) — at 100 TB, re-reading + two
+    # map-side tokenizations is usually cheaper than spilling the
+    # corpus to executor disks; flip it when input >> cluster memory.
+    docs = df.select(F.col(id_col).alias("_rid"), toks.alias("_set"))
+    if materialize_docs:
+        docs = docs.localCheckpoint(eager=False)
     present = docs.select(F.explode("_set").alias("term"))
     dfreq = present.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     top = (
@@ -1131,10 +1162,20 @@ def source_gini(
     precedent).
 
     Output: one row — n_sources, total_tokens, gini_milli.
+
+    Junk guard (junk_check, round 10): a NULL source is unattributable
+    supply and a NULL text is unmeasurable supply — kept, the NULL
+    group's NULL token sum ranks differently across engines (Spark
+    NULLS FIRST vs SQL NULLS LAST) and one junk row silently moved the
+    gini for the WHOLE corpus. Both dropped; identical WHERE in the
+    oracle.
     """
     from pyspark.sql import Window
 
     toks = F.size(_tokens(F.col(text_col))).cast("long")
+    df = df.where(
+        F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
+    )
     per_src = (
         df.select(F.col(source_col).alias("source"), toks.alias("_t"))
         .groupBy("source")
