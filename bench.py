@@ -157,6 +157,29 @@ def _kill_leftover_jvms() -> list[int]:
     return survivors
 
 
+def _failed_tasks_for_group(sc, group: str) -> int:
+    """Failed-task count for every job submitted under ``group``, read
+    from the status tracker RIGHT AFTER the query runs (the store
+    retains only ~1000 recent stages, so a whole-run sweep at the end
+    would silently lose early queries). VERDICT r9 "What's wrong" #2:
+    the r9 artifact's tail carried an unattributed DAGScheduler stack
+    fragment — a recovered task retry with no owner. This counter makes
+    a retry attributable: per-query counts land in the artifact, so a
+    stack fragment in the tail names its query instead of reading as
+    either noise or silence."""
+    st = sc.statusTracker()
+    n = 0
+    for jid in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(jid)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is not None:
+                n += si.numFailedTasks
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -238,10 +261,15 @@ def main() -> None:
     # pass) was tried and REJECTED: it re-pays the codegen-cold first
     # run in every pass and inflated JIT-heavy queries 2-3×.
     samples: dict[str, list[float]] = {}
+    task_failures: dict[str, int] = {}
     per_pass = max(1, runs - 1)
     for pass_idx in range(passes):
         for name, fn in entry_mod.queries().items():
             rows = 0
+            # job group = (pass, query): every job this query submits —
+            # warm run included — is attributable in the status tracker
+            group = f"bench:p{pass_idx}:{name}"
+            spark.sparkContext.setJobGroup(group, f"bench {name}")
             fn(spark, sf_dir).count()  # un-timed: warm codegen/JIT
             for _ in range(per_pass):
                 start = time.perf_counter()
@@ -249,6 +277,11 @@ def main() -> None:
                 rows = df.count()  # full execution; count avoids driver skew
                 elapsed = time.perf_counter() - start
                 samples.setdefault(name, []).append(elapsed)
+            # read failures NOW, before the tracker evicts these stages
+            nf = _failed_tasks_for_group(spark.sparkContext, group)
+            if nf:
+                task_failures[name] = task_failures.get(name, 0) + nf
+            spark.sparkContext.setJobGroup("", "")
             if pass_idx == passes - 1:
                 print(
                     f"# {name}: {min(samples[name]):.3f}s ({rows} rows)",
@@ -310,6 +343,14 @@ def main() -> None:
         "spread_max": spread_max,
         "minima_trusted": bool(spread_p90 <= 0.25 and spread_max <= 1.0),
     }
+    # task retries (VERDICT r9 #2): expected 0 on a quiet host; nonzero
+    # names the query whose stack fragment may appear in a captured
+    # tail. Streaming queries run their micro-batch jobs on their own
+    # threads (job groups are thread-local), so their retries — if any —
+    # are not attributed here; batch queries are fully covered.
+    out["task_failures"] = sum(task_failures.values())
+    if task_failures:
+        out["task_failures_by_query"] = task_failures
     out["contended"] = bool(leftover)
     out["other_jvms"] = len(leftover)
     # identity of every surviving JVM (pid/ppid/uid/cmdline head) so a
