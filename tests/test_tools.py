@@ -152,6 +152,10 @@ def test_committed_junkcheck_has_no_unexplained_movers():
     art = json.load(open(path))
     assert art["counts"]["UNEXPLAINED"] == 0
     assert art["counts"]["ERROR"] == 0
+    # round 10.5 ratchet: the oracle is replayed on junk for EVERY
+    # oracle-bearing query (neutral ones included) — the SQL spec must
+    # be TOTAL, reproducing the engine on junk input too
+    assert art["counts"].get("NEUTRAL_ORACLE_DIVERGES", 0) == 0
     assert art["n_run"] == len(entry_mod.queries())
     for name, rec in art["queries"].items():
         assert rec["class"] in (
@@ -159,6 +163,10 @@ def test_committed_junkcheck_has_no_unexplained_movers():
             "participates_as_sql",
             "expected_mover_documented",
         ), f"{name}: {rec['class']}"
+        if rec.get("oracle"):
+            assert rec.get("oracle_on_junk") == "match", (
+                f"{name}: oracle_on_junk={rec.get('oracle_on_junk')}"
+            )
 
 
 def test_junk_smoke_rows_match_table_schemas():

@@ -9,7 +9,12 @@ adjudicate the difference against the query's documented expectation:
 * ``junk_neutral`` — the result is hash-identical on both corpora: the
   query's quarantine/filter posture absorbs every junk row. This is the
   expected class for operators with an explicit junk rule (dedup,
-  similarity, funnel, graph, stats, streaming, ...).
+  similarity, funnel, graph, stats, streaming, ...). The oracle is
+  STILL replayed on the junk corpus (round 10.5): a neutral engine
+  whose oracle crashes or diverges on junk means the committed SQL
+  spec is only a clean-corpus spec — that incompleteness is surfaced
+  as ``NEUTRAL_ORACLE_DIVERGES`` (a failure) so every oracle stays a
+  TOTAL spec: same result as the engine on junk input too.
 * ``participates_as_sql`` — the result moves, AND running the query's
   own DuckDB oracle on the SAME junk corpus reproduces the moved result
   exactly (driver protocol: row count + column names + type-aware sorted
@@ -132,6 +137,7 @@ def main() -> int:
         "junk_neutral": 0,
         "participates_as_sql": 0,
         "expected_mover_documented": 0,
+        "NEUTRAL_ORACLE_DIVERGES": 0,
         "UNEXPLAINED": 0,
         "ERROR": 0,
     }
@@ -152,24 +158,30 @@ def main() -> int:
         rec.update(
             clean_rows=cn, junk_rows=jn, clean_md5=ch, junk_md5=jh
         )
+        # the oracle is ALWAYS replayed on the junk corpus when one
+        # exists — the SQL string IS the documented expectation, and it
+        # must be a TOTAL spec (same result as the engine on junk too),
+        # not just a clean-corpus spec
+        oracle_verdict = None
+        if name in oracles:
+            try:
+                res = con.execute(oracles[name])
+                drows = res.fetchall()
+                dcols = [d[0] for d in res.description]
+                ok = sorted(c.lower() for c in dcols) == jc and _norm(
+                    drows, dcols
+                ) == jnorm
+                oracle_verdict = "match" if ok else "mismatch"
+            except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+                oracle_verdict = f"oracle_error: {str(exc)[:200]}"
+        rec["oracle_on_junk"] = oracle_verdict
         if ch == jh:
-            rec["class"] = "junk_neutral"
+            rec["class"] = (
+                "junk_neutral"
+                if oracle_verdict in (None, "match")
+                else "NEUTRAL_ORACLE_DIVERGES"
+            )
         else:
-            # mover: adjudicate via the oracle replayed on the junk
-            # corpus — the SQL string IS the documented expectation
-            oracle_verdict = None
-            if name in oracles:
-                try:
-                    res = con.execute(oracles[name])
-                    drows = res.fetchall()
-                    dcols = [d[0] for d in res.description]
-                    ok = sorted(c.lower() for c in dcols) == jc and _norm(
-                        drows, dcols
-                    ) == jnorm
-                    oracle_verdict = "match" if ok else "mismatch"
-                except Exception as exc:  # noqa: BLE001 — recorded, not fatal
-                    oracle_verdict = f"oracle_error: {str(exc)[:200]}"
-            rec["oracle_on_junk"] = oracle_verdict
             if oracle_verdict == "match":
                 rec["class"] = "participates_as_sql"
             elif name in EXPECTED_MOVERS:
@@ -208,12 +220,17 @@ def main() -> int:
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    bad = counts["UNEXPLAINED"] + counts["ERROR"]
+    bad = (
+        counts["UNEXPLAINED"]
+        + counts["ERROR"]
+        + counts["NEUTRAL_ORACLE_DIVERGES"]
+    )
     print(
         f"wrote {out_path}: {counts['junk_neutral']} neutral, "
         f"{counts['participates_as_sql']} participate-as-SQL, "
         f"{counts['expected_mover_documented']} documented movers, "
-        f"{bad} unexplained/error"
+        f"{counts['NEUTRAL_ORACLE_DIVERGES']} neutral-oracle-diverges, "
+        f"{counts['UNEXPLAINED'] + counts['ERROR']} unexplained/error"
     )
     if not keep:
         shutil.rmtree(dst, ignore_errors=True)
