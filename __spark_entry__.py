@@ -287,7 +287,14 @@ def q_json_extract(spark, sf_dir):
         _t(spark, sf_dir, "events")
         .select(
             F.col("event_id").cast("long"),
-            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+            # try_cast, not cast (junk v2, round 10): a JSON integer
+            # beyond int64 ('99999999999999999999') raised ANSI
+            # CAST_INVALID_INPUT and killed the query — an unparseable
+            # value is junk, not a crash; NULL then fails the filter.
+            # The oracle mirrors with TRY_CAST.
+            F.expr("try_cast(get_json_object(props, '$.k') AS LONG)").alias(
+                "k_value"
+            ),
         )
         .where(F.col("k_value") >= 90)
     )
@@ -1462,11 +1469,19 @@ def q_media_metadata_stats(spark, sf_dir):
         F.col("event_id").cast("long").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("event_id") % 3 + 1).cast("int"),
+            # pmod, not % (junk v2, round 10): Python fixtures use
+            # floor-mod parity, SQL % is trunc — a negative event_id's
+            # trunc remainder (-1) indexed element_at at 0 (which the
+            # literal-array CASE rewrite silently maps to the LAST
+            # element). pmod makes kind/width/duration total and
+            # engine-consistent; floor-mod mirrored in the oracle.
+            (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.lit(None).cast("binary").alias("payload"),
-        ((F.col("user_id") % 1920) + 1).cast("int").alias("width"),
-        ((F.col("event_id") * 37) % 600000).cast("long").alias("duration_ms"),
+        (F.pmod(F.col("user_id"), F.lit(1920)) + 1).cast("int").alias("width"),
+        F.pmod(F.col("event_id") * 37, F.lit(600000)).cast("long").alias(
+            "duration_ms"
+        ),
     )
     return metadata_stats(media).select(
         "kind",
@@ -3725,6 +3740,23 @@ def q_streaming_upsert_state(spark, sf_dir):
         F.col("event_id").isNotNull()
         & (F.col("value").isNull() | ~F.isnan("value"))
     )
+    # Ingest-side key dedup (junk v2, round 10): the pipeline's
+    # determinism argument ("latest-wins resolves on updated_seq")
+    # assumes UNIQUE source keys per seq — two seq-0 rows with the same
+    # event_id fall through to the sink's file-order tiebreak, which
+    # depends on micro-batch slicing. Enforce uniqueness at ingest with
+    # an explicit total order (ts, type, value descending — arbitrary
+    # but deterministic and mirrored in the oracle).
+    _w_dup = Window.partitionBy("event_id").orderBy(
+        F.col("ts").desc_nulls_last(),
+        F.col("event_type").desc_nulls_last(),
+        F.col("value").desc_nulls_last(),
+    )
+    ev = (
+        ev.withColumn("_dup_rn", F.row_number().over(_w_dup))
+        .where(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
     # Per-INVOCATION workdir (pid + monotonic counter): two concurrent
     # runs on the same sf_dir (bench + manifest sweep, pytest-xdist)
     # must never share staging/checkpoint dirs, and a later invocation
@@ -4297,9 +4329,11 @@ _ORACLES: dict[str, str] = {
     """,
     "json_value_extract": """
         SELECT event_id::BIGINT AS event_id,
-               json_extract_string(nullif(props, ''), '$.k')::BIGINT AS k_value
+               TRY_CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)
+                        AS BIGINT) AS k_value
         FROM events
-        WHERE json_extract_string(nullif(props, ''), '$.k')::BIGINT >= 90
+        WHERE TRY_CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)
+                       AS BIGINT) >= 90
     """,
     "exact_dedup": """
         SELECT md5(text) AS content_md5,
@@ -4485,7 +4519,7 @@ _ORACLES: dict[str, str] = {
                    ((ascii(substr(text, i, 1)) * 131) % 65536 - 32768)::BIGINT
                        AS s
             FROM documents, unnest(range(1, len(text) + 1)) AS t(i)
-            WHERE doc_id % 2 = 0
+            WHERE ((doc_id % 2) + 2) % 2 = 0
         )
         SELECT doc_id::BIGINT AS media_id,
                CAST(floor((i - 1) / 256.0) AS BIGINT) AS frame_idx,
@@ -4578,15 +4612,15 @@ _ORACLES: dict[str, str] = {
             WHERE len(text) > 0
         )
         SELECT doc_id::BIGINT AS media_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS format,
-               (CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 4 END)::BIGINT AS width,
-               (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE NULL END)::BIGINT
+               CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 'wav' ELSE 'ppm' END AS format,
+               (CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN NULL ELSE 4 END)::BIGINT AS width,
+               (CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 8000 ELSE NULL END)::BIGINT
                    AS sample_rate,
-               (CASE WHEN doc_id % 2 = 0 THEN n ELSE 48 END)::BIGINT
+               (CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN n ELSE 48 END)::BIGINT
                    AS n_elements,
-               (CASE WHEN doc_id % 2 = 0 THEN (n * 1000) // 8000 ELSE NULL END)::BIGINT
+               (CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN (n * 1000) // 8000 ELSE NULL END)::BIGINT
                    AS duration_ms,
-               CASE WHEN doc_id % 2 = 0 THEN
+               CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN
                    list_reduce(list_prepend(0::BIGINT,
                        list_transform(range(1, n + 1),
                            i -> (ascii(substr(text, i, 1))::BIGINT * 131) % 65536
@@ -4603,9 +4637,11 @@ _ORACLES: dict[str, str] = {
     """,
     "media_metadata_stats": """
         WITH media AS (
-            SELECT ['image', 'audio', 'video'][(event_id % 3)::INT + 1] AS kind,
-                   ((user_id % 1920) + 1)::BIGINT AS width,
-                   ((event_id * 37) % 600000)::BIGINT AS duration_ms
+            SELECT ['image', 'audio', 'video']
+                       [(((event_id % 3) + 3) % 3)::INT + 1] AS kind,
+                   ((((user_id % 1920) + 1920) % 1920) + 1)::BIGINT AS width,
+                   (((event_id * 37) % 600000 + 600000) % 600000)::BIGINT
+                       AS duration_ms
             FROM events WHERE event_id IS NOT NULL
         )
         SELECT kind,
@@ -6596,7 +6632,8 @@ _ORACLES["scd2_intervals"] = """
     WITH b AS (
         SELECT user_id AS entity,
                floor(epoch(ts))::BIGINT AS ep, ts, event_id,
-               json_extract_string(props, '$.k')::BIGINT AS value
+               TRY_CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)
+                        AS BIGINT) AS value
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), m AS (
@@ -6921,7 +6958,7 @@ _ORACLES["mom_revenue"] = """
 def _build_zorder_sql() -> str:
     from yandex_tracker_exporter_spark.operators.partitioning import zorder_sql
 
-    zk = zorder_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    zk = zorder_sql("l_partkey", "l_suppkey")
     return f"""
     WITH k AS (
         SELECT {zk} AS zkey, l_partkey, l_suppkey FROM lineitem
@@ -6965,7 +7002,7 @@ _ORACLES["dedup_pipeline_report"] = f"""
 def _build_pruning_simulation_sql(lo: int = 100, hi: int = 120, rpf: int = 4096) -> str:
     from yandex_tracker_exporter_spark.operators.partitioning import zorder_sql
 
-    zk = zorder_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    zk = zorder_sql("l_partkey", "l_suppkey")
     parts = []
     for ordering, order_by in (
         ("natural", "l_orderkey, l_linenumber, l_partkey, l_suppkey"),
@@ -7410,7 +7447,8 @@ _ORACLES["pit_enrich"] = """
     WITH sg AS (
         SELECT user_id AS entity, ts, event_id,
                floor(epoch(ts))::BIGINT AS ep,
-               json_extract_string(props, '$.k')::BIGINT AS value
+               TRY_CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)
+                        AS BIGINT) AS value
         FROM events WHERE event_type = 'signup'
     ), m AS (
         SELECT entity, ep, value,
@@ -7468,7 +7506,7 @@ _ORACLES["media_image_histogram"] = """
                 % 256) // 32 AS bucket,
                j % 3 AS channel
         FROM documents, unnest(range(0, 48)) AS t(j)
-        WHERE doc_id % 2 = 1 AND len(text) > 0
+        WHERE ((doc_id % 2) + 2) % 2 = 1 AND len(text) > 0
     )
     SELECT channel::BIGINT AS channel, bucket::BIGINT AS bucket,
            count(*)::BIGINT AS n_pixels
@@ -7550,7 +7588,8 @@ _ORACLES["state_dwell_time"] = """
     WITH b AS (
         SELECT user_id AS entity, ts, event_id,
                floor(epoch(ts))::BIGINT AS ep,
-               json_extract_string(nullif(props, ''), '$.k')::BIGINT AS value
+               TRY_CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END)
+                        AS BIGINT) AS value
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), m AS (
@@ -7694,12 +7733,22 @@ _ORACLES["cluster_balance"] = _build_cluster_balance_sql()
 # re-priced at 2x" — if any micro-batch were dropped, doubled, or the
 # checkpointed offsets replayed, counts or cents would diverge.
 _ORACLES["streaming_upsert_state"] = """
-    WITH final AS (
+    WITH dedup AS (
+        SELECT event_id, event_type, value FROM (
+            SELECT event_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_id
+                       ORDER BY ts DESC NULLS LAST,
+                                event_type DESC NULLS LAST,
+                                value DESC NULLS LAST) AS rn
+            FROM events
+            WHERE event_id IS NOT NULL AND (value IS NULL OR NOT isnan(value))
+        ) WHERE rn = 1
+    ), final AS (
         SELECT event_id, event_type,
                CASE WHEN event_type = 'purchase' THEN value * 2
                     ELSE value END AS value
-        FROM events
-        WHERE event_id IS NOT NULL AND (value IS NULL OR NOT isnan(value))
+        FROM dedup
     )
     SELECT event_type, count(*)::BIGINT AS n_events,
            sum(floor(value * 100)::BIGINT)::BIGINT AS value_cents

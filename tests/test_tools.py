@@ -177,6 +177,7 @@ def test_junk_smoke_rows_match_table_schemas():
 
     js = _load("junk_smoke")
     con = duckdb.connect()
+    v2 = js._junk_rows_v2()
     for t in js.TABLES:
         cols = con.execute(
             "DESCRIBE SELECT * FROM read_parquet("
@@ -184,7 +185,14 @@ def test_junk_smoke_rows_match_table_schemas():
         ).fetchall()
         if t == "embeddings":
             continue  # vector junk built in-code against the live schema
-        for row in js.JUNK_ROWS[t]:
+        for row in js.JUNK_ROWS[t] + v2[t]:
             assert len(row) == len(cols), (t, row)
     # every non-dimension table carries at least one junk row
     assert set(js.JUNK_ROWS) == set(js.TABLES) - {"embeddings"}
+    # the second wave covers every fact table with at least one
+    # negative-id row (the trunc-% / floor-% divergence class)
+    for t in ("customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents"):
+        assert any(
+            isinstance(r[0], int) and r[0] < 0 for r in v2[t]
+        ), f"{t} lacks a negative-id junk row"

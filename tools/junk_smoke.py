@@ -89,6 +89,55 @@ JUNK_ROWS: dict[str, list[tuple]] = {
     # NaN element, Inf element, zero vector.
 }
 
+#: round-10 second wave — shapes the NULL/NaN wave cannot represent:
+#: NEGATIVE ids (trunc-% goes negative: element_at(arr, 0) raises under
+#: ANSI; salted hashes must agree on sign), DUPLICATE primary keys
+#: (latest-wins and grouping semantics), non-ASCII text (codepoint
+#: folds must agree beyond ASCII), out-of-band timestamps (epoch
+#: arithmetic, densification spans), malformed and int64-OVERFLOWING
+#: JSON (ANSI CAST of '99999999999999999999' raises), and -0.0.
+#: Timestamps are datetime objects (the column is a real TIMESTAMP).
+def _junk_rows_v2() -> dict[str, list[tuple]]:
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    uni = "héllo wörld 🎉 ñaïve café héllo wörld"
+    return {
+        "region": [],
+        "nation": [],
+        "customer": [(-9800001, "Customer#negative", -2, -50.25, "AUTOMOBILE")],
+        "supplier": [(-9800001, "Supplier#negative", -2, -10.5)],
+        "part": [(-9800001, "negative part", "Brand#00", "TYPE X", -1, 1.99)],
+        "orders": [
+            (-98000001, -5, "O", 123.45, t("1996-03-15 00:00:00"), "3-MEDIUM"),
+        ],
+        "lineitem": [
+            (
+                -98000001, -5, -3, -1, 2.0, 150.0, 0.05, 0.02,
+                "N", "O", t("1995-06-10 00:00:00"),
+            ),
+        ],
+        "events": [
+            (-98000001, t("2024-01-10 08:00:00"), -7, "view", 3.5, '{"k": 2}'),
+            (98000002, t("2023-12-01 00:30:00"), 98000002, "click", 1.25, "{bad json"),
+            (
+                98000003, t("2024-02-15 09:00:00"), 98000003, "signup",
+                2.5, '{"k": 99999999999999999999}',
+            ),
+            (
+                98000004, t("2024-01-20 10:00:00"), 98000004, "view",
+                -0.0, '{"k": "notanint"}',
+            ),
+            # duplicate primary key, two different payloads
+            (98000005, t("2024-01-21 10:00:00"), 98000005, "view", 1.0, '{"k": 3}'),
+            (98000005, t("2024-01-21 11:00:00"), 98000005, "purchase", 2.0, '{"k": 4}'),
+        ],
+        "documents": [
+            (-98000001, "negative id doc with several plain words", "en", "web", 40),
+            (98000002, uni, "xx", "web", len(uni)),
+        ],
+    }
+
 
 def build_junk_corpus(spark, src_dir: str, dst_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -115,9 +164,16 @@ def build_junk_corpus(spark, src_dir: str, dst_dir: str) -> None:
                 (99000004, [NAN] * dim, 0),
                 (99000005, [float("inf")] * dim, 0),
                 (99000006, [0.0] * dim, 0),
+                # wave 2: negative id; finite-huge elements whose
+                # norm-of-squares overflows to Inf (quarantine must
+                # catch the OVERFLOWING fold, not just Inf elements);
+                # denormal elements
+                (-98000001, [0.25] * dim, -1),
+                (98000007, [1e200] * dim, 3),
+                (98000008, [5e-324] * dim, 2),
             ]
         else:
-            junk = JUNK_ROWS[t]
+            junk = JUNK_ROWS[t] + _junk_rows_v2()[t]
         junk_df = spark.createDataFrame(junk, schema)
         out = df.unionByName(junk_df)
         # single file per table, same layout as the harness

@@ -119,11 +119,18 @@ def zorder_key(
 
     Pure integer shift/mask expression (whole-stage codegen, and
     reproducible in any engine as the same 2·bits-term sum).
+
+    Dimensions are taken FLOOR-mod ``2^bits`` (junk v2, round 10): a
+    negative key under the old trunc-`%` stayed negative and the
+    arithmetic right shift sign-extended it into a garbage Morton key —
+    worse, Spark and SQL engines disagree on negative shifts, so the
+    same junk row produced two DIFFERENT garbage keys. pmod wraps
+    negatives into the ring identically everywhere.
     """
     from pyspark.sql import functions as F
 
-    xm = x % (1 << bits)
-    ym = y % (1 << bits)
+    xm = F.pmod(x, F.lit(1 << bits))
+    ym = F.pmod(y, F.lit(1 << bits))
     key = F.lit(0).cast("long")
     for j in range(bits):
         key = (
@@ -135,9 +142,14 @@ def zorder_key(
 
 
 def zorder_sql(x: str, y: str, bits: int = 16) -> str:
-    """The DuckDB-side twin of :func:`zorder_key` (same term order)."""
+    """The DuckDB-side twin of :func:`zorder_key` (same term order).
+    Callers pass the RAW dimension expressions; the floor-mod ring map
+    is applied here so it always matches the operator."""
+    m = 1 << bits
+    xm = f"((({x}) % {m} + {m}) % {m})"
+    ym = f"((({y}) % {m} + {m}) % {m})"
     terms = []
     for j in range(bits):
-        terms.append(f"((({x} >> {j}) & 1)::BIGINT << {2 * j})")
-        terms.append(f"((({y} >> {j}) & 1)::BIGINT << {2 * j + 1})")
+        terms.append(f"((({xm} >> {j}) & 1)::BIGINT << {2 * j})")
+        terms.append(f"((({ym} >> {j}) & 1)::BIGINT << {2 * j + 1})")
     return "(" + " + ".join(terms) + ")"

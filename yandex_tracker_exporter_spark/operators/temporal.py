@@ -54,9 +54,16 @@ def scd2_intervals(
     # it to long would raise under ANSI or, worse, null every value and
     # collapse all history into one run. The default "long" preserves
     # the harness contract (the fixture's $.k is numeric).
-    val = F.expr(value_expr)
-    if value_type is not None:
-        val = val.cast(value_type)
+    # try_cast, not cast (junk v2, round 10): a JSON value beyond the
+    # target type's range ('99999999999999999999' as LONG) raised ANSI
+    # CAST_INVALID_INPUT and killed the whole history build — an
+    # unparseable attribute is a NULL value (one more state in the
+    # run-length encoding), not a crash. Oracles mirror with TRY_CAST.
+    val = F.expr(
+        f"try_cast(({value_expr}) AS {value_type})"
+        if value_type is not None
+        else value_expr
+    )
     w1 = Window.partitionBy("entity").orderBy("_ts", "_id")
     marked = events.select(
         F.col(user_col).alias("entity"),
