@@ -143,6 +143,13 @@ def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
+    # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3): a finite 1e308 price RAISES in the ANSI
+    # decimal cast — one corrupted reading killed the flagship Q1 job.
+    # Identical WHERE in the oracle; no-op on the clean corpus.
+    for _m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        li = li.where(
+            F.col(_m).isNotNull() & ~F.isnan(_m) & (F.abs(_m) < F.lit(1e15))
+        )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -191,6 +198,12 @@ def q_region_revenue(spark, sf_dir):
 def q_top_customers(spark, sf_dir):
     """O-S sorts/limits: top-10 customers by revenue, deterministic ties."""
     orders = _t(spark, sf_dir, "orders")
+    # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+    orders = orders.where(
+        F.col("o_totalprice").isNotNull()
+        & ~F.isnan("o_totalprice")
+        & (F.abs("o_totalprice") < F.lit(1e15))
+    )
     customer = _t(spark, sf_dir, "customer")
     rev = (
         orders.groupBy("o_custkey")
@@ -238,7 +251,11 @@ def q_human_time(spark, sf_dir):
     # poison its type's decimal sum (and DuckDB raises where Spark
     # null-saturates); a NULL value row is a duration-less event.
     # Identical WHERE in the oracle.
-    events = events.where(F.col("value").isNotNull() & ~F.isnan("value"))
+    events = events.where(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+    )
     agg = events.groupBy("event_type").agg(
         F.floor(F.sum(F.col("value").cast("decimal(18,2)"))).cast("long").alias(
             "total_s"
@@ -615,13 +632,15 @@ def _rollup_guard(orders):
         & F.col("o_orderpriority").isNotNull()
         & F.col("o_totalprice").isNotNull()
         & ~F.isnan("o_totalprice")
+        & (F.abs("o_totalprice") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
 
 
 #: the oracle-side twin of _rollup_guard
 _DD_ROLLUP_GUARD = (
     "o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL "
-    "AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)"
+    "AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice) "
+    "AND abs(o_totalprice) < 1e15"
 )
 
 
@@ -671,6 +690,12 @@ def q_distinct_agg(spark, sf_dir):
 def q_supplier_balance(spark, sf_dir):
     """Supplier dimension join + exact decimal aggregation."""
     supplier = _t(spark, sf_dir, "supplier")
+    # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+    supplier = supplier.where(
+        F.col("s_acctbal").isNotNull()
+        & ~F.isnan("s_acctbal")
+        & (F.abs("s_acctbal") < F.lit(1e15))
+    )
     nation = _t(spark, sf_dir, "nation")
     return (
         supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1198,7 +1223,14 @@ def q_histogram_quantiles(spark, sf_dir):
     # query. min/max already skip nulls; NaN must be skipped explicitly
     # (the operator itself NaN-filters its counting pass).
     _v = F.col("value").cast("double")
-    lo, hi = events.where(~F.isnan(_v)).agg(F.min(_v), F.max(_v)).collect()[0]
+    # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3) on the DOMAIN: one 1e308 reading made hi=1e308
+    # and collapsed every real value into bucket 0 — a garbage (but
+    # non-crashing) histogram
+    lo, hi = (
+        events.where(~F.isnan(_v) & (F.abs(_v) < F.lit(1e15)))
+        .agg(F.min(_v), F.max(_v))
+        .collect()[0]
+    )
     out = histogram_quantiles(
         events, "value", "event_type", lo=lo, hi=hi,
         quantiles=(0.5, 0.95, 0.99), num_buckets=HISTOGRAM_BUCKETS,
@@ -1292,9 +1324,16 @@ def q_windowed_counts(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
+            # rail as when-NULL, not a row filter: the row still COUNTS
+            # (n_events is all timed rows) but an unmeasurable value
+            # contributes NULL to the sum instead of raising in the
+            # ANSI decimal cast. Oracle mirrors with the same CASE.
+            F.sum(
+                F.when(
+                    ~F.isnan("value") & (F.abs("value") < F.lit(1e15)),
+                    F.col("value"),
+                ).cast("decimal(18,2)")
+            ).cast("double").alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("win.start")).cast("long").alias("window_epoch"),
@@ -1805,6 +1844,7 @@ def q_moving_avg_daily(spark, sf_dir):
         F.col("o_orderdate").isNotNull()
         & F.col("o_totalprice").isNotNull()
         & ~F.isnan("o_totalprice")
+        & (F.abs("o_totalprice") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
     daily = orders.groupBy(
         F.datediff(
@@ -2292,6 +2332,7 @@ def q_cheapest_supplier(spark, sf_dir):
         F.col("l_partkey").isNotNull()
         & F.col("l_extendedprice").isNotNull()
         & ~F.isnan("l_extendedprice")
+        & (F.abs("l_extendedprice") < F.lit(1e15))
     ).select(
         "l_partkey",
         "l_suppkey",
@@ -3414,7 +3455,9 @@ def q_robust_stats(spark, sf_dir):
     # median; a NULL value row inflated n the same way the zscore
     # moments bug did. Identical WHERE in the oracle.
     base = ev.where(
-        F.col("value").isNotNull() & ~F.isnan("value")
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     ).select(F.col("event_type").alias("segment"), cents.alias("_c"))
     med = base.groupBy("segment").agg(
         F.percentile(F.col("_c"), F.lit(0.5)).alias("median_cents"),
@@ -3628,7 +3671,11 @@ def q_heatmap_hour_value(spark, sf_dir):
     # band 0 (floor(NaN) = 0) while plain SQL puts it at band 9 (NaN
     # sorts above 9 in least()) — and a NULL value likewise bands
     # nowhere. Identical WHERE in the oracle.
-    ev = ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+    ev = ev.where(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+    )
     hour = F.hour("ts").cast("long")
     band = F.least(
         F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
@@ -3646,6 +3693,13 @@ def q_twap(spark, sf_dir):
     at the end in milli. Open tails carry no duration (excluded, not
     guessed)."""
     ev = _t(spark, sf_dir, "events")
+    # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3): floor(1e308*100) silently saturates to
+    # Long.MAX cents, whose duration-weighted products overflow int64
+    ev = ev.where(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(1e15))
+    )
     epoch = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
     cents = F.floor(F.col("value") * 100).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3738,7 +3792,10 @@ def q_streaming_upsert_state(spark, sf_dir):
     # oracle's SQL. Identical WHERE in the oracle.
     ev = ev.where(
         F.col("event_id").isNotNull()
-        & (F.col("value").isNull() | ~F.isnan("value"))
+        & (
+            F.col("value").isNull()
+            | (~F.isnan("value") & (F.abs("value") < F.lit(1e15)))
+        )  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
     # Ingest-side key dedup (junk v2, round 10): the pipeline's
     # determinism argument ("latest-wins resolves on updated_seq")
@@ -4255,6 +4312,13 @@ _ORACLES: dict[str, str] = {
                count(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+          AND abs(l_quantity) < 1e15
+          AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND abs(l_extendedprice) < 1e15
+          AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+          AND abs(l_discount) < 1e15
+          AND l_tax IS NOT NULL AND NOT isnan(l_tax) AND abs(l_tax) < 1e15
         GROUP BY l_returnflag, l_linestatus
     """,
     "region_revenue": """
@@ -4271,10 +4335,12 @@ _ORACLES: dict[str, str] = {
         SELECT c_custkey::BIGINT AS c_custkey, c_name, revenue
         FROM (
             SELECT o_custkey,
-                   CAST(sum(CAST(CASE WHEN isnan(o_totalprice) THEN NULL
-                                      ELSE o_totalprice END
-                                 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-            FROM orders GROUP BY o_custkey
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+              AND abs(o_totalprice) < 1e15
+            GROUP BY o_custkey
         ) r JOIN customer ON r.o_custkey = c_custkey
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 10
@@ -4294,7 +4360,7 @@ _ORACLES: dict[str, str] = {
         WITH agg AS (
             SELECT event_type,
                    CAST(floor(sum(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS total_s
-            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
             GROUP BY event_type
         )
         SELECT event_type, total_s, {_dd_human_time('total_s', 2)} AS human_duration
@@ -4504,7 +4570,7 @@ _ORACLES: dict[str, str] = {
                    count(*)::BIGINT AS n_orders
             FROM orders
             WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
-              AND NOT isnan(o_totalprice)
+              AND NOT isnan(o_totalprice) AND abs(o_totalprice) < 1e15
             GROUP BY 1
         )
         SELECT day_num, CAST(rev_d AS DOUBLE) AS revenue, n_orders,
@@ -4785,6 +4851,8 @@ _ORACLES: dict[str, str] = {
                count(*)::BIGINT AS n_suppliers
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal IS NOT NULL AND NOT isnan(s_acctbal)
+          AND abs(s_acctbal) < 1e15
         GROUP BY n_name
     """,
     "range_join": """
@@ -4855,7 +4923,8 @@ _ORACLES: dict[str, str] = {
         SELECT ((floor(epoch(ts))::BIGINT // 3600) * 3600)::BIGINT AS window_epoch,
                event_type,
                count(*)::BIGINT AS n_events,
-               CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+               CAST(sum(CAST(CASE WHEN isnan(value) OR abs(value) >= 1e15
+                                  THEN NULL ELSE value END
                              AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2
@@ -5508,14 +5577,14 @@ _ORACLES["histogram_quantiles"] = f"""
         SELECT min(value::DOUBLE) AS lo,
                ((max(value::DOUBLE) - min(value::DOUBLE)) / {HISTOGRAM_BUCKETS})
                    AS width
-        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), bucketed AS (
         SELECT event_type,
                least({HISTOGRAM_BUCKETS - 1}, greatest(0,
                    floor((value::DOUBLE - dom.lo) / dom.width)))::BIGINT
                    AS bucket
         FROM events, dom
-        WHERE value IS NOT NULL AND NOT isnan(value)
+        WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), counts AS (
         SELECT event_type, bucket, count(*)::BIGINT AS n
         FROM bucketed GROUP BY event_type, bucket
@@ -6190,7 +6259,7 @@ _ORACLES["ohlc_hourly"] = """
         SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch,
                value AS v, ts, event_id
         FROM events
-        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), r AS (
         SELECT hour_epoch, v,
                row_number() OVER (PARTITION BY hour_epoch
@@ -6229,7 +6298,7 @@ _ORACLES["zscore_outliers"] = """
     WITH b AS (
         SELECT event_type AS segment, event_id,
                floor(value * 100)::BIGINT AS cents
-        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), m AS (
         SELECT segment, count(*)::BIGINT AS n_seg,
                sum(cents)::BIGINT AS s_seg,
@@ -6282,6 +6351,7 @@ _ORACLES["cheapest_supplier"] = """
         FROM lineitem
         WHERE l_partkey IS NOT NULL
           AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND abs(l_extendedprice) < 1e15
     ), r AS (
         SELECT *, row_number() OVER (
                    PARTITION BY l_partkey
@@ -6694,7 +6764,7 @@ _ORACLES["reset_running_total"] = """
                floor(value * 100)::BIGINT AS cents
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
-          AND value IS NOT NULL AND NOT isnan(value)
+          AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), f AS (
         SELECT entity, ts, event_id, ep, cents,
                CASE WHEN lag(ep) OVER w IS NULL
@@ -6748,7 +6818,7 @@ def _build_ewma_sql(alpha_milli: int = 300) -> str:
                sum(floor(value * 100)::BIGINT)::BIGINT AS s,
                count(*)::BIGINT AS n
         FROM events
-        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
         GROUP BY event_type, day_epoch
     ), dm AS (
         SELECT event_type, day_epoch, s::DOUBLE / n::DOUBLE AS day_mean,
@@ -6787,7 +6857,7 @@ _ORACLES["value_histogram"] = """
     SELECT event_type,
            least(greatest(floor(value / 5.0), 0), 19)::BIGINT AS bin,
            count(*)::BIGINT AS n_events
-    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     GROUP BY event_type, bin
 """
 
@@ -7185,7 +7255,7 @@ _ORACLES["weekday_seasonality"] = """
         SELECT event_type, isodow(ts)::BIGINT AS dow,
                floor(value * 100)::BIGINT AS c
         FROM events
-        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), pd AS (
         SELECT event_type, dow, sum(c)::BIGINT AS ds,
                count(*)::BIGINT AS n_events
@@ -7229,7 +7299,10 @@ _ORACLES["rolling_corr_7d"] = """
                event_type,
                ((sum(floor(value * 100)::BIGINT)::BIGINT * 1000)
                 // count(*))::BIGINT AS mean_milli
-        FROM events WHERE event_type IN ('view', 'click')
+        FROM events
+        WHERE event_type IN ('view', 'click')
+          AND ts IS NOT NULL
+          AND value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
         GROUP BY day_epoch, event_type
     ), p AS (
         SELECT a.day_epoch, a.mean_milli AS x, b.mean_milli AS y
@@ -7538,7 +7611,7 @@ _ORACLES["media_png_histogram"] = """
 _ORACLES["robust_stats"] = """
     WITH b AS (
         SELECT event_type AS segment, floor(value * 100)::BIGINT AS c
-        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     ), med AS (
         SELECT segment, quantile_cont(c, 0.5) AS median_cents,
                count(*)::BIGINT AS n
@@ -7679,7 +7752,7 @@ _ORACLES["heatmap_hour_value"] = """
     SELECT hour(ts)::BIGINT AS hour,
            least(greatest(floor(value / 10.0), 0), 9)::BIGINT AS value_band,
            count(*)::BIGINT AS n_events
-    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
     GROUP BY hour, value_band
 """
 
@@ -7695,6 +7768,7 @@ _ORACLES["twap_by_type"] = """
                lead(floor(epoch(ts))::BIGINT) OVER w
                    - floor(epoch(ts))::BIGINT AS dt
         FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e15
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_type,
@@ -7742,7 +7816,9 @@ _ORACLES["streaming_upsert_state"] = """
                                 event_type DESC NULLS LAST,
                                 value DESC NULLS LAST) AS rn
             FROM events
-            WHERE event_id IS NOT NULL AND (value IS NULL OR NOT isnan(value))
+            WHERE event_id IS NOT NULL
+              AND (value IS NULL
+                   OR (NOT isnan(value) AND abs(value) < 1e15))
         ) WHERE rn = 1
     ), final AS (
         SELECT event_id, event_type,

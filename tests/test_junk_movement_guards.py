@@ -148,6 +148,65 @@ def test_reset_running_total_quarantines_fabricated_cents(spark):
     assert got == want
 
 
+def test_measurable_max_rail_blocks_extreme_magnitudes(spark):
+    """Junk wave 3: a FINITE 1e308 reading is as corrupting as NaN —
+    CAST(1e308 AS DECIMAL(18,2)) raises under ANSI (one junk row kills
+    a decimal-sum job) and floor(1e308*100) silently saturates to
+    Long.MAX (fabricated cents that overflow int64 sums). The shared
+    _measurable guard and its per-query twins bound |value| < 1e15."""
+    from yandex_tracker_exporter_spark.operators.funnel import (
+        MEASURABLE_MAX,
+        _measurable,
+    )
+
+    assert MEASURABLE_MAX == 1e15
+    schema = StructType(
+        [
+            StructField("value", DoubleType(), True),
+            StructField("tag", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1.0, "ok"),
+            (1e308, "huge"),
+            (-1e20, "neg_huge"),
+            (999_999_999_999_999.0, "just_under"),
+            (NAN, "nan"),
+            (None, "null"),
+        ],
+        schema,
+    )
+    kept = sorted(r.tag for r in _measurable(df, "value").collect())
+    assert kept == ["just_under", "ok"]
+
+
+def test_zscore_magnitude_rail(spark):
+    """Direct pin on the fabrication path: without the rail, a 1e308
+    reading becomes Long.MAX cents whose squared moments overflow-crash
+    the whole segment under ANSI."""
+    from pyspark.sql.types import StringType as _S
+
+    from yandex_tracker_exporter_spark.operators.grouped import zscore_outliers
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("event_id", LongType(), True),
+        ]
+    )
+    clean_rows = [("a", float(v), i) for i, v in enumerate([1, 2, 3, 100])]
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(
+        clean_rows + [("a", 1e308, 99), ("a", -1e20, 98)], schema
+    )
+    want = sorted(tuple(r) for r in zscore_outliers(clean).collect())
+    got = sorted(tuple(r) for r in zscore_outliers(dirty).collect())
+    assert got == want  # completes AND ignores the junk readings
+    assert _S is not None
+
+
 def test_zscore_rejects_fractional_sigmas(spark):
     from yandex_tracker_exporter_spark.operators.grouped import zscore_outliers
 

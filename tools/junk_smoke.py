@@ -105,19 +105,39 @@ def _junk_rows_v2() -> dict[str, list[tuple]]:
     return {
         "region": [],
         "nation": [],
-        "customer": [(-9800001, "Customer#negative", -2, -50.25, "AUTOMOBILE")],
-        "supplier": [(-9800001, "Supplier#negative", -2, -10.5)],
+        "customer": [
+            (-9800001, "Customer#negative", -2, -50.25, "AUTOMOBILE"),
+            (9800010, "Customer#huge", 3, 1e308, "BUILDING"),  # wave 3
+        ],
+        "supplier": [
+            (-9800001, "Supplier#negative", -2, -10.5),
+            (9800010, "Supplier#huge", 3, -1e308),  # wave 3
+        ],
         "part": [(-9800001, "negative part", "Brand#00", "TYPE X", -1, 1.99)],
         "orders": [
             (-98000001, -5, "O", 123.45, t("1996-03-15 00:00:00"), "3-MEDIUM"),
+            # wave 3: extreme price (custkey matches no customer, so
+            # join queries stay neutral; group-first queries must rail)
+            (98000010, 98000010, "F", 1e308, t("1996-06-01 00:00:00"), "1-URGENT"),
         ],
         "lineitem": [
             (
                 -98000001, -5, -3, -1, 2.0, 150.0, 0.05, 0.02,
                 "N", "O", t("1995-06-10 00:00:00"),
             ),
+            # wave 3: extreme price landing in REAL (returnflag,
+            # linestatus) groups — the TPC-H Q1 decimal sums must rail
+            (
+                98000010, 98000010, 98000010, 1, 1.0, 1e308, 0.0, 0.0,
+                "N", "O", t("1995-07-01 00:00:00"),
+            ),
         ],
         "events": [
+            # wave 3: finite-but-extreme magnitudes — CAST(1e308 AS
+            # DECIMAL) raises under ANSI, floor(1e308*100) silently
+            # saturates to Long.MAX (then int64 sums overflow-crash)
+            (98000010, t("2024-01-12 12:00:00"), 98000010, "view", 1e308, '{"k": 5}'),
+            (98000011, t("2024-01-13 13:00:00"), 98000011, "purchase", -1e20, '{"k": 6}'),
             (-98000001, t("2024-01-10 08:00:00"), -7, "view", 3.5, '{"k": 2}'),
             (98000002, t("2023-12-01 00:30:00"), 98000002, "click", 1.25, "{bad json"),
             (

@@ -45,14 +45,28 @@ def _timed(events: DataFrame, ts_col: str) -> DataFrame:
     return events.where(F.col(ts_col).isNotNull())
 
 
+#: Magnitude ceiling of a real measurement (junk wave 3, round 10).
+#: A FINITE-but-extreme reading is as corrupting as NaN: Spark's ANSI
+#: ``CAST(1e308 AS DECIMAL(18,2))`` RAISES (one junk row kills a whole
+#: decimal-sum job), ``floor(1e308 * 100)`` silently saturates to
+#: Long.MAX (fabricating cents that then overflow-crash int64 sums).
+#: 1e15 leaves decimal(18,2) casts (< 1e16) and cents folds
+#: (1e17 « 2^63) safe with headroom; mirrored verbatim in the oracles.
+MEASURABLE_MAX = 1e15
+
+
 def _measurable(events: DataFrame, value_col: str) -> DataFrame:
-    """NULL/NaN measure guard for value-folding operators: a NULL day
-    mean (an all-null day) or a NaN propagates through the EWMA fold
-    and the rolling moments FOREVER — one junk measurement corrupts
-    every subsequent output row — and a NaN bins arbitrarily in the
-    histogram (NaN compares LARGEST under Spark ordering)."""
+    """NULL/NaN/extreme measure guard for value-folding operators: a
+    NULL day mean (an all-null day) or a NaN propagates through the
+    EWMA fold and the rolling moments FOREVER — one junk measurement
+    corrupts every subsequent output row — a NaN bins arbitrarily in
+    the histogram (NaN compares LARGEST under Spark ordering), and a
+    finite-but-extreme magnitude crashes ANSI decimal casts or
+    saturates floor() into fabricated cents (see MEASURABLE_MAX)."""
     c = F.col(value_col).cast("double")
-    return events.where(c.isNotNull() & ~F.isnan(c))
+    return events.where(
+        c.isNotNull() & ~F.isnan(c) & (F.abs(c) < F.lit(MEASURABLE_MAX))
+    )
 
 
 def window_funnel(

@@ -148,7 +148,7 @@ def histogram_quantiles(
     counts = (
         # null/NaN values carry no rank information and would otherwise
         # land in a bogus bucket that skews every cumulative count
-        df.where(v.isNotNull() & ~F.isnan(v))
+        df.where(v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(1e15)))
         .select(F.col(group_col), bucket.alias("_hq_bucket"))
         .groupBy(group_col, "_hq_bucket")
         .agg(F.count(F.lit(1)).alias("_hq_n"))
@@ -210,7 +210,10 @@ def ohlc_hourly(
         # measurement — drop before any window (funnel _measurable
         # posture), so n_events counts only real measurements.
         events.where(
-            F.col(ts_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+            F.col(ts_col).isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v)
+            & (F.abs(v) < F.lit(1e15))
         )
         .select(
             hour_epoch.alias("hour_epoch"),
@@ -282,7 +285,9 @@ def zscore_outliers(
         # shifted dev = n·x − S (and the var term) for EVERY real row
         # in the segment — the moments must be over exactly the rows
         # the predicate tests (funnel _measurable posture).
-        events.where(raw.isNotNull() & ~F.isnan(raw))
+        events.where(
+            raw.isNotNull() & ~F.isnan(raw) & (F.abs(raw) < F.lit(1e15))
+        )
         .select(
             F.col(segment_col).alias("segment"),
             F.col(id_col).alias("event_id"),

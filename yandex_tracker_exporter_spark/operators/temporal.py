@@ -135,6 +135,7 @@ def reset_running_total(
         & F.col(ts_col).isNotNull()
         & F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col).cast("double"))
+        & (F.abs(F.col(value_col).cast("double")) < F.lit(1e15))
     )
     base = events.select(
         F.col(user_col).alias("entity"),
