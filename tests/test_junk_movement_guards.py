@@ -207,6 +207,35 @@ def test_zscore_magnitude_rail(spark):
     assert _S is not None
 
 
+def test_gap_fill_span_explosion_rail(spark):
+    """One corrupted clock must not OOM the densification: an epoch-0
+    event against a 2024 corpus implies ~473k hourly slots; with
+    max_slots below that the operator fails loudly naming the span
+    instead of materializing the grid."""
+    from yandex_tracker_exporter_spark.operators.funnel import gap_fill_hourly
+
+    schema = StructType(
+        [
+            StructField("ts", StringType(), True),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "view"),
+            ("2024-01-01 12:00:00", "click"),
+            ("1970-01-01 00:00:00", "view"),  # corrupted clock
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="span explosion"):
+        gap_fill_hourly(df, max_slots=10_000).count()
+    # sane spans still densify (3 slots here), junk clock included —
+    # the rail is a guard, not a quarantine
+    out = gap_fill_hourly(df.where(F.year("ts") == 2024)).collect()
+    assert len(out) == 3 * 2  # 3 hours x 2 types
+
+
 def test_zscore_rejects_fractional_sigmas(spark):
     from yandex_tracker_exporter_spark.operators.grouped import zscore_outliers
 

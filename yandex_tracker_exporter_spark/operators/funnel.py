@@ -174,6 +174,7 @@ def gap_fill_hourly(
     events: DataFrame,
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_slots: int = 2_000_000,
 ) -> DataFrame:
     """Dense hourly counts: every (hour, type) slot in the observed
     span, zero-filled where no events landed — the densification step
@@ -207,6 +208,21 @@ def gap_fill_hourly(
         return counts.select(
             "hour_epoch", "type", F.lit(0).cast("long").alias("n_events")
         ).limit(0)
+    # Span-explosion rail (junk wave 3 follow-through): the grid is
+    # GENERATED from min/max, so its size is data-dependent in the
+    # worst way — ONE event with a corrupted clock (epoch 0, year 9999)
+    # makes sequence() materialize tens of millions of hour slots and
+    # cross-join them with every type. A densification that big is
+    # never what the caller meant; fail loudly with the offending span
+    # instead of OOMing the driver-broadcast grid.
+    n_hours = (span.hi - span.lo) // 3600 + 1
+    if n_hours > max_slots:
+        raise ValueError(
+            f"gap_fill_hourly span explosion: [{span.lo}, {span.hi}] is "
+            f"{n_hours} hourly slots (> max_slots={max_slots}) — an "
+            "out-of-band timestamp (corrupted clock?) is stretching the "
+            "grid; filter the outlier rows or raise max_slots explicitly"
+        )
     hours = events.sparkSession.range(1).select(
         F.explode(
             F.sequence(F.lit(span.lo), F.lit(span.hi), F.lit(3600))
