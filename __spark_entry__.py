@@ -33,6 +33,7 @@ from yandex_tracker_exporter_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from yandex_tracker_exporter_spark.operators.funnel import MEASURABLE_MAX
 from yandex_tracker_exporter_spark.operators.sessionize import sessionize_events
 from yandex_tracker_exporter_spark.operators.similarity import cosine, lsh_bucket_topk
 from yandex_tracker_exporter_spark.operators.text_analysis import (
@@ -148,7 +149,7 @@ def q_pricing_summary(spark, sf_dir):
     # Identical WHERE in the oracle; no-op on the clean corpus.
     for _m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
         li = li.where(
-            F.col(_m).isNotNull() & ~F.isnan(_m) & (F.abs(_m) < F.lit(1e15))
+            F.col(_m).isNotNull() & ~F.isnan(_m) & (F.abs(_m) < F.lit(MEASURABLE_MAX))
         )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -202,7 +203,7 @@ def q_top_customers(spark, sf_dir):
     orders = orders.where(
         F.col("o_totalprice").isNotNull()
         & ~F.isnan("o_totalprice")
-        & (F.abs("o_totalprice") < F.lit(1e15))
+        & (F.abs("o_totalprice") < F.lit(MEASURABLE_MAX))
     )
     customer = _t(spark, sf_dir, "customer")
     rev = (
@@ -254,7 +255,7 @@ def q_human_time(spark, sf_dir):
     events = events.where(
         F.col("value").isNotNull()
         & ~F.isnan("value")
-        & (F.abs("value") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+        & (F.abs("value") < F.lit(MEASURABLE_MAX))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
     agg = events.groupBy("event_type").agg(
         F.floor(F.sum(F.col("value").cast("decimal(18,2)"))).cast("long").alias(
@@ -632,7 +633,7 @@ def _rollup_guard(orders):
         & F.col("o_orderpriority").isNotNull()
         & F.col("o_totalprice").isNotNull()
         & ~F.isnan("o_totalprice")
-        & (F.abs("o_totalprice") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+        & (F.abs("o_totalprice") < F.lit(MEASURABLE_MAX))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
 
 
@@ -694,7 +695,7 @@ def q_supplier_balance(spark, sf_dir):
     supplier = supplier.where(
         F.col("s_acctbal").isNotNull()
         & ~F.isnan("s_acctbal")
-        & (F.abs("s_acctbal") < F.lit(1e15))
+        & (F.abs("s_acctbal") < F.lit(MEASURABLE_MAX))
     )
     nation = _t(spark, sf_dir, "nation")
     return (
@@ -1227,7 +1228,7 @@ def q_histogram_quantiles(spark, sf_dir):
     # and collapsed every real value into bucket 0 — a garbage (but
     # non-crashing) histogram
     lo, hi = (
-        events.where(~F.isnan(_v) & (F.abs(_v) < F.lit(1e15)))
+        events.where(~F.isnan(_v) & (F.abs(_v) < F.lit(MEASURABLE_MAX)))
         .agg(F.min(_v), F.max(_v))
         .collect()[0]
     )
@@ -1330,7 +1331,7 @@ def q_windowed_counts(spark, sf_dir):
             # ANSI decimal cast. Oracle mirrors with the same CASE.
             F.sum(
                 F.when(
-                    ~F.isnan("value") & (F.abs("value") < F.lit(1e15)),
+                    ~F.isnan("value") & (F.abs("value") < F.lit(MEASURABLE_MAX)),
                     F.col("value"),
                 ).cast("decimal(18,2)")
             ).cast("double").alias("total_value"),
@@ -1844,7 +1845,7 @@ def q_moving_avg_daily(spark, sf_dir):
         F.col("o_orderdate").isNotNull()
         & F.col("o_totalprice").isNotNull()
         & ~F.isnan("o_totalprice")
-        & (F.abs("o_totalprice") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+        & (F.abs("o_totalprice") < F.lit(MEASURABLE_MAX))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
     daily = orders.groupBy(
         F.datediff(
@@ -2332,7 +2333,7 @@ def q_cheapest_supplier(spark, sf_dir):
         F.col("l_partkey").isNotNull()
         & F.col("l_extendedprice").isNotNull()
         & ~F.isnan("l_extendedprice")
-        & (F.abs("l_extendedprice") < F.lit(1e15))
+        & (F.abs("l_extendedprice") < F.lit(MEASURABLE_MAX))
     ).select(
         "l_partkey",
         "l_suppkey",
@@ -3457,7 +3458,7 @@ def q_robust_stats(spark, sf_dir):
     base = ev.where(
         F.col("value").isNotNull()
         & ~F.isnan("value")
-        & (F.abs("value") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+        & (F.abs("value") < F.lit(MEASURABLE_MAX))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     ).select(F.col("event_type").alias("segment"), cents.alias("_c"))
     med = base.groupBy("segment").agg(
         F.percentile(F.col("_c"), F.lit(0.5)).alias("median_cents"),
@@ -3674,7 +3675,7 @@ def q_heatmap_hour_value(spark, sf_dir):
     ev = ev.where(
         F.col("value").isNotNull()
         & ~F.isnan("value")
-        & (F.abs("value") < F.lit(1e15))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
+        & (F.abs("value") < F.lit(MEASURABLE_MAX))  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
     hour = F.hour("ts").cast("long")
     band = F.least(
@@ -3698,7 +3699,7 @@ def q_twap(spark, sf_dir):
     ev = ev.where(
         F.col("value").isNotNull()
         & ~F.isnan("value")
-        & (F.abs("value") < F.lit(1e15))
+        & (F.abs("value") < F.lit(MEASURABLE_MAX))
     )
     epoch = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
     cents = F.floor(F.col("value") * 100).cast("long")
@@ -3794,7 +3795,7 @@ def q_streaming_upsert_state(spark, sf_dir):
         F.col("event_id").isNotNull()
         & (
             F.col("value").isNull()
-            | (~F.isnan("value") & (F.abs("value") < F.lit(1e15)))
+            | (~F.isnan("value") & (F.abs("value") < F.lit(MEASURABLE_MAX)))
         )  # MEASURABLE_MAX rail — see operators/funnel.py (junk wave 3)
     )
     # Ingest-side key dedup (junk v2, round 10): the pipeline's
@@ -4102,16 +4103,46 @@ def _dd_finite_vec(col: str = "embedding") -> str:
     )
 
 
-def _dd_usable_vec(col: str = "embedding", dim: int = 64) -> str:
-    """DuckDB twin of the similarity quarantine's NET effect: finite
-    elements, the corpus width, and a nonzero element (zero vectors
-    have no cosine; ragged vectors pass the engine's ``_usable_norm``
-    but every pair they enter nulls out via zip_with padding and is
-    dropped post-rank — excluding them here reproduces the same
-    output). Keeps the oracle a TOTAL spec on junk corpora."""
+def _dd_norm2(col: str = "embedding") -> str:
+    """DuckDB twin of operators.similarity.norm()'s sum-of-squares
+    fold: strict left fold of ``x::DOUBLE * x::DOUBLE`` from 0.0, in
+    list order, so overflow timing and NULL propagation match Spark's
+    ``F.aggregate`` bit-for-bit (a NULL element nulls the whole sum,
+    exactly like the engine's fold)."""
     return (
-        f"({_dd_finite_vec(col)} AND len({col}) = {dim} AND "
-        f"list_contains(list_transform({col}, x -> x::DOUBLE != 0), true))"
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({col}, x -> x::DOUBLE * x::DOUBLE)), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _dd_usable_vec(col: str = "embedding", dim: int = 64) -> str:
+    """DuckDB twin of the similarity quarantine's NET effect: the
+    corpus width plus the engine's ``_usable_norm`` predicate applied
+    to the SAME folded sum-of-squares the engine computes — finite and
+    strictly positive (``norm = sqrt(s)`` is in ``(0, inf)`` iff ``s``
+    is, sqrt being monotone and non-overflowing).
+
+    Why the fold and not a per-element proxy (ADVICE r10, medium): a
+    vector of FINITE elements can still fold to a non-usable norm —
+    ``[1e200]*64`` overflows the sum of squares to Inf (engine
+    quarantines: cosine would be x/inf) and ``[5e-324]*64`` underflows
+    every square to exactly 0.0 (engine quarantines: zero norm, cosine
+    undefined) — so an element-wise finite+any-nonzero check KEEPS rows
+    the engine drops. On a corpus where a query has fewer than k usable
+    neighbors, the old proxy admitted a 0.0/NULL-scored junk neighbor
+    into the oracle's top-k that the engine never produced
+    (tests/test_junk_movement_guards.py pins the divergence corpus).
+
+    Ragged vectors (width != dim) pass the engine's pre-filter but
+    every pair they enter nulls out via zip_with padding and is dropped
+    post-rank — excluding them here reproduces the same output. Keeps
+    the oracle a TOTAL spec on junk corpora."""
+    s = _dd_norm2(col)
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {dim} AND "
+        f"coalesce(list_transform([{s}], v -> isfinite(v) AND v > 0)[1], "
+        f"false))"
     )
 
 
@@ -4519,8 +4550,8 @@ _ORACLES: dict[str, str] = {
             SELECT q.vec_id::BIGINT AS query_id, c.vec_id::BIGINT AS neighbor_id,
                    c.label::BIGINT AS n_label,
                    {_dd_cosine('q.embedding', 'c.embedding')} AS cosine_sim
-            FROM (SELECT * FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))) q
-            JOIN (SELECT * FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))) c
+            FROM (SELECT * FROM embeddings WHERE {_dd_usable_vec()}) q
+            JOIN (SELECT * FROM embeddings WHERE {_dd_usable_vec()}) c
               ON q.vec_id != c.vec_id
             WHERE q.vec_id < 20
         ), top AS (
@@ -4795,8 +4826,8 @@ _ORACLES: dict[str, str] = {
         WITH scored AS (
             SELECT q.vec_id::BIGINT AS query_id, c.vec_id::BIGINT AS neighbor_id,
                    {_dd_cosine('q.embedding', 'c.embedding')} AS cosine_sim
-            FROM (SELECT * FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))) q
-            JOIN (SELECT * FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))) c
+            FROM (SELECT * FROM embeddings WHERE {_dd_usable_vec()}) q
+            JOIN (SELECT * FROM embeddings WHERE {_dd_usable_vec()}) c
               ON q.vec_id != c.vec_id
             WHERE q.vec_id < 5
         )
@@ -5192,14 +5223,14 @@ def _build_ivf_topk_sql() -> str:
     return f"""
         WITH centroids AS (
             SELECT vec_id AS centroid_id, embedding AS centv
-            FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))
+            FROM embeddings WHERE {_dd_usable_vec()}
             ORDER BY vec_id ASC LIMIT 16
         ), assigned AS (
             SELECT vec_id, embedding, centroid_id FROM (
                 SELECT c.vec_id, c.embedding, ct.centroid_id,
                        row_number() OVER (PARTITION BY c.vec_id
                            ORDER BY {cos_assign} DESC, ct.centroid_id ASC) AS rn
-                FROM (SELECT * FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))) c
+                FROM (SELECT * FROM embeddings WHERE {_dd_usable_vec()}) c
                 CROSS JOIN centroids ct
             ) WHERE rn = 1
         ), probes AS (
@@ -7445,11 +7476,11 @@ def _build_knn_confusion_sql() -> str:
     WITH q AS (
         SELECT vec_id AS query_id, label AS true_label,
                list_transform(embedding, x -> x::DOUBLE) AS qv
-        FROM embeddings WHERE vec_id < 100 AND (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))
+        FROM embeddings WHERE vec_id < 100 AND {_dd_usable_vec()}
     ), c AS (
         SELECT vec_id AS neighbor_id, label AS n_label,
                list_transform(embedding, x -> x::DOUBLE) AS cv
-        FROM embeddings WHERE (embedding IS NOT NULL AND NOT coalesce(list_contains(list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 AND list_contains(list_transform(embedding, x -> x::DOUBLE != 0), true))
+        FROM embeddings WHERE {_dd_usable_vec()}
     ), scored AS (
         SELECT q.query_id, q.true_label, c.neighbor_id, c.n_label,
                {_dd_cosine('qv', 'cv')} AS s

@@ -121,6 +121,29 @@ def test_scd2_runs_and_intervals(spark):
     ]
 
 
+def test_scd2_value_type_validated_and_accepts_datatype(spark):
+    """ADVICE r10: value_type is interpolated into SQL text, so it must
+    be validated — a DataType object (accepted by the old .cast())
+    normalizes via simpleString(), a type NAME round-trips through
+    Spark's DDL parser, and garbage fails loudly as a ValueError
+    instead of broken SQL deep inside the window chain."""
+    import pytest
+    from pyspark.sql.types import StringType
+
+    rows = [(7, 1, _ts(0), '{"k": 10}'), (7, 2, _ts(1), '{"k": 20}')]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "props"])
+
+    as_name = scd2_intervals(df, value_type="string").collect()
+    as_type = scd2_intervals(df, value_type=StringType()).collect()
+    assert sorted(map(tuple, as_name)) == sorted(map(tuple, as_type))
+    assert {r["value"] for r in as_name} == {"10", "20"}
+
+    with pytest.raises(ValueError, match="value_type"):
+        scd2_intervals(df, value_type="long); DROP TABLE x; --").collect()
+    with pytest.raises(ValueError, match="value_type"):
+        scd2_intervals(df, value_type="not_a_type").collect()
+
+
 def test_scd2_intervals_tile_without_overlap(spark):
     """On the harness stream, per entity the intervals are disjoint,
     ordered, and every closed interval's end equals the next start."""

@@ -366,3 +366,78 @@ def test_finite_vector_predicate_shapes(spark):
     )
     assert kept == [1, 2]
     assert math.isfinite(1.0)  # keep math import honest
+
+
+def test_usable_vec_oracle_twin_tests_the_folded_norm(spark, tmp_path):
+    """ADVICE r10 (medium): the DuckDB twin of the similarity
+    quarantine must test the SAME folded sum-of-squares the engine
+    folds, not a per-element finite+any-nonzero proxy. On a DOUBLE[]
+    corpus, finite elements can still fold to an unusable norm —
+    ``[1e200]*64`` overflows the sum to Inf and ``[5e-324]*64``
+    underflows every square to exactly 0.0 — and with fewer than k
+    usable neighbors the proxy admits a NaN/Inf-scored junk neighbor
+    into the oracle's top-k that the engine never produces. (On the
+    contract's FLOAT32 embeddings this is unreachable: max float32
+    square is ~1.2e77, 64 of them cannot overflow a double, and the
+    smallest nonzero float32 squares to ~2e-90 > 0 — the pin therefore
+    uses DOUBLE[] storage, where the operators are equally supported.)
+    """
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    dim = 64
+    rows = [
+        (0, [1.0] + [0.0] * (dim - 1), 0),  # the query vector
+        (1, [1.0] * dim, 1),
+        (2, [0.5] * dim, 1),
+        (3, [0.0, 1.0] + [0.0] * (dim - 2), 2),
+        # finite elements, sum of squares overflows a double -> Inf norm
+        (90001, [1e200] * dim, 3),
+        # nonzero elements, every double square underflows to exactly 0.0
+        (90002, [5e-324] * dim, 3),
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(DoubleType()), True),
+            StructField("label", LongType(), True),
+        ]
+    )
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine_sim, 9))
+        for r in entry.queries()["cosine_topk"](spark, sf_dir).collect()
+    )
+    # engine: junk never appears — Inf/zero norms are quarantined
+    assert got and all(n not in (90001, 90002) for _, n, _, _ in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    sql = entry.oracle_sql()["cosine_topk"]
+    want = sorted(
+        (q, n, rk, round(c, 9))
+        for q, n, c, rk in con.execute(sql).fetchall()
+    )
+    assert got == want  # the norm-fold twin reproduces the engine
+
+    # and the OLD element-wise proxy demonstrably diverges here: it
+    # keeps both junk vectors, whose NaN-scored pairs outrank real ones
+    old_proxy = (
+        "(embedding IS NOT NULL AND NOT coalesce(list_contains("
+        "list_transform(embedding, x -> (x IS NULL OR isnan(x::DOUBLE) "
+        "OR isinf(x::DOUBLE))), true), false) AND len(embedding) = 64 "
+        "AND list_contains(list_transform(embedding, x -> "
+        "x::DOUBLE != 0), true))"
+    )
+    new_pred = entry._dd_usable_vec()
+    assert new_pred in sql
+    old_rows = con.execute(sql.replace(new_pred, old_proxy)).fetchall()
+    assert any(n in (90001, 90002) for _, n, _, _ in old_rows)

@@ -69,6 +69,10 @@ def planted_corpus(spark, sf_dir: str):
 
 
 def measure(spark, sf_dir: str, runs: int) -> dict:
+    if not isinstance(runs, int) or runs < 1:
+        # ADVICE r10: runs=0 used to fall through to a NameError at the
+        # result dict (n_pairs/best bind inside the loop) — fail loudly
+        raise ValueError(f"runs must be a positive int, got {runs!r}")
     from pyspark.sql import functions as F
 
     from yandex_tracker_exporter_spark.operators.similarity import (

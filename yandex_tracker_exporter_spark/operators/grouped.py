@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .funnel import MEASURABLE_MAX  # noqa: E402 — shared junk-magnitude rail
+
 MEDIAN_GAP_SCHEMA = StructType(
     [
         StructField("entity", LongType()),
@@ -148,7 +150,7 @@ def histogram_quantiles(
     counts = (
         # null/NaN values carry no rank information and would otherwise
         # land in a bogus bucket that skews every cumulative count
-        df.where(v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(1e15)))
+        df.where(v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(MEASURABLE_MAX)))
         .select(F.col(group_col), bucket.alias("_hq_bucket"))
         .groupBy(group_col, "_hq_bucket")
         .agg(F.count(F.lit(1)).alias("_hq_n"))
@@ -213,7 +215,7 @@ def ohlc_hourly(
             F.col(ts_col).isNotNull()
             & v.isNotNull()
             & ~F.isnan(v)
-            & (F.abs(v) < F.lit(1e15))
+            & (F.abs(v) < F.lit(MEASURABLE_MAX))
         )
         .select(
             hour_epoch.alias("hour_epoch"),
@@ -286,7 +288,7 @@ def zscore_outliers(
         # in the segment — the moments must be over exactly the rows
         # the predicate tests (funnel _measurable posture).
         events.where(
-            raw.isNotNull() & ~F.isnan(raw) & (F.abs(raw) < F.lit(1e15))
+            raw.isNotNull() & ~F.isnan(raw) & (F.abs(raw) < F.lit(MEASURABLE_MAX))
         )
         .select(
             F.col(segment_col).alias("segment"),

@@ -723,9 +723,12 @@ def cosine_neardup_pairs(
     NOTES.md round 9). **Pass ``num_planes="auto"`` to apply that
     remedy at plan-build time**: the plane count becomes
     :func:`auto_num_planes` of the corpus size — ``n_vectors`` when the
-    caller already knows it, else one cheap column-pruned ``count()``
-    of the id column (a metadata-cheap scan; at 100 TB it reads parquet
-    row counts, not vectors). The static default stays 10 for contract
+    caller already knows it, else one column-pruned ``count()`` of the
+    id column. That count is metadata-cheap ONLY for a direct parquet
+    scan (row-group counts, no vector bytes); if ``embeddings`` is a
+    derived/expensive pipeline, the count EXECUTES it once more at
+    plan-build time — pass ``n_vectors`` or cache/checkpoint the input
+    first (ADVICE r10). The static default stays 10 for contract
     parity; ``auto`` at harness scale (≤ ~2¹³ vectors) resolves to the
     same 10, so the twin is byte-equal there by construction.
     Raising planes lowers per-band collision probability for NEAR
@@ -752,9 +755,12 @@ def cosine_neardup_pairs(
     from .partitioning import ensure_parallelism
 
     if num_planes == "auto":
-        # cheap plan-build-time corpus count: column-pruned count()
-        # (parquet answers from row-group metadata, no vector bytes);
-        # callers that already know n pass n_vectors and skip the job
+        # plan-build-time corpus count. Cheap ONLY when `embeddings` is
+        # a direct parquet scan (column-pruned count() answers from
+        # row-group metadata, no vector bytes); a derived/expensive
+        # upstream pipeline gets fully EXECUTED an extra time here just
+        # to pick the plane count (ADVICE r10) — such callers should
+        # pass n_vectors, or cache()/localCheckpoint() the input first
         n = n_vectors if n_vectors is not None else (
             embeddings.select(id_col).count()
         )

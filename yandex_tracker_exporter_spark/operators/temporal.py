@@ -12,9 +12,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .funnel import MEASURABLE_MAX
+
 #: far-future epoch standing in for "current" SCD2 rows (NULL would be
 #: engine-dependent in sort/compare paths; a sentinel is explicit)
 SCD2_OPEN_END = 9_999_999_999
+
+
+def _sql_type_name(value_type) -> str:
+    """Normalize/validate a user-supplied cast target before it is
+    interpolated into SQL text (ADVICE r10: the f-string try_cast took
+    any raw string — a ``DataType`` object produced broken SQL and an
+    arbitrary string reached ``F.expr`` unvalidated). Accepts what the
+    old ``.cast()`` accepted: a ``DataType`` instance (normalized via
+    ``simpleString()``) or a type NAME, round-tripped through Spark's
+    own DDL parser so only a well-formed type ever reaches the SQL."""
+    from pyspark.sql import types as T
+
+    if isinstance(value_type, T.DataType):
+        return value_type.simpleString()
+    try:
+        return T._parse_datatype_string(str(value_type)).simpleString()
+    except Exception as exc:
+        raise ValueError(
+            f"scd2_intervals value_type {value_type!r} is not a Spark "
+            f"SQL type name or DataType: {exc}"
+        ) from None
 
 
 def scd2_intervals(
@@ -59,8 +82,13 @@ def scd2_intervals(
     # CAST_INVALID_INPUT and killed the whole history build — an
     # unparseable attribute is a NULL value (one more state in the
     # run-length encoding), not a crash. Oracles mirror with TRY_CAST.
+    # The type name is interpolated into SQL text, so it must be
+    # validated first (ADVICE r10): DataType objects normalize via
+    # simpleString() (the old .cast() accepted them) and strings must
+    # parse as a real Spark type — a typo or injection payload fails
+    # loudly HERE, not as broken SQL inside the window chain.
     val = F.expr(
-        f"try_cast(({value_expr}) AS {value_type})"
+        f"try_cast(({value_expr}) AS {_sql_type_name(value_type)})"
         if value_type is not None
         else value_expr
     )
@@ -135,7 +163,7 @@ def reset_running_total(
         & F.col(ts_col).isNotNull()
         & F.col(value_col).isNotNull()
         & ~F.isnan(F.col(value_col).cast("double"))
-        & (F.abs(F.col(value_col).cast("double")) < F.lit(1e15))
+        & (F.abs(F.col(value_col).cast("double")) < F.lit(MEASURABLE_MAX))
     )
     base = events.select(
         F.col(user_col).alias("entity"),
