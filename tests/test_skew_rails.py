@@ -25,6 +25,9 @@ from yandex_tracker_exporter_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_hamming_pairs,
 )
+from yandex_tracker_exporter_spark.operators.similarity import (
+    auto_num_planes,
+)
 
 BOILER = "all work and no play makes jack a dull boy " * 4
 BASE = "the quick brown fox jumps over the lazy dog " * 4
@@ -84,6 +87,7 @@ REPORT_COLS = [
     "rows_dropped",
     "max_bucket_size",
     "max_surviving_bucket",
+    "recommended_planes",
 ]
 
 
@@ -320,3 +324,26 @@ def test_embedding_skew_report_and_saturation_gauge(spark):
         assert r["capped_buckets"] >= 1
         assert r["rows_dropped"] >= 40
         assert r["max_bucket_size"] >= 40
+        # VERDICT r10 #6: the gauge states the remedy — the operating
+        # point for THIS corpus (52 usable vectors -> the clamp floor)
+        assert r["recommended_planes"] == auto_num_planes(52)
+
+
+def test_skew_report_recommended_planes_twin_and_nulls(spark, documents_df):
+    """The report's recommended_planes expression (bit_length-1-3,
+    clamped) must equal auto_num_planes at ANY n — asserted over the
+    clamp floor, both clamp edges, powers of two, and astronomic n
+    where float log2 could misround — and non-embedding methods carry
+    NULL (the recommendation is sign-LSH-specific)."""
+    for n in (1, 2, 7, 8, 52, 8191, 8192, 400_000, 2**28, 2**31 - 1,
+              2**31 + 7, 2**45):
+        got = spark.sql(
+            "SELECT greatest(10, least(28, "
+            f"length(conv(CAST({n} AS STRING), 10, 2)) - 1 - 3)) AS p"
+        ).first()["p"]
+        assert got == auto_num_planes(n), n
+    rep = dedup_skew_report(
+        documents_df.select("doc_id", "text"), method="minhash"
+    )
+    assert rep.columns == REPORT_COLS
+    assert all(r["recommended_planes"] is None for r in rep.collect())

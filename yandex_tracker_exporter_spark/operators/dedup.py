@@ -1557,6 +1557,11 @@ def dedup_skew_report(
     - ``rows_dropped``         — banded rows inside capped groups
     - ``max_bucket_size``      — largest group seen (capped or not)
     - ``max_surviving_bucket`` — largest group the rail lets through
+    - ``recommended_planes``   — embedding method only (NULL elsewhere):
+      :func:`~.similarity.auto_num_planes` of THIS corpus's usable
+      vector count — the report states the saturation remedy
+      ("pass num_planes=<this> or 'auto'") instead of leaving the
+      reader to connect gauge and fix (VERDICT r10 #6)
 
     ``method``: ``"minhash"`` / ``"ngram"`` (both use the MinHash band
     keys; ngram signs with the Arrow kernel exactly like its operator),
@@ -1621,7 +1626,39 @@ def dedup_skew_report(
             "'minhash', 'ngram', 'simhash', 'winnow', 'embedding'"
         )
 
-    return hub_cap_report(banded, keys, cap, method)
+    rep = hub_cap_report(banded, keys, cap, method)
+    if method != "embedding":
+        return rep.withColumn(
+            "recommended_planes", F.lit(None).cast("long")
+        )
+    # VERDICT r10 #6: the gauge must SAY the remedy, not just show the
+    # saturation — `recommended_planes` is the sign-LSH operating point
+    # auto_num_planes(n) for THIS corpus (pass it as num_planes, or
+    # pass "auto"). n = usable vectors = band-0 banded rows; the
+    # expression `length(conv(n, 10, 2)) - 1` is bit_length(n)-1, the
+    # exact integer log2 the Python function computes — one broadcast
+    # single-row join, no driver collect.
+    from .similarity import auto_num_planes as _anp
+
+    n_vec = banded.where(F.col(keys[0]) == 0).agg(
+        F.count(F.lit(1)).alias("_n_vec")
+    )
+    bitlen = F.length(F.conv(F.col("_n_vec").cast("string"), 10, 2))
+    lo, hi = (
+        _anp.__defaults__ if _anp.__defaults__ else (10, 28)
+    )  # single source for the clamp bounds
+    rec = F.when(
+        F.col("_n_vec") > 0,
+        F.greatest(
+            F.lit(lo), F.least(F.lit(hi), bitlen - F.lit(1) - F.lit(3))
+        ),
+    ).otherwise(F.lit(lo))
+    return (
+        rep.join(F.broadcast(n_vec))
+        .withColumn("recommended_planes", rec.cast("long"))
+        .drop("_n_vec")
+        .orderBy("band_idx")
+    )
 
 
 def hub_cap_report(

@@ -574,11 +574,13 @@ def auto_num_planes(
     the ceiling keeps the int32 bucket key exact (2^28 « 2^31) —
     beyond ~2^31 vectors, shard the corpus before LSH.
     """
-    import math
-
     if n_vectors <= 0:
         return min_planes
-    return max(min_planes, min(max_planes, int(math.log2(n_vectors)) - 3))
+    # bit_length-1 IS int(log2(n)) for every positive int, computed
+    # exactly — float log2 can misround at astronomic n, and the Spark
+    # expression twin in dedup_skew_report (length(conv(n, 10, 2)) - 1)
+    # must agree bit-for-bit with this function at ANY n
+    return max(min_planes, min(max_planes, (n_vectors.bit_length() - 1) - 3))
 
 
 def _neardup_prep_kernel(num_planes: int, num_bands: int, dim: int):
