@@ -157,6 +157,32 @@ def _kill_leftover_jvms() -> list[int]:
     return survivors
 
 
+def _spread_stats(samples: dict[str, list[float]]) -> tuple[float, float, float]:
+    """(p50, p90, max) of the per-query best-vs-second-best spread —
+    the trust gate's input, shared by the final artifact fields and the
+    mid-run retry decision."""
+    spread = sorted(
+        s2 - s1
+        for s in samples.values()
+        if len(s) > 1
+        for s1, s2 in [sorted(s)[:2]]
+    )
+    if not spread:
+        return 0.0, 0.0, 0.0
+    return (
+        round(spread[len(spread) // 2], 3),
+        round(spread[int(len(spread) * 0.9)], 3),
+        round(spread[-1], 3),
+    )
+
+
+def _minima_trusted(samples: dict[str, list[float]]) -> bool:
+    """The r7 trust gate: second-best samples must corroborate the
+    minima — spread p90 within 0.25 s and no query above 1.0 s."""
+    _, p90, mx = _spread_stats(samples)
+    return bool(p90 <= 0.25 and mx <= 1.0)
+
+
 def _failed_tasks_for_group(sc, group: str) -> int:
     """Failed-task count for every job submitted under ``group``, read
     from the status tracker RIGHT AFTER the query runs (the store
@@ -260,10 +286,34 @@ def main() -> None:
     # A pure pass-interleaved scheme (one execution per
     # pass) was tried and REJECTED: it re-pays the codegen-cold first
     # run in every pass and inflated JIT-heavy queries 2-3×.
+    # Trusted-window retry (VERDICT r10 #1): both r10 artifacts shipped
+    # `minima_trusted: false` — the round's official number was climate-
+    # inflated and the cross-round record fell back to worktree A/Bs.
+    # Instead of committing an untrusted artifact, run up to
+    # $SPARK_GRAFT_BENCH_MAX_EXTRA_PASSES (default 2) ADDITIONAL
+    # minutes-apart sweeps when the spread gate fails after the planned
+    # passes: extra samples can only LOWER per-query minima and tighten
+    # best-vs-second-best spread, so each retry strictly improves the
+    # artifact, and the host's ~5-min load wave usually passes within
+    # one extra sweep. If the box never quiets, the artifact still
+    # says `minima_trusted: false` (plus how hard it tried) — the gate
+    # refuses to LABEL noise as signal, not to report at all (the
+    # driver needs its one JSON line every round).
+    max_extra = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA_PASSES", "2"))
+    )
     samples: dict[str, list[float]] = {}
     task_failures: dict[str, int] = {}
+    loadavg_per_pass: list[float] = []
     per_pass = max(1, runs - 1)
-    for pass_idx in range(passes):
+    pass_idx, planned = 0, passes
+    while pass_idx < planned:
+        try:
+            loadavg_per_pass.append(
+                float(open("/proc/loadavg").read().split()[0])
+            )
+        except OSError:
+            pass
         for name, fn in entry_mod.queries().items():
             rows = 0
             # job group = (pass, query): every job this query submits —
@@ -282,7 +332,7 @@ def main() -> None:
             if nf:
                 task_failures[name] = task_failures.get(name, 0) + nf
             spark.sparkContext.setJobGroup("", "")
-            if pass_idx == passes - 1:
+            if pass_idx >= passes - 1:
                 print(
                     f"# {name}: {min(samples[name]):.3f}s ({rows} rows)",
                     file=sys.stderr,
@@ -294,6 +344,17 @@ def main() -> None:
             # queries late in the run without this)
             spark.catalog.clearCache()
             spark._jvm.System.gc()
+        pass_idx += 1
+        if pass_idx >= planned and not _minima_trusted(samples):
+            if planned < passes + max_extra:
+                p50, p90, mx = _spread_stats(samples)
+                print(
+                    f"# minima not trusted after {pass_idx} sweeps "
+                    f"(spread p90={p90}s max={mx}s) — retrying with an "
+                    "extra minutes-apart sweep",
+                    file=sys.stderr,
+                )
+                planned += 1
     # Per-query MINIMUM across all samples (>=passes of them): the
     # noise floor. With >=3 minutes-apart samples this is robust to
     # the host's ~5-min load waves — an outside-noise spike must hit
@@ -318,10 +379,7 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    spread_sorted = sorted(spread.values()) if spread else [0.0]
-    spread_p50 = round(spread_sorted[len(spread_sorted) // 2], 3)
-    spread_p90 = round(spread_sorted[int(len(spread_sorted) * 0.9)], 3)
-    spread_max = round(spread_sorted[-1], 3)
+    spread_p50, spread_p90, spread_max = _spread_stats(samples)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -332,7 +390,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_runs": runs,
         "bench_passes": passes,
-        "samples_per_query": passes * per_pass,
+        # trusted-window retry accounting (VERDICT r10 #1): passes_run >
+        # bench_passes means the gate failed mid-run and extra sweeps
+        # were spent hunting a quiet window; the per-pass loadavg series
+        # shows the wave the retries were dodging.
+        "bench_passes_run": pass_idx,
+        "bench_extra_passes": pass_idx - passes,
+        "samples_per_query": pass_idx * per_pass,
         "n_queries": len(timings),
         # spread distribution + trust gate (VERDICT r7 #2): a committed
         # minima claim is only quotable when the second-best samples
@@ -341,7 +405,8 @@ def main() -> None:
         "spread_p50": spread_p50,
         "spread_p90": spread_p90,
         "spread_max": spread_max,
-        "minima_trusted": bool(spread_p90 <= 0.25 and spread_max <= 1.0),
+        "minima_trusted": _minima_trusted(samples),
+        "loadavg_per_pass": loadavg_per_pass,
     }
     # task retries (VERDICT r9 #2): expected 0 on a quiet host; nonzero
     # names the query whose stack fragment may appear in a captured

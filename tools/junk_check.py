@@ -38,6 +38,14 @@ Builds the junk clone with the exact generator ``junk_smoke`` uses
 (deterministic content), runs under a bare SparkSession (driver
 protocol: ANSI on, default confs), and writes the committed artifact
 ``JUNKCHECK.json`` with the per-query classification.
+
+Full runs (no ``--only``) additionally execute the wave-4 MEDIA probe
+(``run_media_wave4``): corrupted BINARY payloads — truncated magic,
+valid-header-corrupt-body, zero-length, multi-GB-claiming containers,
+byte soup, NULL — for all six formats, adjudicated against a typed
+expectation table plus a junk-neutrality fingerprint for every
+decode-backed operator; the section lands in the artifact under
+``media_wave4``.
 """
 
 from __future__ import annotations
@@ -68,6 +76,243 @@ EXPECTED_MOVERS: dict[str, str] = {
     # populated by the first adjudication run; an empty dict means the
     # whole contract is junk-neutral or oracle-confirmed.
 }
+
+
+# --------------------------------------------------------------------------
+# Junk wave 4 (VERDICT r10 #2): corrupted BINARY payloads. The contract's
+# media queries derive payloads deterministically from documents.text, so
+# corrupt bytes cannot enter through the harness tables — the exposed
+# surface is the DECODER-backed operator family itself. This probe feeds
+# every real-decode operator a corpus of valid payloads for all six
+# formats PLUS the verdict's corruption shapes, and adjudicates with the
+# same two rules as the main probe:
+#   1. classification — every corrupt payload must land in a TYPED
+#      quarantine class (media_quarantine_report), in the class the
+#      shape's physics implies; valid payloads must class "ok" (absent);
+#   2. movement — every downstream operator's result on valid+corrupt
+#      must be fingerprint-IDENTICAL to its result on valid-only
+#      (junk-neutral: corrupt bytes contribute NOTHING, fabricate
+#      nothing, crash nothing).
+# --------------------------------------------------------------------------
+
+#: per-(format, shape) allowed quarantine classes. "malformed" vs
+#: "cap_exceeded" for the giant-claim shapes follows each parser's
+#: physics: PNG/JPEG read dims from a FIXED-OFFSET header and hit the
+#: allocation cap check (cap_exceeded, by POLICY); PPM/Y4M/WAV/MP4
+#: validate declared size against actual bytes first, and a tiny body
+#: claiming gigabytes IS a malformed container (no allocation happens
+#: either way — pinned by tests/test_multimodal.py's memory-bomb test).
+MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
+    **{(f, "valid"): {"ok"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "null_payload"): {"null_payload"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "zero_length"): {"unknown_format"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "truncated_magic"): {"unknown_format"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "byte_soup"): {"unknown_format"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    # valid magic, body cut to 60% — strict-length/CRC checks must fire
+    # (the WAV parser FABRICATED duration/checksum from truncated data
+    # until this wave: silent slice truncation in the chunk walk)
+    **{(f, "truncated_body"): {"malformed"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    # structural corruption mid-body (bit flip / size-field lie)
+    **{(f, "body_corrupt"): {"malformed"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    # header claims multi-GB content over a tiny body
+    ("wav", "giant_claim"): {"malformed"},
+    ("ppm", "giant_claim"): {"malformed"},
+    ("y4m", "giant_claim"): {"malformed"},
+    ("mp4", "giant_claim"): {"malformed"},
+    ("png", "giant_claim"): {"cap_exceeded"},
+    ("jpeg", "giant_claim"): {"cap_exceeded"},
+}
+
+
+def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
+    """(media_id, format, shape, payload) rows: one valid payload per
+    format plus every corruption shape, all deterministic."""
+    import struct
+
+    import numpy as np
+
+    from yandex_tracker_exporter_spark import multimodal as mm
+
+    valid = {
+        "wav": mm.encode_wav(list(range(-100, 100)), 8000, 1),
+        "ppm": mm.encode_ppm(4, 4, bytes(range(48))),
+        "y4m": mm.encode_y4m(4, 4, [bytes(range(48))] * 2),
+        "png": mm.encode_png(4, 5, bytes(range(60))),
+        "jpeg": mm.encode_jpeg_gray(8, 8, bytes(range(64))),
+        "mp4": mm.encode_mp4_meta(640, 480, 1500),
+    }
+    magic_keep = {"wav": 3, "ppm": 1, "y4m": 4, "png": 5, "jpeg": 1, "mp4": 6}
+
+    def body_corrupt(fmt: str, p: bytes) -> bytes:
+        b = bytearray(p)
+        if fmt == "wav":  # data chunk size lies beyond the payload
+            i = p.find(b"data")
+            b[i + 4:i + 8] = struct.pack("<I", 0x7FFFFFF0)
+        elif fmt == "ppm":  # one raster byte chopped: strict-length breach
+            b = b[:-1]
+        elif fmt == "y4m":  # final frame body cut: checksummed length breach
+            b = b[:-5]
+        elif fmt == "png":  # IDAT bit flip: CRC mismatch
+            b[45] ^= 0xFF
+        elif fmt == "jpeg":  # entropy-stream bit flip
+            b[len(b) // 2] ^= 0xFF
+        elif fmt == "mp4":  # ftyp box size lie
+            b[0:4] = struct.pack(">I", 2**31)
+        return bytes(b)
+
+    def giant_claim(fmt: str, p: bytes) -> bytes:
+        if fmt == "wav":
+            return body_corrupt("wav", p)  # multi-GB data chunk claim
+        if fmt == "ppm":
+            return b"P6\n60000 60000\n255\n" + b"\x00" * 10
+        if fmt == "y4m":
+            return b"YUV4MPEG2 W60000 H60000 F25:1\nFRAME\n" + b"\x00" * 10
+        if fmt == "png":  # IHDR claims 50000x50000 over a 2-byte IDAT
+            ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
+            return (
+                mm.PNG_SIG
+                + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"IDAT", b"xx")
+                + mm._png_chunk(b"IEND", b"")
+            )
+        if fmt == "jpeg":  # SOF0 dims patched to 60000x60000
+            b = bytearray(p)
+            i = p.find(b"\xff\xc0")
+            b[i + 5:i + 9] = struct.pack(">HH", 60000, 60000)
+            return bytes(b)
+        # mp4: 64-bit largesize box claiming more than the file holds
+        return struct.pack(">I", 1) + b"ftyp" + b"\x00" * 4
+
+    soup = bytes((i * 37 + 11) % 256 for i in range(64))
+    rows: list[tuple[int, str, str, bytes | None]] = []
+    mid = 0
+    for fmt, p in sorted(valid.items()):
+        shapes = {
+            "valid": p,
+            "null_payload": None,
+            "zero_length": b"",
+            "truncated_magic": p[: magic_keep[fmt]],
+            "byte_soup": soup,
+            "truncated_body": p[: int(len(p) * 0.6)],
+            "body_corrupt": body_corrupt(fmt, p),
+            "giant_claim": giant_claim(fmt, p),
+        }
+        for shape, payload in sorted(shapes.items()):
+            rows.append((mid, fmt, shape, payload))
+            mid += 1
+    # keep numpy referenced: encoders return plain bytes but the import
+    # is part of the probe's documented dependency surface
+    assert np is not None
+    return rows
+
+
+def run_media_wave4(spark) -> dict:
+    """Execute the wave-4 probe; returns the artifact section."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from yandex_tracker_exporter_spark import multimodal as mm
+
+    rows = media_wave4_corpus()
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("shape", StringType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    kind_of = {"wav": "audio", "ppm": "image", "y4m": "video",
+               "png": "image", "jpeg": "image", "mp4": "video"}
+    df = spark.createDataFrame(
+        [(mid, kind_of[fmt], f"{fmt}:{shape}", p) for mid, fmt, shape, p in rows],
+        schema,
+    ).cache()
+    meta = {mid: (fmt, shape) for mid, fmt, shape, _ in rows}
+
+    # 1. classification: every row lands in its expected class
+    got = {
+        r["media_id"]: r["reason_class"]
+        for r in mm.media_quarantine_report(df).collect()
+    }
+    section: dict = {"rows": {}, "unexplained": 0, "n_rows": len(rows)}
+    for mid, (fmt, shape) in sorted(meta.items()):
+        actual = got.get(mid, "ok")
+        allowed = MEDIA_WAVE4_EXPECT[(fmt, shape)]
+        ok = actual in allowed
+        section["rows"][f"{fmt}:{shape}"] = {
+            "class": actual,
+            "expected": sorted(allowed),
+            "ok": ok,
+        }
+        if not ok:
+            section["unexplained"] += 1
+
+    # 2. movement: the FEATURE operators skip quarantined payloads, so
+    # valid-only vs valid+corrupt must fingerprint equal (junk-neutral)
+    valid_df = df.where(F.col("shape").endswith(":valid"))
+    valid_ids = {mid for mid, (_, shape) in meta.items() if shape == "valid"}
+    ops = {
+        "audio_frame_energy": mm.audio_frame_energy,
+        "image_channel_histogram": mm.image_channel_histogram,
+        "resize_images": mm.resize_images,
+    }
+    section["movement"] = {}
+    for op_name, op in sorted(ops.items()):
+        full = _fingerprint_df(op(df))
+        clean = _fingerprint_df(op(valid_df))
+        neutral = full == clean
+        section["movement"][op_name] = {
+            "junk_neutral": neutral,
+            "n_rows_valid_only": clean[0],
+            "n_rows_with_junk": full[0],
+        }
+        if not neutral:
+            section["unexplained"] += 1
+
+    # decode_media's CONTRACT is one row per input (header fields or
+    # nulls), so junk rows legitimately appear — the adjudication is
+    # that they appear ONLY as all-null-field rows (nothing fabricated)
+    # and the valid rows are byte-identical to a valid-only run
+    decoded = mm.decode_media(df).cache()
+    valid_part = _fingerprint_df(
+        decoded.where(F.col("media_id").isin(sorted(valid_ids)))
+    )
+    clean_run = _fingerprint_df(mm.decode_media(valid_df))
+    junk_rows = decoded.where(
+        ~F.col("media_id").isin(sorted(valid_ids))
+    ).collect()
+    fabricated = [
+        r["media_id"]
+        for r in junk_rows
+        if any(r[c] is not None for c in decoded.columns if c != "media_id")
+    ]
+    dm_ok = valid_part == clean_run and not fabricated
+    section["movement"]["decode_media"] = {
+        "junk_neutral": dm_ok,
+        "rule": "junk rows emit all-null fields; valid rows byte-identical",
+        "n_rows_valid_only": clean_run[0],
+        "n_rows_with_junk": valid_part[0] + len(junk_rows),
+        "fabricated_ids": fabricated,
+    }
+    if not dm_ok:
+        section["unexplained"] += 1
+    decoded.unpersist()
+    df.unpersist()
+    return section
+
+
+def _fingerprint_df(sdf) -> tuple[int, list, str]:
+    rows = [tuple(r) for r in sdf.collect()]
+    cols = list(sdf.columns)
+    norm = _norm(rows, cols)
+    return len(rows), sorted(c.lower() for c in cols), _result_md5(norm, cols)
 
 
 def _run_spark(fn, spark, sf_dir):
@@ -202,6 +447,21 @@ def main() -> int:
             flush=True,
         )
 
+    # wave 4 (always on for full runs; skipped under --only so targeted
+    # replays stay targeted)
+    media_wave4 = None
+    if only is None:
+        media_wave4 = run_media_wave4(spark)
+        print(
+            f"media_wave4: {media_wave4['n_rows']} payload shapes, "
+            f"{media_wave4['unexplained']} unexplained; movement "
+            + ", ".join(
+                f"{k}={'neutral' if v['junk_neutral'] else 'MOVED'}"
+                for k, v in media_wave4["movement"].items()
+            ),
+            flush=True,
+        )
+
     artifact = {
         "generated_utc": dt.datetime.now(dt.timezone.utc).isoformat(
             timespec="seconds"
@@ -217,6 +477,8 @@ def main() -> int:
         "counts": counts,
         "queries": results,
     }
+    if media_wave4 is not None:
+        artifact["media_wave4"] = media_wave4
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -224,6 +486,7 @@ def main() -> int:
         counts["UNEXPLAINED"]
         + counts["ERROR"]
         + counts["NEUTRAL_ORACLE_DIVERGES"]
+        + (media_wave4["unexplained"] if media_wave4 else 0)
     )
     print(
         f"wrote {out_path}: {counts['junk_neutral']} neutral, "

@@ -159,6 +159,44 @@ def _junk_rows_v2() -> dict[str, list[tuple]]:
     }
 
 
+#: round-11 fourth wave — ENCODING junk in documents.text (VERDICT r10
+#: #2). The media fixture builders encode text CODEPOINTS into real
+#: WAV/PPM/PNG payloads and the text operators fold codepoints into
+#: hashes/shingles, so mojibake-grade text is the table-level entry
+#: point for binary-adjacent junk: embedded NULs, BOM + bidi override
+#: controls, Unicode NONCHARACTERS (U+FFFE/U+FFFF), the max astral
+#: codepoint, C1 controls, and a lone replacement char. (True invalid
+#: UTF-8 BYTES cannot exist in a Spark string — the decoder-level
+#: corruption shapes live in tools/junk_check.py's media_wave4 probe.)
+def _junk_rows_v4() -> dict[str, list[tuple]]:
+    return {
+        "documents": [
+            (98000101, "\x00abc\x00def words here\x00", "en", "web", 12),
+            (
+                98000102,
+                "\ufeff\u202evil bidi\u202c tail text",
+                "xx",
+                "web",
+                9,
+            ),
+            (
+                98000103,
+                "\U0010ffff\ufffe\uffff mixed astral \U0001f600 doc",
+                None,
+                "crawl",
+                11,
+            ),
+            (
+                98000104,
+                "\x85\x9c c1 controls � lone replacement",
+                "en",
+                "pdf",
+                7,
+            ),
+        ],
+    }
+
+
 def build_junk_corpus(spark, src_dir: str, dst_dir: str) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -193,7 +231,11 @@ def build_junk_corpus(spark, src_dir: str, dst_dir: str) -> None:
                 (98000008, [5e-324] * dim, 2),
             ]
         else:
-            junk = JUNK_ROWS[t] + _junk_rows_v2()[t]
+            junk = (
+                JUNK_ROWS[t]
+                + _junk_rows_v2()[t]
+                + _junk_rows_v4().get(t, [])
+            )
         junk_df = spark.createDataFrame(junk, schema)
         out = df.unionByName(junk_df)
         # single file per table, same layout as the harness

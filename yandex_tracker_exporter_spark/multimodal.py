@@ -133,6 +133,15 @@ def _wav_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + size > len(payload):
+            # Junk wave 4: Python slicing silently TRUNCATES an
+            # out-of-range chunk body, so a WAV cut mid-data — or one
+            # whose data chunk CLAIMS multi-GB — used to decode "ok"
+            # with fabricated duration/checksum, presenting damaged
+            # audio as complete. Every sibling decoder rejects
+            # truncation (PPM strict raster, Y4M frame check, PNG CRC,
+            # MP4 box-size check); WAV must too.
+            raise ValueError("truncated WAV chunk (declared size overruns payload)")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:
