@@ -339,3 +339,41 @@ def test_wav_parser_rejects_truncated_and_size_lying_chunks():
     i = p.find(b"data")
     lie[i + 4:i + 8] = struct.pack("<I", 0x7FFFFFF0)
     assert mm._decode_payload_verbose(bytes(lie))[1] == "malformed"
+
+
+def test_bench_diff_classifies_deltas_by_spread():
+    """bench_diff buckets per-query deltas against each run's OWN
+    best-vs-second-best spread (falling back to the 0.05 s jitter
+    floor), so a within-noise wobble never reads as a regression and a
+    real move never hides behind a tight spread."""
+    bd = _load("bench_diff")
+    old = {
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "gone": 9.0},
+        "queries_spread": {"a": 0.02, "b": 0.02, "c": 0.5},
+    }
+    new = {
+        "queries": {"a": 1.3, "b": 1.03, "c": 1.3, "fresh": 2.0},
+        "queries_spread": {"a": 0.02, "b": 0.02, "c": 0.02},
+    }
+    out = bd.classify(old, new)
+    assert [r[0] for r in out["slower"]] == ["a"]  # +0.3 > 0.05 floor
+    assert [r[0] for r in out["within_noise"]] == ["b", "c"]
+    # c's +0.3 is absorbed by ITS old-run spread of 0.5
+    assert out["faster"] == []
+    assert [r[0] for r in out["added"]] == ["fresh"]
+    assert [r[0] for r in out["removed"]] == ["gone"]
+    # driver-recorded artifacts nest under "parsed"
+    assert bd._load.__name__ == "_load"
+
+
+def test_committed_r11_bench_artifact_is_trusted():
+    """Ratchet (VERDICT r10 #1): the committed round-11 bench artifact
+    carries minima_trusted: true with the FULL per-query map — the
+    cross-round baseline is evidentiary again."""
+    import json
+
+    art = json.load(open(os.path.join(REPO, "BENCH_r11_quiet.json")))
+    assert art["minima_trusted"] is True
+    assert art["n_queries"] == len(entry_mod.queries())
+    assert len(art["queries"]) == art["n_queries"]  # FULL map, not compact
+    assert art["task_failures"] == 0 and art["contended"] is False
