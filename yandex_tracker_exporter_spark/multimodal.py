@@ -15,8 +15,11 @@ two decode modes exist:
   **WAV** (RIFF PCM audio), **PPM** (P6 binary portable pixmap),
   **Y4M** (YUV4MPEG2 uncompressed video), **PNG** (8-bit RGB, zlib
   DEFLATE via stdlib + all five scanline filters), **JPEG** (baseline
-  sequential DCT: canonical Huffman from DHT, DC prediction, zigzag,
-  dequant, 8x8 IDCT, 4:2:0/4:2:2/4:4:4 sampling, restart markers),
+  + extended sequential at 8- and 12-bit precision, AND progressive
+  SOF2 — spectral selection, successive approximation, DC/AC
+  refinement scans, EOB runs; canonical Huffman from DHT, DC
+  prediction, zigzag, dequant, 8x8 IDCT, 4:2:0/4:2:2/4:4:4 sampling,
+  restart markers),
   and **MP4** (ISO BMFF box-level metadata: mvhd duration/timescale,
   tkhd 16.16 dimensions). These decode actual payload bytes
   end-to-end; a PIL/ffmpeg kernel for other codecs plugs into the
@@ -1233,10 +1236,13 @@ def _encode_jpeg_coeffs(
     height: int,
     comps: list,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Assemble a baseline JPEG from QUANTIZED coefficient blocks:
-    DQT + SOF0 + DHT + (DRI) + SOS + interleaved entropy-coded data
-    with optional restart markers.
+    """Assemble a sequential JPEG from QUANTIZED coefficient blocks:
+    DQT + SOF0 (SOF1 with ``precision=12`` — baseline is 8-bit only per
+    T.81, so 12-bit emits the extended-sequential frame marker and a
+    16-bit-entry DQT) + DHT + (DRI) + SOS + interleaved entropy-coded
+    data with optional restart markers.
 
     ``comps`` is a list of (comp_id, h, v, blocks): blocks are int[64]
     arrays in NATURAL order, supplied in MCU-major order (for each MCU,
@@ -1320,11 +1326,22 @@ def _encode_jpeg_coeffs(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    qt_zz = bytes(int(_JPEG_QT_NAT[_JPEG_ZZ[i]]) for i in range(64))
-    dqt = seg(0xDB, b"\x00" + qt_zz)  # Pq=0 (8-bit), Tq=0
+    if precision == 8:
+        qt_zz = bytes(int(_JPEG_QT_NAT[_JPEG_ZZ[i]]) for i in range(64))
+        dqt = seg(0xDB, b"\x00" + qt_zz)  # Pq=0 (8-bit entries), Tq=0
+        sof_marker = 0xC0  # baseline
+    elif precision == 12:
+        qt_zz = b"".join(
+            struct.pack(">H", int(_JPEG_QT_NAT[_JPEG_ZZ[i]]))
+            for i in range(64)
+        )
+        dqt = seg(0xDB, b"\x10" + qt_zz)  # Pq=1 (16-bit entries), Tq=0
+        sof_marker = 0xC1  # extended sequential (12-bit lives here)
+    else:
+        raise ValueError("precision must be 8 or 12")
     sof0 = seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, len(comps))
+        sof_marker,
+        struct.pack(">BHHB", precision, height, width, len(comps))
         + b"".join(bytes([cid, (h << 4) | v, 0]) for cid, h, v, _ in comps),
     )
     dht = seg(
@@ -1357,6 +1374,245 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     ``encode_png``."""
     return _encode_jpeg_gray_coeffs(
         width, height, _jpeg_quantize_blocks(width, height, pixels)
+    )
+
+
+def _jpeg_quantize_blocks12(width: int, height: int, samples) -> list:
+    """12-bit forward path: level shift 2048 → 8x8 DCT → round(F / Q).
+    ``samples`` is any int sequence/array of width*height values in
+    [0, 4095]. With block-constant input the round trip is bit-exact
+    for the same reason as the 8-bit path (DC quantizer 8 divides
+    8*(v-2048) for every v)."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    img = np.asarray(samples, dtype=np.int64)
+    if img.size != width * height:
+        raise ValueError("samples must be width*height values")
+    if img.min() < 0 or img.max() > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    img = img.reshape(height, width)
+    qt = _JPEG_QT_NAT.reshape(8, 8).astype(np.float64)
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            f = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(
+                np.float64
+            ) - 2048.0
+            coef = _JPEG_DCT @ f @ _JPEG_DCT.T
+            blocks.append(np.rint(coef / qt).astype(np.int32).reshape(64))
+    return blocks
+
+
+def encode_jpeg_gray12(width: int, height: int, samples) -> bytes:
+    """12-bit extended-sequential (SOF1) grayscale JPEG — the second
+    half of the round-10 "progressive/12-bit → quarantine" gap. Same
+    real forward pipeline as :func:`encode_jpeg_gray` at the deeper
+    bit depth; the decoder reconstructs with level shift 2048 and
+    uint16 planes clipped to [0, 4095]."""
+    return _encode_jpeg_coeffs(
+        width,
+        height,
+        [(1, 1, 1, _jpeg_quantize_blocks12(width, height, samples))],
+        precision=12,
+    )
+
+
+def _jpeg_prog_scan_tokens(
+    scomp_ids: list,
+    blocks_of: dict,
+    nblocks: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+):
+    """Token stream for ONE progressive scan over 1x1-sampled
+    components (tokens: ("sym", s) huffman symbols, ("bits", v, n) raw
+    bit runs). Encodes exactly the four scan shapes the decoder
+    accepts; the AC refinement emitter mirrors the public libjpeg
+    ``encode_mcu_AC_refine`` structure (ZRL only while more
+    newly-significant coefficients follow, pending correction bits
+    flushed after each significant symbol / EOB)."""
+    tokens: list = []
+    syms: set = set()
+
+    def sym(s):
+        syms.add(s)
+        tokens.append(("sym", s))
+
+    def bits(v, n):
+        if n:
+            tokens.append(("bits", v, n))
+
+    dc_scan = ss == 0
+    refine = ah > 0
+    if dc_scan and not refine:  # DC first (interleaved over all comps)
+        pred = {cid: 0 for cid in scomp_ids}
+        for i in range(nblocks):
+            for cid in scomp_ids:
+                v = int(blocks_of[cid][i][0]) >> al  # arithmetic shift
+                size, ampl = _jpeg_category(v - pred[cid])
+                pred[cid] = v
+                sym(size)
+                bits(ampl, size)
+    elif dc_scan:  # DC refinement: one raw bit per block, no huffman
+        for i in range(nblocks):
+            for cid in scomp_ids:
+                bits((int(blocks_of[cid][i][0]) >> al) & 1, 1)
+    elif not refine:  # AC first: per-block runs, per-block EOB
+        (cid,) = scomp_ids
+        for i in range(nblocks):
+            blk = blocks_of[cid][i]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[_JPEG_ZZ[k]])
+                t = (abs(v) >> al) * (1 if v > 0 else -1)
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    sym(0xF0)  # ZRL
+                    r -= 16
+                size, ampl = _jpeg_category(t)
+                sym((r << 4) | size)
+                bits(ampl, size)
+                r = 0
+            if r:
+                sym(0x00)  # EOB run of exactly this block
+    else:  # AC refinement
+        (cid,) = scomp_ids
+        for i in range(nblocks):
+            blk = blocks_of[cid][i]
+            absv = {}
+            eobpos = ss - 1  # index of the LAST newly-significant coef
+            for k in range(ss, se + 1):
+                t = abs(int(blk[_JPEG_ZZ[k]])) >> al
+                absv[k] = t
+                if t == 1:
+                    eobpos = k
+            r = 0
+            corr: list = []  # pending correction bits
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    sym(0xF0)
+                    r -= 16
+                    for cb in corr:
+                        bits(cb, 1)
+                    corr = []
+                if t > 1:  # already significant: one correction bit
+                    corr.append(t & 1)
+                    continue
+                sym((r << 4) | 1)  # newly significant
+                bits(1 if int(blk[_JPEG_ZZ[k]]) > 0 else 0, 1)
+                for cb in corr:
+                    bits(cb, 1)
+                corr = []
+                r = 0
+            if r > 0 or corr:
+                sym(0x00)  # EOB (run of 1) + its correction bits
+                for cb in corr:
+                    bits(cb, 1)
+    return tokens, sorted(syms)
+
+
+def _encode_jpeg_progressive_coeffs(
+    width: int, height: int, comps: list, al: int = 1
+) -> bytes:
+    """Progressive JPEG (SOF2) from the SAME quantized blocks the
+    baseline assembler takes — only the SCAN STRUCTURE differs, so
+    ``decode(progressive) == decode(baseline)`` pins the whole
+    progressive machinery differentially (spectral selection,
+    successive approximation, DC/AC refinement, EOB runs). Scan script:
+
+    1. DC first, interleaved, Ah=0 Al=``al``
+    2. per component: AC band 1..5 first, Al=``al``
+    3. per component: AC band 6..63 first, Al=``al``
+    4. for a = ``al``..1: DC refinement (interleaved, Ah=a Al=a-1),
+       then per component AC refinement 1..63 (Ah=a Al=a-1)
+
+    Components must be 1x1-sampled (the MCU-major block order then
+    equals every scan's block order; subsampled progressive FIXTURES
+    are out of scope — the decoder itself handles subsampling)."""
+    if any(h != 1 or v != 1 for _, h, v, _ in comps):
+        raise ValueError("progressive fixture encoder requires 1x1 sampling")
+    if not 1 <= al <= 13:
+        raise ValueError("al must be in [1, 13]")
+    mcux = -(-width // 8)
+    mcuy = -(-height // 8)
+    nblocks = mcux * mcuy
+    blocks_of = {cid: blocks for cid, _, _, blocks in comps}
+    for cid, _, _, blocks in comps:
+        if len(blocks) != nblocks:
+            raise ValueError(f"component {cid}: block count mismatch")
+    all_ids = [c[0] for c in comps]
+
+    scans = [(all_ids, 0, 0, 0, al)]
+    for cid in all_ids:
+        scans.append(([cid], 1, 5, 0, al))
+        scans.append(([cid], 6, 63, 0, al))
+    for a in range(al, 0, -1):
+        scans.append((all_ids, 0, 0, a, a - 1))
+        for cid in all_ids:
+            scans.append(([cid], 1, 63, a, a - 1))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qt_zz = bytes(int(_JPEG_QT_NAT[_JPEG_ZZ[i]]) for i in range(64))
+    out = [
+        JPEG_SOI,
+        seg(0xDB, b"\x00" + qt_zz),
+        seg(
+            0xC2,
+            struct.pack(">BHHB", 8, height, width, len(comps))
+            + b"".join(bytes([cid, 0x11, 0]) for cid in all_ids),
+        ),
+    ]
+    for scomp_ids, ss, se, ah, a in scans:
+        tokens, syms = _jpeg_prog_scan_tokens(
+            scomp_ids, blocks_of, nblocks, ss, se, ah, a
+        )
+        codes = {}
+        if syms:  # DC refinement scans carry raw bits only — no DHT
+            bits16, vals, codes = _jpeg_flat_huffman(syms)
+            tc = 0 if ss == 0 else 1
+            out.append(
+                seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits16) + bytes(vals))
+            )
+        out.append(
+            seg(
+                0xDA,
+                bytes([len(scomp_ids)])
+                + b"".join(bytes([cid, 0x00]) for cid in scomp_ids)
+                + bytes([ss, se, (ah << 4) | a]),
+            )
+        )
+        bw = _JpegBitWriter()
+        for tok in tokens:
+            if tok[0] == "sym":
+                code, length = codes[tok[1]]
+                bw.put(code, length)
+            else:
+                bw.put(tok[1], tok[2])
+        out.append(bw.flush())
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def encode_jpeg_gray_progressive(
+    width: int, height: int, pixels: bytes, al: int = 1
+) -> bytes:
+    """Progressive grayscale JPEG over the baseline forward pipeline's
+    quantized blocks (see :func:`_encode_jpeg_progressive_coeffs`)."""
+    return _encode_jpeg_progressive_coeffs(
+        width,
+        height,
+        [(1, 1, 1, _jpeg_quantize_blocks(width, height, pixels))],
+        al=al,
     )
 
 
@@ -1436,14 +1692,310 @@ def _jpeg_extend(ampl: int, size: int) -> int:
     return ampl if ampl >= (1 << (size - 1)) else ampl - (1 << size) + 1
 
 
+def _jpeg_alloc_store(comps, width: int, height: int):
+    """Validate the frame header and allocate the per-component
+    coefficient store (int64[block_rows, block_cols, 64], natural
+    order). The memory/CPU bomb guards are the round-8 sequential
+    path's, checked BEFORE any allocation:
+
+    - a hard sample cap — 4M samples ~ a 2048x2048 gray or 1184² RGB
+      frame, ~50 MB of float64 planes worst-case and a bounded
+      pure-Python block loop;
+    - the per-scan entropy budget lives in :func:`_jpeg_decode_scan`
+      (sequential scans only — progressive EOB runs legitimately code
+      thousands of blocks per byte, and their work stays bounded by
+      this same sample cap).
+    """
+    if not (1 <= len(comps) <= 4) or width <= 0 or height <= 0:
+        raise ValueError("bad SOF dimensions/components")
+    if len({c[0] for c in comps}) != len(comps):
+        raise ValueError("duplicate component ids")
+    for _cid, h, v, _tq in comps:
+        if h < 1 or v < 1:
+            raise ValueError("zero sampling factor")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if max_h > 2 or max_v > 2:
+        raise ValueError("sampling factors above 2 unsupported")
+    if width * height * len(comps) > DECODE_SAMPLE_CAP:
+        raise DecodeCapExceeded("image dimensions exceed decode cap")
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
+    geom = {
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "max_h": max_h,
+        "max_v": max_v,
+        "store_blocks": {},
+        "data_blocks": {},
+    }
+    store = {}
+    for cid, h, v, _tq in comps:
+        bh, bw = mcuy * v, mcux * h
+        geom["store_blocks"][cid] = (bh, bw)
+        # non-interleaved scans cover the component's OWN block grid
+        # (ceil of its scaled dimensions), not the MCU-padded grid
+        cw = -(-(width * h) // max_h)
+        ch = -(-(height * v) // max_v)
+        geom["data_blocks"][cid] = (-(-ch // 8), -(-cw // 8))
+        # int64, not int16/int32: a crafted DC-diff chain can drift the
+        # predictor far past int16 — the store must absorb it without
+        # silent wraparound (quarantine handlers never see overflow)
+        store[cid] = np.zeros((bh, bw, 64), dtype=np.int64)
+    return store, geom
+
+
+def _jpeg_seq_block(br, blk, dc_tbl, ac_tbl, pred: int) -> int:
+    """Full-band sequential block decode (DC diff + AC run-length) into
+    a 64-coef natural-order view; returns the updated DC predictor."""
+    size = _jpeg_huff_decode(br, dc_tbl)
+    if size > 15:  # DC categories are <= 11 (8-bit) / <= 15 (12-bit);
+        # a corrupt table can claim up to 255 bits and overflow the
+        # int64 predictor chain
+        raise ValueError("bad DC category")
+    pred += _jpeg_extend(br.bits(size), size)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        sym = _jpeg_huff_decode(br, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, sz = sym >> 4, sym & 0x0F
+        if sz == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        blk[_JPEG_ZZ[k]] = _jpeg_extend(br.bits(sz), sz)
+        k += 1
+    return pred
+
+
+def _jpeg_ac_first(br, blk, ac_tbl, ss: int, se: int, al: int, state) -> None:
+    """Progressive AC first scan for one block (T.81 G.1.2.2): run
+    lengths within the [ss, se] band, values point-transformed left by
+    ``al``, EOB-run symbols covering up to 2^14 following blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _jpeg_huff_decode(br, ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                eob = 1 << r
+                if r:
+                    eob += br.bits(r)
+                state["eobrun"] = eob - 1  # this block is the first
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        blk[_JPEG_ZZ[k]] = _jpeg_extend(br.bits(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(br, blk, ac_tbl, ss: int, se: int, al: int, state) -> None:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3).
+    Control flow mirrors the public libjpeg ``decode_mcu_AC_refine``:
+    newly-significant coefficients arrive as (run, 1) symbols whose run
+    counts ZERO-HISTORY positions only, while every already-nonzero
+    coefficient passed on the way consumes one correction bit; EOB runs
+    finish the block (and following blocks) with correction bits for
+    their remaining nonzero coefficients."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = _jpeg_huff_decode(br, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += br.bits(r)
+                    state["eobrun"] = eob
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                z = _JPEG_ZZ[k]
+                if blk[z] != 0:
+                    if br.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] > 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[_JPEG_ZZ[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = _JPEG_ZZ[k]
+            if blk[z] != 0:
+                if br.bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _jpeg_decode_scan(
+    br,
+    store,
+    geom,
+    comps_by_id,
+    scomps,
+    huff_dc,
+    huff_ac,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    restart_interval: int,
+    payload_len: int,
+) -> None:
+    """Decode one entropy-coded scan into the coefficient store.
+
+    Sequential scans are full-band (interleaved MCU order when the
+    scan names several components, the component's own block grid when
+    it names one). Progressive scans dispatch on (band, Ah): DC first /
+    DC refinement (interleaving allowed), AC first / AC refinement
+    (single-component per T.81). Restart markers reset DC predictors
+    AND the EOB run."""
+    ns = len(scomps)
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("bad progressive DC band")
+        else:
+            if ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if not (ss <= se <= 63):
+                raise ValueError("bad spectral band")
+        if ah > 13 or al > 13 or (ah and ah != al + 1):
+            raise ValueError("bad successive-approximation bits")
+    else:
+        if ss != 0 or se != 63 or ah or al:
+            raise ValueError("bad sequential scan header")
+    dc_scan = ss == 0
+    refine = progressive and ah > 0
+    # cross-reference validation: a corrupt file can name tables that
+    # were never defined — every dangling reference must quarantine,
+    # not KeyError. DC refinement reads raw bits (no table at all).
+    need_dc = (not progressive) or (dc_scan and not refine)
+    need_ac = (not progressive) or not dc_scan
+    for _cid, td, ta in scomps:
+        if need_dc and td not in huff_dc:
+            raise ValueError("undefined DC Huffman table")
+        if need_ac and ta not in huff_ac:
+            raise ValueError("undefined AC Huffman table")
+    if not progressive:
+        # CPU-bomb guard: each sequential 8x8 block consumes >= 2
+        # entropy bits (1-bit DC code + 1-bit EOB are the Huffman
+        # minima), so a well-formed scan never codes more than 4
+        # blocks per byte. Progressive scans are exempt: one EOB-run
+        # symbol legitimately covers up to 2^14 blocks, and their
+        # total work is bounded by the sample cap instead.
+        if ns == 1:
+            bh, bw = geom["data_blocks"][scomps[0][0]]
+            total_blocks = bh * bw
+        else:
+            total_blocks = geom["mcux"] * geom["mcuy"] * sum(
+                comps_by_id[c][1] * comps_by_id[c][2] for c, _, _ in scomps
+            )
+        if total_blocks > 4 * max(payload_len - br.pos, 1):
+            raise ValueError("SOF block count exceeds entropy data budget")
+
+    state = {"eobrun": 0}
+    pred = {cid: 0 for cid, _, _ in scomps}
+
+    def decode_block(blk, td, ta, cid):
+        if not progressive:
+            pred[cid] = _jpeg_seq_block(
+                br, blk, huff_dc[td], huff_ac[ta], pred[cid]
+            )
+        elif dc_scan and not refine:
+            size = _jpeg_huff_decode(br, huff_dc[td])
+            if size > 15:
+                raise ValueError("bad DC category")
+            pred[cid] += _jpeg_extend(br.bits(size), size)
+            blk[0] = pred[cid] << al
+        elif dc_scan:  # DC refinement: one raw bit, OR'd in at Al
+            if br.bit():
+                blk[0] |= 1 << al
+        elif not refine:
+            _jpeg_ac_first(br, blk, huff_ac[ta], ss, se, al, state)
+        else:
+            _jpeg_ac_refine(br, blk, huff_ac[ta], ss, se, al, state)
+
+    def do_restart():
+        br.sync_restart()
+        for c in pred:
+            pred[c] = 0
+        state["eobrun"] = 0
+
+    n = 0
+    if ns == 1:
+        cid, td, ta = scomps[0]
+        bh, bw = geom["data_blocks"][cid]
+        blocks = store[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n and n % restart_interval == 0:
+                    do_restart()
+                decode_block(blocks[by, bx], td, ta, cid)
+                n += 1
+    else:
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                if restart_interval and n and n % restart_interval == 0:
+                    do_restart()
+                for cid, td, ta in scomps:
+                    _, h, v, _ = comps_by_id[cid]
+                    blocks = store[cid]
+                    for by in range(v):
+                        for bx in range(h):
+                            decode_block(
+                                blocks[my * v + by, mx * h + bx], td, ta, cid
+                            )
+                n += 1
+
+
 def _jpeg_decode_planes(payload: bytes):
-    """Full baseline-sequential decode: returns (planes, width, height)
-    with one full-resolution uint8 plane per component (chroma planes
-    of subsampled images are replicated up). Supports 1- and
-    3-component scans, sampling factors up to 2x2 (4:4:4 / 4:2:0 /
-    4:2:2), multiple DQT/DHT segments, restart intervals, byte
-    stuffing. Progressive (SOF2) and 12-bit inputs are rejected →
-    quarantine."""
+    """Full JPEG decode in the coefficient domain: baseline sequential
+    (SOF0), extended sequential (SOF1 — 8- and 12-bit), and progressive
+    (SOF2: spectral selection + successive approximation, DC/AC
+    refinement scans, EOB runs) — the round-10 "progressive/12-bit →
+    quarantine" gap, closed. Returns (planes, width, height) with one
+    full-resolution uint8 (uint16 for 12-bit) plane per component
+    (chroma planes of subsampled images are replicated up). Supports
+    1- and 3-component scans, sampling factors up to 2x2 (4:4:4 /
+    4:2:0 / 4:2:2), multiple DQT/DHT segments (tables may be redefined
+    between scans), restart intervals in sequential AND progressive
+    scans, byte stuffing. Lossless / arithmetic / hierarchical
+    processes are rejected → quarantine.
+
+    Every scan decodes into a per-component int64 coefficient store;
+    reconstruction (dequantize + batched IDCT + level shift) runs ONCE
+    at the end — a sequential file and a progressive file carrying the
+    same quantized coefficients therefore decode to IDENTICAL planes,
+    which tests/test_jpeg_progressive.py pins differentially (the
+    progressive fixture encoder reuses the baseline's quantized
+    blocks, changing only the scan structure)."""
     if payload[:2] != JPEG_SOI:
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1452,164 +2004,137 @@ def _jpeg_decode_planes(payload: bytes):
     huff_ac: dict[int, dict] = {}
     comps = None  # list of (id, h, v, tq)
     width = height = 0
+    precision = 8
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    store = None
+    geom = None
+    scans_done = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("no scan data")
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT — pq=0 (8-bit) or pq=1 (16-bit entries)
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise ValueError("12-bit quant tables unsupported")
-                zz = np.frombuffer(body[b + 1:b + 65], dtype=np.uint8)
+                if pq not in (0, 1):
+                    raise ValueError("bad DQT precision")
+                n = 64 * (pq + 1)
+                raw = body[b + 1:b + 1 + n]
+                if len(raw) != n:
+                    raise ValueError("truncated DQT")
+                zz = np.frombuffer(
+                    raw, dtype=">u2" if pq else np.uint8
+                ).astype(np.int32)
                 nat = np.zeros(64, dtype=np.int32)
                 for i in range(64):
                     nat[_JPEG_ZZ[i]] = zz[i]
                 qts[tq] = nat
-                b += 65
-        elif marker == 0xC4:  # DHT
+                b += 1 + n
+        elif marker == 0xC4:  # DHT — may arrive/redefine between scans
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17:b + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT")
                 (huff_ac if tc else huff_dc)[th] = _jpeg_build_huffman(
                     bits, vals
                 )
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if comps is not None:
+                raise ValueError("multiple SOF segments")
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6]
             )
-            if precision != 8:
-                raise ValueError("only 8-bit JPEG supported")
+            progressive = marker == 0xC2
+            if precision not in (8, 12):
+                raise ValueError("unsupported JPEG sample precision")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError("baseline JPEG is 8-bit only")
+            if len(body) < 6 + ncomp * 3:
+                raise ValueError("truncated SOF")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + c * 3:9 + c * 3]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
-            raise ValueError("non-baseline JPEG unsupported")
-        elif marker == 0xDD:  # DRI
+        elif marker in (
+            0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+        ):
+            raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xDD:  # DRI — may change between scans
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
-            ns = body[0]
-            scan_sel = {}
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            if store is None:
+                store, geom = _jpeg_alloc_store(comps, width, height)
+            ns = body[0] if body else 0
+            if ns < 1 or len(body) != 1 + 2 * ns + 3:
+                raise ValueError("bad SOS header")
+            known = {c[0]: c for c in comps}
+            scomps = []
             for c in range(ns):
                 cid, tdta = body[1 + c * 2], body[2 + c * 2]
-                scan_sel[cid] = (tdta >> 4, tdta & 0x0F)
-            pos = pos + 2 + seglen
-            break
+                if cid not in known:
+                    raise ValueError("SOS names unknown component")
+                scomps.append((cid, tdta >> 4, tdta & 0x0F))
+            if len({c[0] for c in scomps}) != ns:
+                raise ValueError("duplicate component in SOS")
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            br = _JpegBitReader(payload, pos + 2 + seglen)
+            _jpeg_decode_scan(
+                br, store, geom, known, scomps, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 0x0F, progressive,
+                restart_interval, len(payload),
+            )
+            scans_done += 1
+            pos = br.pos
+            continue
         pos += 2 + seglen
-    else:
-        raise ValueError("no SOS segment")
     if comps is None:
-        raise ValueError("missing SOF0")
-    # cross-reference validation (fuzz hardening): a corrupt file can
-    # name tables or components that were never defined — every such
-    # dangling reference must quarantine, not KeyError
-    if not (1 <= len(comps) <= 4) or width <= 0 or height <= 0:
-        raise ValueError("bad SOF0 dimensions/components")
-    if len({c[0] for c in comps}) != len(comps):
-        raise ValueError("duplicate component ids")
-    for cid, h, v, tq in comps:
-        if h < 1 or v < 1:
-            raise ValueError("zero sampling factor")
+        raise ValueError("missing SOF")
+    if scans_done == 0:
+        raise ValueError("no scan data")
+    for _cid, _h, _v, tq in comps:
         if tq not in qts:
             raise ValueError("undefined quant table")
-        if cid not in scan_sel:
-            raise ValueError("SOS does not cover component")
-        td, ta = scan_sel[cid]
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("undefined Huffman table")
 
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    if max_h > 2 or max_v > 2:
-        raise ValueError("sampling factors above 2 unsupported")
-    # memory-bomb / CPU-bomb guard: a hostile SOF can claim 65535x65535
-    # and make the plane allocation below explode before a single
-    # entropy byte is read. Two bounds, both checked BEFORE allocating:
-    # (a) a hard sample cap — 4M samples ~ a 2048x2048 gray or 1184²
-    #     RGB frame, ~50 MB of float64 planes worst-case and a bounded
-    #     pure-Python block loop (the r6 cap of 2^26 allowed ~512 MB of
-    #     planes and minutes of per-bit decode from one crafted file);
-    # (b) an entropy budget — each 8x8 block consumes >= 2 entropy bits
-    #     (a 1-bit DC code + a 1-bit EOB are the Huffman minima), so a
-    #     well-formed payload can never carry more than 4 blocks per
-    #     entropy byte; a tiny file claiming a huge SOF quarantines
-    #     here instead of stalling the executor until the bit reader
-    #     runs dry deep inside the MCU loop.
-    if width * height * len(comps) > DECODE_SAMPLE_CAP:
-        raise DecodeCapExceeded("image dimensions exceed decode cap")
-    mcux = -(-width // (8 * max_h))
-    mcuy = -(-height // (8 * max_v))
-    total_blocks = mcux * mcuy * sum(h * v for _, h, v, _ in comps)
-    entropy_budget = 4 * max(len(payload) - pos, 1)
-    if total_blocks > entropy_budget:
-        raise ValueError("SOF block count exceeds entropy data budget")
-    planes = {
-        cid: np.zeros(
-            (mcuy * v * 8, mcux * h * 8), dtype=np.float64
-        )
-        for cid, h, v, _ in comps
-    }
-    br = _JpegBitReader(payload, pos)
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = {cid: 0 for cid in pred}
-            for cid, h, v, tq in comps:
-                td, ta = scan_sel[cid]
-                qt = qts[tq]
-                for by in range(v):
-                    for bx in range(h):
-                        coef = np.zeros(64, dtype=np.int64)
-                        size = _jpeg_huff_decode(br, huff_dc[td])
-                        if size > 15:  # baseline DC categories are <= 11;
-                            # a corrupt table can claim up to 255 bits and
-                            # overflow the int64 predictor chain
-                            raise ValueError("bad DC category")
-                        diff = _jpeg_extend(br.bits(size), size)
-                        pred[cid] += diff
-                        coef[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            sym = _jpeg_huff_decode(br, huff_ac[ta])
-                            if sym == 0x00:  # EOB
-                                break
-                            run, sz = sym >> 4, sym & 0x0F
-                            if sz == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run overflows block")
-                            coef[_JPEG_ZZ[k]] = _jpeg_extend(br.bits(sz), sz)
-                            k += 1
-                        deq = (coef * qt).reshape(8, 8).astype(np.float64)
-                        blk = _JPEG_DCT.T @ deq @ _JPEG_DCT + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
-            mcu_count += 1
-
+    maxval = (1 << precision) - 1
+    shift = float(1 << (precision - 1))
     out = []
-    for cid, h, v, _ in comps:
-        p = np.clip(np.rint(planes[cid]), 0, 255).astype(np.uint8)
+    max_h, max_v = geom["max_h"], geom["max_v"]
+    for cid, h, v, tq in comps:
+        bh, bw = geom["store_blocks"][cid]
+        deq = (
+            (store[cid] * qts[tq].astype(np.int64))
+            .reshape(bh, bw, 8, 8)
+            .astype(np.float64)
+        )
+        # batched IDCT: np.matmul broadcasts the same per-block 2-D
+        # multiplies the old per-block loop did — bit-identical floats
+        blk = _JPEG_DCT.T @ deq @ _JPEG_DCT + shift
+        plane = blk.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        p = np.clip(np.rint(plane), 0, maxval).astype(
+            np.uint8 if precision == 8 else np.uint16
+        )
         # replicate subsampled chroma up to full MCU resolution…
         if h < max_h:
             p = np.repeat(p, max_h // h, axis=1)
