@@ -278,7 +278,7 @@ def test_media_wave4_expectations_cover_every_shape():
     is the fabrication class the probe exists to catch)."""
     jc = _load("junk_check")
     rows = jc.media_wave4_corpus()
-    assert len(rows) == 48  # 6 formats x 8 shapes
+    assert len(rows) == 64  # 8 formats x 8 shapes (incl. jpeg_prog/jpeg12)
     seen = set()
     for mid, fmt, shape, payload in rows:
         key = (fmt, shape)
@@ -318,7 +318,7 @@ def test_committed_junkcheck_has_media_wave4_section():
     sec = art.get("media_wave4")
     assert sec is not None, "regenerate JUNKCHECK.json (wave 4 missing)"
     assert sec["unexplained"] == 0
-    assert sec["n_rows"] == 48
+    assert sec["n_rows"] == 64
     assert all(v["ok"] for v in sec["rows"].values())
     assert all(v["junk_neutral"] for v in sec["movement"].values())
 

@@ -42,7 +42,8 @@ protocol: ANSI on, default confs), and writes the committed artifact
 Full runs (no ``--only``) additionally execute the wave-4 MEDIA probe
 (``run_media_wave4``): corrupted BINARY payloads — truncated magic,
 valid-header-corrupt-body, zero-length, multi-GB-claiming containers,
-byte soup, NULL — for all six formats, adjudicated against a typed
+byte soup, NULL — for all eight format variants (WAV/PPM/Y4M/PNG/
+baseline JPEG/progressive JPEG/12-bit JPEG/MP4), adjudicated against a typed
 expectation table plus a junk-neutrality fingerprint for every
 decode-backed operator; the section lands in the artifact under
 ``media_wave4``.
@@ -102,18 +103,23 @@ EXPECTED_MOVERS: dict[str, str] = {
 #: validate declared size against actual bytes first, and a tiny body
 #: claiming gigabytes IS a malformed container (no allocation happens
 #: either way — pinned by tests/test_multimodal.py's memory-bomb test).
+#: jpeg_prog / jpeg12 joined in round 11 when the decoder grew
+#: progressive (SOF2) and 12-bit extended-sequential (SOF1) support —
+#: the new scan machinery sits under the SAME adjudicated artifact.
+_W4_FORMATS = ("wav", "ppm", "y4m", "png", "jpeg", "jpeg_prog", "jpeg12", "mp4")
+
 MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
-    **{(f, "valid"): {"ok"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
-    **{(f, "null_payload"): {"null_payload"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
-    **{(f, "zero_length"): {"unknown_format"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
-    **{(f, "truncated_magic"): {"unknown_format"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
-    **{(f, "byte_soup"): {"unknown_format"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "valid"): {"ok"} for f in _W4_FORMATS},
+    **{(f, "null_payload"): {"null_payload"} for f in _W4_FORMATS},
+    **{(f, "zero_length"): {"unknown_format"} for f in _W4_FORMATS},
+    **{(f, "truncated_magic"): {"unknown_format"} for f in _W4_FORMATS},
+    **{(f, "byte_soup"): {"unknown_format"} for f in _W4_FORMATS},
     # valid magic, body cut to 60% — strict-length/CRC checks must fire
     # (the WAV parser FABRICATED duration/checksum from truncated data
     # until this wave: silent slice truncation in the chunk walk)
-    **{(f, "truncated_body"): {"malformed"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "truncated_body"): {"malformed"} for f in _W4_FORMATS},
     # structural corruption mid-body (bit flip / size-field lie)
-    **{(f, "body_corrupt"): {"malformed"} for f in ("wav", "ppm", "y4m", "png", "jpeg", "mp4")},
+    **{(f, "body_corrupt"): {"malformed"} for f in _W4_FORMATS},
     # header claims multi-GB content over a tiny body
     ("wav", "giant_claim"): {"malformed"},
     ("ppm", "giant_claim"): {"malformed"},
@@ -121,6 +127,8 @@ MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
     ("mp4", "giant_claim"): {"malformed"},
     ("png", "giant_claim"): {"cap_exceeded"},
     ("jpeg", "giant_claim"): {"cap_exceeded"},
+    ("jpeg_prog", "giant_claim"): {"cap_exceeded"},
+    ("jpeg12", "giant_claim"): {"cap_exceeded"},
 }
 
 
@@ -139,9 +147,14 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
         "y4m": mm.encode_y4m(4, 4, [bytes(range(48))] * 2),
         "png": mm.encode_png(4, 5, bytes(range(60))),
         "jpeg": mm.encode_jpeg_gray(8, 8, bytes(range(64))),
+        "jpeg_prog": mm.encode_jpeg_gray_progressive(
+            16, 16, bytes((i * 7) % 256 for i in range(256))
+        ),
+        "jpeg12": mm.encode_jpeg_gray12(8, 8, [(i * 64) % 4096 for i in range(64)]),
         "mp4": mm.encode_mp4_meta(640, 480, 1500),
     }
-    magic_keep = {"wav": 3, "ppm": 1, "y4m": 4, "png": 5, "jpeg": 1, "mp4": 6}
+    magic_keep = {"wav": 3, "ppm": 1, "y4m": 4, "png": 5, "jpeg": 1,
+                  "jpeg_prog": 1, "jpeg12": 1, "mp4": 6}
 
     def body_corrupt(fmt: str, p: bytes) -> bytes:
         b = bytearray(p)
@@ -154,8 +167,17 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
             b = b[:-5]
         elif fmt == "png":  # IDAT bit flip: CRC mismatch
             b[45] ^= 0xFF
-        elif fmt == "jpeg":  # entropy-stream bit flip
+        elif fmt in ("jpeg", "jpeg_prog"):  # entropy bit flip
             b[len(b) // 2] ^= 0xFF
+        elif fmt == "jpeg12":
+            # the payload midpoint falls inside the 16-bit DQT, and a
+            # corrupted quant table DECODES (JPEG carries no integrity
+            # check — that is honest lossy corruption, not fabrication);
+            # corrupt the SOS band instead: Se=7 on a sequential scan
+            # is structurally illegal and must quarantine
+            i = p.find(b"\xff\xda")
+            (sos_len,) = struct.unpack(">H", p[i + 2:i + 4])
+            b[i + 2 + sos_len - 2] = 7  # Se byte of the SOS header
         elif fmt == "mp4":  # ftyp box size lie
             b[0:4] = struct.pack(">I", 2**31)
         return bytes(b)
@@ -175,9 +197,11 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
                 + mm._png_chunk(b"IDAT", b"xx")
                 + mm._png_chunk(b"IEND", b"")
             )
-        if fmt == "jpeg":  # SOF0 dims patched to 60000x60000
+        if fmt in ("jpeg", "jpeg_prog", "jpeg12"):  # SOF dims -> 60000^2
             b = bytearray(p)
-            i = p.find(b"\xff\xc0")
+            sof = {"jpeg": b"\xff\xc0", "jpeg_prog": b"\xff\xc2",
+                   "jpeg12": b"\xff\xc1"}[fmt]
+            i = p.find(sof)
             b[i + 5:i + 9] = struct.pack(">HH", 60000, 60000)
             return bytes(b)
         # mp4: 64-bit largesize box claiming more than the file holds
@@ -229,7 +253,8 @@ def run_media_wave4(spark) -> dict:
         ]
     )
     kind_of = {"wav": "audio", "ppm": "image", "y4m": "video",
-               "png": "image", "jpeg": "image", "mp4": "video"}
+               "png": "image", "jpeg": "image", "jpeg_prog": "image",
+               "jpeg12": "image", "mp4": "video"}
     df = spark.createDataFrame(
         [(mid, kind_of[fmt], f"{fmt}:{shape}", p) for mid, fmt, shape, p in rows],
         schema,
