@@ -203,3 +203,46 @@ def test_progressive_payload_flows_through_operators(spark):
     rows = {r["media_id"]: r for r in mm.decode_media(df).collect()}
     assert rows[1]["content_checksum"] == rows[2]["content_checksum"]
     assert rows[1]["format"] == rows[2]["format"] == "jpeg"
+
+
+def _rand_blocks(rng, n, scale=12):
+    return [rng.randint(-scale, scale, size=64).astype(np.int32) for _ in range(n)]
+
+
+def test_progressive_equals_baseline_subsampled_420():
+    """4:2:0 progressive — the most common JPEG on the web. The Y
+    component's MCU grid carries a PADDING column here (w=24 with
+    16-px MCUs): interleaved DC scans code it, non-interleaved AC
+    scans must skip it (T.81 A.2.2/A.2.3) — and the cropped planes
+    still match the baseline interleaved scan bit-for-bit."""
+    rng = np.random.RandomState(42)
+    w, h = 24, 16
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    comps = [
+        (1, 2, 2, _rand_blocks(rng, mcux * mcuy * 4)),
+        (2, 1, 1, _rand_blocks(rng, mcux * mcuy)),
+        (3, 1, 1, _rand_blocks(rng, mcux * mcuy)),
+    ]
+    base, _, _ = mm._jpeg_decode_planes(mm._encode_jpeg_coeffs(w, h, comps))
+    prog, _, _ = mm._jpeg_decode_planes(
+        mm._encode_jpeg_progressive_coeffs(w, h, comps)
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(base, prog))
+
+
+def test_progressive_equals_baseline_subsampled_422_refined():
+    """4:2:2 with a two-bit successive approximation (al=2): two DC and
+    two AC refinement rounds over a horizontally-subsampled frame."""
+    rng = np.random.RandomState(43)
+    w, h = 40, 24
+    mcux, mcuy = -(-w // 16), -(-h // 8)
+    comps = [
+        (1, 2, 1, _rand_blocks(rng, mcux * mcuy * 2)),
+        (2, 1, 1, _rand_blocks(rng, mcux * mcuy)),
+        (3, 1, 1, _rand_blocks(rng, mcux * mcuy)),
+    ]
+    base, _, _ = mm._jpeg_decode_planes(mm._encode_jpeg_coeffs(w, h, comps))
+    prog, _, _ = mm._jpeg_decode_planes(
+        mm._encode_jpeg_progressive_coeffs(w, h, comps, al=2)
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(base, prog))

@@ -1420,17 +1420,20 @@ def encode_jpeg_gray12(width: int, height: int, samples) -> bytes:
 def _jpeg_prog_scan_tokens(
     scomp_ids: list,
     blocks_of: dict,
-    nblocks: int,
+    block_order: dict,
     ss: int,
     se: int,
     ah: int,
     al: int,
 ):
-    """Token stream for ONE progressive scan over 1x1-sampled
-    components (tokens: ("sym", s) huffman symbols, ("bits", v, n) raw
-    bit runs). Encodes exactly the four scan shapes the decoder
-    accepts; the AC refinement emitter mirrors the public libjpeg
-    ``encode_mcu_AC_refine`` structure (ZRL only while more
+    """Token stream for ONE progressive scan (tokens: ("sym", s)
+    huffman symbols, ("bits", v, n) raw bit runs). ``block_order[cid]``
+    is the scan's block sequence for that component as indices into
+    its MCU-major block list — the interleaved MCU order for DC scans,
+    the component's own raster grid (padding blocks excluded) for the
+    non-interleaved AC scans. Encodes exactly the four scan shapes the
+    decoder accepts; the AC refinement emitter mirrors the public
+    libjpeg ``encode_mcu_AC_refine`` structure (ZRL only while more
     newly-significant coefficients follow, pending correction bits
     flushed after each significant symbol / EOB)."""
     tokens: list = []
@@ -1448,20 +1451,22 @@ def _jpeg_prog_scan_tokens(
     refine = ah > 0
     if dc_scan and not refine:  # DC first (interleaved over all comps)
         pred = {cid: 0 for cid in scomp_ids}
-        for i in range(nblocks):
-            for cid in scomp_ids:
-                v = int(blocks_of[cid][i][0]) >> al  # arithmetic shift
-                size, ampl = _jpeg_category(v - pred[cid])
-                pred[cid] = v
-                sym(size)
-                bits(ampl, size)
+        for step in zip(*(block_order[cid] for cid in scomp_ids)):
+            for cid, idxs in zip(scomp_ids, step):
+                for i in idxs:
+                    v = int(blocks_of[cid][i][0]) >> al  # arithmetic
+                    size, ampl = _jpeg_category(v - pred[cid])
+                    pred[cid] = v
+                    sym(size)
+                    bits(ampl, size)
     elif dc_scan:  # DC refinement: one raw bit per block, no huffman
-        for i in range(nblocks):
-            for cid in scomp_ids:
-                bits((int(blocks_of[cid][i][0]) >> al) & 1, 1)
+        for step in zip(*(block_order[cid] for cid in scomp_ids)):
+            for cid, idxs in zip(scomp_ids, step):
+                for i in idxs:
+                    bits((int(blocks_of[cid][i][0]) >> al) & 1, 1)
     elif not refine:  # AC first: per-block runs, per-block EOB
         (cid,) = scomp_ids
-        for i in range(nblocks):
+        for i in block_order[cid]:
             blk = blocks_of[cid][i]
             r = 0
             for k in range(ss, se + 1):
@@ -1481,7 +1486,7 @@ def _jpeg_prog_scan_tokens(
                 sym(0x00)  # EOB run of exactly this block
     else:  # AC refinement
         (cid,) = scomp_ids
-        for i in range(nblocks):
+        for i in block_order[cid]:
             blk = blocks_of[cid][i]
             absv = {}
             eobpos = ss - 1  # index of the LAST newly-significant coef
@@ -1534,20 +1539,40 @@ def _encode_jpeg_progressive_coeffs(
     4. for a = ``al``..1: DC refinement (interleaved, Ah=a Al=a-1),
        then per component AC refinement 1..63 (Ah=a Al=a-1)
 
-    Components must be 1x1-sampled (the MCU-major block order then
-    equals every scan's block order; subsampled progressive FIXTURES
-    are out of scope — the decoder itself handles subsampling)."""
-    if any(h != 1 or v != 1 for _, h, v, _ in comps):
-        raise ValueError("progressive fixture encoder requires 1x1 sampling")
+    Sampling factors up to 2x2 are supported (4:2:0 progressive is the
+    most common JPEG on the web): the interleaved DC scans walk the
+    MCU-major block order — the same order the baseline assembler
+    takes its blocks in — and the non-interleaved AC scans walk each
+    component's OWN raster block grid, skipping the MCU padding blocks
+    that only interleaved scans code (T.81 A.2.2/A.2.3)."""
     if not 1 <= al <= 13:
         raise ValueError("al must be in [1, 13]")
-    mcux = -(-width // 8)
-    mcuy = -(-height // 8)
-    nblocks = mcux * mcuy
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
     blocks_of = {cid: blocks for cid, _, _, blocks in comps}
-    for cid, _, _, blocks in comps:
-        if len(blocks) != nblocks:
+    # per-scan block orders as indices into the MCU-major lists:
+    # DC (interleaved) — groups of the comp's h*v blocks per MCU;
+    # AC (non-interleaved) — the comp's data-block raster, mapped into
+    # MCU-major position, padding blocks excluded
+    dc_order: dict = {}
+    ac_order: dict = {}
+    for cid, h, v, blocks in comps:
+        if len(blocks) != mcux * mcuy * h * v:
             raise ValueError(f"component {cid}: block count mismatch")
+        dc_order[cid] = [
+            [i * h * v + j for j in range(h * v)]
+            for i in range(mcux * mcuy)
+        ]
+        cw = -(-(width * h) // max_h)
+        ch = -(-(height * v) // max_v)
+        bw_data, bh_data = -(-cw // 8), -(-ch // 8)
+        ac_order[cid] = [
+            ((by // v) * mcux + (bx // h)) * (h * v) + (by % v) * h + (bx % h)
+            for by in range(bh_data)
+            for bx in range(bw_data)
+        ]
     all_ids = [c[0] for c in comps]
 
     scans = [(all_ids, 0, 0, 0, al)]
@@ -1569,12 +1594,23 @@ def _encode_jpeg_progressive_coeffs(
         seg(
             0xC2,
             struct.pack(">BHHB", 8, height, width, len(comps))
-            + b"".join(bytes([cid, 0x11, 0]) for cid in all_ids),
+            + b"".join(
+                bytes([cid, (h << 4) | v, 0]) for cid, h, v, _ in comps
+            ),
         ),
     ]
     for scomp_ids, ss, se, ah, a in scans:
+        if ss == 0 and len(scomp_ids) > 1:
+            order = dc_order  # interleaved MCU order
+        elif ss == 0:
+            # T.81: a single-component scan is NON-interleaved even for
+            # DC — the decoder walks the data grid, so must the encoder
+            c0 = scomp_ids[0]
+            order = {c0: [[i] for i in ac_order[c0]]}
+        else:
+            order = ac_order
         tokens, syms = _jpeg_prog_scan_tokens(
-            scomp_ids, blocks_of, nblocks, ss, se, ah, a
+            scomp_ids, blocks_of, order, ss, se, ah, a
         )
         codes = {}
         if syms:  # DC refinement scans carry raw bits only — no DHT
