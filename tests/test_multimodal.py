@@ -555,8 +555,10 @@ def test_jpeg_420_subsampling_and_restart_markers():
 
 
 def test_jpeg_corrupt_payloads_quarantined(spark):
-    """Truncated / non-JPEG / progressive payloads must yield null or be
-    skipped — never crash the scan (the F8 quarantine posture)."""
+    """Truncated / non-JPEG payloads must yield null or be skipped —
+    never crash the scan (the F8 quarantine posture). Progressive and
+    12-bit inputs DECODE since round 11; their own corruption shapes
+    live in tests/test_jpeg_progressive.py and the wave-4 artifact."""
     import numpy as np
     import pytest as _pt
 
