@@ -377,3 +377,38 @@ def test_committed_r11_bench_artifact_is_trusted():
     assert art["n_queries"] == len(entry_mod.queries())
     assert len(art["queries"]) == art["n_queries"]  # FULL map, not compact
     assert art["task_failures"] == 0 and art["contended"] is False
+
+
+def test_schema_drift_check_cli_and_movers_contract():
+    """schema_drift_check shares the probe-family CLI contract; any
+    EXPECTED_SCHEMA_MOVERS entry must carry a reviewed explanation."""
+    sd = _load("schema_drift_check")
+    src, only, keep, out = sd._parse_args([])
+    assert src == "/root/testdata/sf0.001" and only is None and not keep
+    assert out.endswith("SCHEMADRIFT.json")
+    _, only2, _, out2 = sd._parse_args(["--only=a,b", "--out=/tmp/x.json"])
+    assert only2 == {"a", "b"} and out2 == "/tmp/x.json"
+    assert sd.VARIANTS == ("reorder", "extra", "split")
+    for (name, mode), why in sd.EXPECTED_SCHEMA_MOVERS.items():
+        assert isinstance(name, str) and mode in sd.VARIANTS
+        assert isinstance(why, str) and len(why) > 20
+
+
+def test_committed_schemadrift_is_clean():
+    """Ratchet on the committed layout-junk artifact (round 11): every
+    contract query is drift-neutral across all three variants — the
+    engine reads columns BY NAME, never by position, and never widens
+    its projection implicitly when a producer appends a column."""
+    import json
+
+    path = os.path.join(REPO, "SCHEMADRIFT.json")
+    assert os.path.exists(path), "SCHEMADRIFT.json must be committed"
+    art = json.load(open(path))
+    assert art["counts"]["UNEXPLAINED"] == 0
+    assert art["counts"]["ERROR"] == 0
+    assert art["n_run"] == len(entry_mod.queries())
+    for name, rec in art["queries"].items():
+        assert rec["class"] in (
+            "drift_neutral",
+            "expected_mover_documented",
+        ), f"{name}: {rec}"
