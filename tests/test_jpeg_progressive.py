@@ -246,3 +246,40 @@ def test_progressive_equals_baseline_subsampled_422_refined():
         mm._encode_jpeg_progressive_coeffs(w, h, comps, al=2)
     )
     assert all(np.array_equal(a, b) for a, b in zip(base, prog))
+
+
+def test_progressive_restart_intervals():
+    """Restart markers INSIDE progressive scans (camera files do this):
+    RSTn resets the DC predictors and the EOB run at every interval in
+    every scan — the restart-bearing progressive stream must decode
+    bit-identically to the unmarked baseline of the same blocks, and
+    the payload must actually carry RST markers."""
+    rng = np.random.RandomState(5)
+    w, h = 40, 32
+    pix = rng.randint(0, 256, size=w * h).astype(np.uint8).tobytes()
+    base, _, _ = mm._jpeg_decode_planes(mm.encode_jpeg_gray(w, h, pix))
+    prog = mm._encode_jpeg_progressive_coeffs(
+        w, h, [(1, 1, 1, mm._jpeg_quantize_blocks(w, h, pix))],
+        al=1, restart_interval=3,
+    )
+    n_rst = sum(prog.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst >= 20  # every scan restarts every 3 blocks
+    pp, _, _ = mm._jpeg_decode_planes(prog)
+    assert np.array_equal(base[0], pp[0])
+
+    # subsampled + refined + restarted, all at once
+    mcux, mcuy = 3, 2
+    comps = [
+        (1, 2, 2, _rand_blocks(rng, mcux * mcuy * 4, 15)),
+        (2, 1, 1, _rand_blocks(rng, mcux * mcuy, 15)),
+        (3, 1, 1, _rand_blocks(rng, mcux * mcuy, 15)),
+    ]
+    b2, _, _ = mm._jpeg_decode_planes(
+        mm._encode_jpeg_coeffs(48, 32, comps, restart_interval=2)
+    )
+    p2, _, _ = mm._jpeg_decode_planes(
+        mm._encode_jpeg_progressive_coeffs(
+            48, 32, comps, al=2, restart_interval=2
+        )
+    )
+    assert all(np.array_equal(a, b) for a, b in zip(b2, p2))

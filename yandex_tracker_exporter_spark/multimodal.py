@@ -1425,6 +1425,7 @@ def _jpeg_prog_scan_tokens(
     se: int,
     ah: int,
     al: int,
+    restart_interval: int = 0,
 ):
     """Token stream for ONE progressive scan (tokens: ("sym", s)
     huffman symbols, ("bits", v, n) raw bit runs). ``block_order[cid]``
@@ -1449,9 +1450,26 @@ def _jpeg_prog_scan_tokens(
 
     dc_scan = ss == 0
     refine = ah > 0
+    pred = {cid: 0 for cid in scomp_ids}
+    n_units = 0
+
+    def unit_boundary():
+        # T.81: restart intervals count MCUs — one interleaved step or
+        # one block of a non-interleaved scan. RSTm resets the DC
+        # predictors (and, in progressive AC scans, the EOB run — our
+        # per-block EOBs never span a boundary, so nothing is pending).
+        nonlocal n_units
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            tokens.append(
+                ("rst", (n_units // restart_interval - 1) % 8)
+            )
+            for c in pred:
+                pred[c] = 0
+        n_units += 1
+
     if dc_scan and not refine:  # DC first (interleaved over all comps)
-        pred = {cid: 0 for cid in scomp_ids}
         for step in zip(*(block_order[cid] for cid in scomp_ids)):
+            unit_boundary()
             for cid, idxs in zip(scomp_ids, step):
                 for i in idxs:
                     v = int(blocks_of[cid][i][0]) >> al  # arithmetic
@@ -1461,12 +1479,14 @@ def _jpeg_prog_scan_tokens(
                     bits(ampl, size)
     elif dc_scan:  # DC refinement: one raw bit per block, no huffman
         for step in zip(*(block_order[cid] for cid in scomp_ids)):
+            unit_boundary()
             for cid, idxs in zip(scomp_ids, step):
                 for i in idxs:
                     bits((int(blocks_of[cid][i][0]) >> al) & 1, 1)
     elif not refine:  # AC first: per-block runs, per-block EOB
         (cid,) = scomp_ids
         for i in block_order[cid]:
+            unit_boundary()
             blk = blocks_of[cid][i]
             r = 0
             for k in range(ss, se + 1):
@@ -1487,6 +1507,7 @@ def _jpeg_prog_scan_tokens(
     else:  # AC refinement
         (cid,) = scomp_ids
         for i in block_order[cid]:
+            unit_boundary()
             blk = blocks_of[cid][i]
             absv = {}
             eobpos = ss - 1  # index of the LAST newly-significant coef
@@ -1525,7 +1546,8 @@ def _jpeg_prog_scan_tokens(
 
 
 def _encode_jpeg_progressive_coeffs(
-    width: int, height: int, comps: list, al: int = 1
+    width: int, height: int, comps: list, al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG (SOF2) from the SAME quantized blocks the
     baseline assembler takes — only the SCAN STRUCTURE differs, so
@@ -1599,6 +1621,8 @@ def _encode_jpeg_progressive_coeffs(
             ),
         ),
     ]
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     for scomp_ids, ss, se, ah, a in scans:
         if ss == 0 and len(scomp_ids) > 1:
             order = dc_order  # interleaved MCU order
@@ -1610,7 +1634,7 @@ def _encode_jpeg_progressive_coeffs(
         else:
             order = ac_order
         tokens, syms = _jpeg_prog_scan_tokens(
-            scomp_ids, blocks_of, order, ss, se, ah, a
+            scomp_ids, blocks_of, order, ss, se, ah, a, restart_interval
         )
         codes = {}
         if syms:  # DC refinement scans carry raw bits only — no DHT
@@ -1632,6 +1656,8 @@ def _encode_jpeg_progressive_coeffs(
             if tok[0] == "sym":
                 code, length = codes[tok[1]]
                 bw.put(code, length)
+            elif tok[0] == "rst":
+                bw.align_marker(0xD0 + tok[1])
             else:
                 bw.put(tok[1], tok[2])
         out.append(bw.flush())
