@@ -344,3 +344,33 @@ def test_kcore_cap_binds_loudly(spark):
         kcore(df, k=2, rounds=3, local_finish_edges=0).collect()
     assert kcore(df, k=2, rounds=64).collect() == []
     assert kcore(df, k=2, rounds=64, local_finish_edges=0).collect() == []
+
+
+def test_scd2_type_parser_public_first_with_fallback(monkeypatch):
+    """ADVICE r11: type-name validation must ride the PUBLIC parser
+    (DataType.fromDDL, PySpark 4.0+) and only fall back to the private
+    _parse_datatype_string — and when NEITHER exists it must degrade
+    to a loud RuntimeError naming the escape hatch, not an
+    AttributeError from a renamed private."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from yandex_tracker_exporter_spark.operators.temporal import (
+        _sql_type_name,
+    )
+
+    assert hasattr(T.DataType, "fromDDL")  # the public path this pins
+    assert _sql_type_name("decimal(10,2)") == "decimal(10,2)"
+
+    # public parser gone (older runtime): private fallback still works
+    monkeypatch.delattr(T.DataType, "fromDDL")
+    assert _sql_type_name("bigint") == "bigint"
+    with pytest.raises(ValueError, match="value_type"):
+        _sql_type_name("nope; DROP TABLE x")
+
+    # both parsers gone: loud, actionable, no AttributeError leak
+    monkeypatch.delattr(T, "_parse_datatype_string")
+    with pytest.raises(RuntimeError, match="DataType instance"):
+        _sql_type_name("bigint")
+    # DataType instances keep working with no parser at all
+    assert _sql_type_name(T.LongType()) == "bigint"

@@ -283,3 +283,90 @@ def test_progressive_restart_intervals():
         )
     )
     assert all(np.array_equal(a, b) for a, b in zip(b2, p2))
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _eob_scan_bomb(n_scans: int, w: int = 256, h: int = 256) -> bytes:
+    """A hand-rolled SOF2 stream of ``n_scans`` identical ~12-byte
+    AC-first scans, each a single EOB-run symbol covering the FULL
+    block grid (ADVICE r11 medium): per scan the decoder walks every
+    block while consuming ~2 entropy bytes, so without the cross-scan
+    count rail total work grows linearly in payload size at ~6.5 ms
+    per 1024x1024 scan — the executor-stall shape the sequential
+    entropy budget cannot see (progressive scans are exempt from it,
+    and decode SUCCEEDS, so no quarantine fires)."""
+    out = [
+        mm.JPEG_SOI,
+        _seg(0xDB, b"\x00" + bytes([1] * 64)),
+        _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])),
+        # one AC table (tc=1, th=0): a single 1-bit code for EOB10
+        _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xA0])),
+    ]
+    # entropy data: code '0' (1 bit) + 10 appended bits -> eobrun
+    # covers 1023 blocks beyond the first; pad bits are 1s
+    scan = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x00\x1f"
+    out.extend([scan] * n_scans)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def test_progressive_scan_count_rail():
+    """ADVICE r11 (medium): unbounded tiny EOB-run scans must hit the
+    scan-count rail and QUARANTINE (ValueError), not stall the
+    executor; a stream under the cap still decodes, and every
+    legitimate encoder script stays far below the rail."""
+    cap = mm.JPEG_MAX_DC_PASSES + mm.JPEG_MAX_SCANS_PER_COMPONENT  # 1 comp
+    with pytest.raises(ValueError, match="too many JPEG scans"):
+        mm._jpeg_decode_planes(_eob_scan_bomb(cap + 1))
+    # under the cap: decodes to the level-shift constant (all coefs 0)
+    planes, w, h = mm._jpeg_decode_planes(_eob_scan_bomb(cap - 1))
+    assert (w, h) == (256, 256)
+    assert int(planes[0].astype(np.int64).sum()) == 128 * 256 * 256
+
+    # the deepest legitimate script this package emits (al=13 -> 29
+    # scans for gray, 3 + 2*3*13 = 81 for color... still under the
+    # 3-component cap of 14 + 192) stays well clear of the rail
+    pix = _rand_pixels(16, 16, 9)
+    deep = mm.encode_jpeg_gray_progressive(16, 16, pix, al=13)
+    assert deep.count(b"\xff\xda") == 3 + 2 * 13
+    base, _, _ = mm._jpeg_decode_planes(mm.encode_jpeg_gray(16, 16, pix))
+    prog, _, _ = mm._jpeg_decode_planes(deep)
+    assert np.array_equal(base[0], prog[0])
+
+
+def test_dqt_redefinition_latched_at_first_sos():
+    """ADVICE r11: a DQT segment redefining a table BETWEEN scans must
+    not retroactively re-quantize coefficients decoded under the
+    earlier table — each component's quant table latches at its first
+    SOS (libjpeg semantics). Splicing a doubled table 0 between two
+    scans (and again before EOI) must leave the decode bit-identical
+    to the unmodified stream."""
+    pix = _rand_pixels(24, 16, 11)
+    clean = mm.encode_jpeg_gray_progressive(24, 16, pix, al=1)
+    want, _, _ = mm._jpeg_decode_planes(clean)
+
+    doubled = bytes(
+        min(255, 2 * int(mm._JPEG_QT_NAT[mm._JPEG_ZZ[i]])) for i in range(64)
+    )
+    dqt2 = _seg(0xDB, b"\x00" + doubled)
+    # before the SECOND SOS (mid-stream) and before EOI (post-stream);
+    # 0xFFDA cannot occur inside entropy data (0xFF is stuffed), so
+    # offset search is marker-exact
+    second_sos = clean.index(b"\xff\xda", clean.index(b"\xff\xda") + 2)
+    # the DHT for scan 2 sits before its SOS; splice ahead of the SOS
+    # itself so the redefinition lands between scan 1 and scan 2
+    spliced = (
+        clean[:second_sos] + dqt2
+        + clean[second_sos:-2] + dqt2 + clean[-2:]
+    )
+    got, _, _ = mm._jpeg_decode_planes(spliced)
+    assert np.array_equal(want[0], got[0])
+    # and the doubled table REALLY changes the image when it is the
+    # table in effect at first SOS (guards against a vacuous pin)
+    head = clean.index(b"\xff\xc2")  # DQT is the segment before SOF2
+    swapped = clean[:2] + dqt2 + clean[head:]
+    alt, _, _ = mm._jpeg_decode_planes(swapped)
+    assert not np.array_equal(want[0], alt[0])

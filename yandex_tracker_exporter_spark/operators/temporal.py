@@ -31,8 +31,21 @@ def _sql_type_name(value_type) -> str:
 
     if isinstance(value_type, T.DataType):
         return value_type.simpleString()
+    # Public parser first (``DataType.fromDDL``, PySpark 4.0+); the
+    # private ``_parse_datatype_string`` only as a fallback for older
+    # runtimes (ADVICE r11: the private name has no stability
+    # guarantee — a rename must degrade to the public path, not turn
+    # every string-typed call into an AttributeError).
+    parse = getattr(T.DataType, "fromDDL", None) or getattr(
+        T, "_parse_datatype_string", None
+    )
+    if parse is None:  # pragma: no cover - no parser in this runtime
+        raise RuntimeError(
+            "no Spark DDL type parser available in this PySpark build; "
+            "pass value_type as a DataType instance instead of a string"
+        )
     try:
-        return T._parse_datatype_string(str(value_type)).simpleString()
+        return parse(str(value_type)).simpleString()
     except Exception as exc:
         raise ValueError(
             f"scd2_intervals value_type {value_type!r} is not a Spark "
