@@ -385,6 +385,14 @@ def main() -> None:
         "value": total,
         "value_minima": total,
         "value_median": round(sum(medians.values()), 3),
+        # VERDICT r11 #3: the caveat travels WITH the artifact so no
+        # committed record invites a median-to-median comparison
+        "median_caveat": (
+            "value_median rides the box's load waves (r11: 116.9 vs "
+            "96.0 s on byte-identical code, same day); cross-round "
+            "comparisons must quote value_minima only — see "
+            "tools/bench_diff.py"
+        ),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -404,6 +404,10 @@ def test_committed_schemadrift_is_clean():
     path = os.path.join(REPO, "SCHEMADRIFT.json")
     assert os.path.exists(path), "SCHEMADRIFT.json must be committed"
     art = json.load(open(path))
+    # VERDICT r11 #1: layout-junk evidence must run at the correctness
+    # SF — sf0.01's extra row groups exercise footer-reconciliation
+    # paths the sf0.001 corpus cannot (esp. the two-part-file variant)
+    assert art["sf_dir"] == "/root/testdata/sf0.01"
     assert art["counts"]["UNEXPLAINED"] == 0
     assert art["counts"]["ERROR"] == 0
     assert art["n_run"] == len(entry_mod.queries())

@@ -288,3 +288,41 @@ def test_comments_disjoint_pushdown_returns_zero_rows(spark):
         F.col("issue_key").isin("DEV-1", "DEV-2") & (F.col("issue_key") == "TEST-3")
     )
     assert got.count() == 0
+
+
+def test_reference_loop_composed_through_custom_source(spark, tmp_path):
+    """The WHOLE reference scheduler loop (main.py:138-147: re-scan
+    every 30 min from the persisted updated_at watermark; etl.py:80-89:
+    latest-wins absorbs overlap) composed through the CUSTOM streaming
+    source instead of the parquet stand-in: read_tracker_stream →
+    run_micro_batch_upsert → latest_version_dedup view must equal the
+    batch scan of the same backend row-for-row. (Micro-batch cadence +
+    checkpoint restart of the source itself is pinned by
+    test_streaming_source_incremental_offsets; this test pins the
+    COMPOSITION with the upsert sink and O1 view.)"""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        latest_version_dedup,
+    )
+    from yandex_tracker_exporter_spark.streaming import (
+        read_tracker_stream,
+        run_micro_batch_upsert,
+    )
+
+    out = str(tmp_path / "issues_table")
+    stream = read_tracker_stream(
+        spark, total=500, page_size=100, parallel=True
+    )
+    run_micro_batch_upsert(
+        stream,
+        output_path=out,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        keys=["issue_key"],
+        available_now=True,
+    )
+    table = spark.read.parquet(out)
+    view = latest_version_dedup(table, ["issue_key"]).drop("version")
+
+    batch = _read(spark, total=500, page_size=100)
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

@@ -88,6 +88,15 @@ def main() -> int:
         print(__doc__, file=sys.stderr)
         return 2
     old, new = _load(args[0]), _load(args[1])
+    # headline: ONLY value_minima is cross-round comparable (VERDICT
+    # r11 #3 — medians ride the box's load waves; BENCH_r11_quiet's
+    # median sat 21 s above the driver run's on byte-identical code)
+    vm_o = old.get("value_minima", old.get("value"))
+    vm_n = new.get("value_minima", new.get("value"))
+    print(
+        f"value_minima {vm_o} -> {vm_n} s  "
+        "(medians intentionally not compared: not noise-stable)"
+    )
     buckets = classify(old, new, threshold)
     for bucket in ("slower", "faster"):
         for name, o, n, d in buckets[bucket]:

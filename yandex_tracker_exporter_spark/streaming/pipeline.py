@@ -43,6 +43,44 @@ def read_event_stream(
     return reader.parquet(path)
 
 
+def read_tracker_stream(
+    spark: SparkSession,
+    total: int = 1000,
+    page_size: int = 100,
+    batch_minutes: int = 30,
+    parallel: bool = False,
+) -> DataFrame:
+    """The reference's incremental-export source AS a stream: register
+    the Tracker DataSource and open ``readStream.format("tracker_api")``
+    over it. The ``updated_at`` watermark the reference persists to its
+    state store (``etl.py:80-89``) IS the stream offset here — Spark's
+    checkpoint replaces the JSON/S3/Redis watermark file, and
+    ``batch_minutes`` is the reference scheduler's cadence
+    (``main.py:138-147``, 30 minutes) expressed as offset-range width
+    instead of wall-clock sleeps. ``parallel=True`` fans each
+    micro-batch's page list out across executors (the reference fetches
+    pages sequentially on one thread).
+
+    Compose with :func:`run_micro_batch_upsert` for the whole reference
+    loop — API scan → micro-batch → latest-wins upsert table — through
+    the custom source instead of the parquet stand-in;
+    ``tests/test_tracker_api_source.py`` pins that composition against
+    the batch scan + O1 dedup view.
+    """
+    from yandex_tracker_exporter_spark.sources.tracker_api import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("tracker_api")
+        .option("total", str(total))
+        .option("page_size", str(page_size))
+        .option("batch_minutes", str(batch_minutes))
+    )
+    if parallel:
+        reader = reader.option("parallel_stream", "true")
+    return reader.load()
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",
