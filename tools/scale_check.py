@@ -234,7 +234,7 @@ def main() -> None:
         exp = math.log(ratio) / math.log(factor) if ratio > 0 else float("nan")
         rows.append((name, small[name], big[name], round(ratio, 2), round(exp, 2)))
     rows.sort(key=lambda r: -r[3])
-    print("\n| query | t(sf0.1) | t(10x) | ratio | exponent |")
+    print(f"\n| query | t(sf0.1) | t({factor}x) | ratio | exponent |")
     print("|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} |")
