@@ -278,7 +278,8 @@ def test_media_wave4_expectations_cover_every_shape():
     is the fabrication class the probe exists to catch)."""
     jc = _load("junk_check")
     rows = jc.media_wave4_corpus()
-    assert len(rows) == 64  # 8 formats x 8 shapes (incl. jpeg_prog/jpeg12)
+    # 8 formats x 8 shapes + the jpeg_prog scan bomb (ADVICE r11 rail)
+    assert len(rows) == 65
     seen = set()
     for mid, fmt, shape, payload in rows:
         key = (fmt, shape)
@@ -295,9 +296,10 @@ def test_media_wave4_expectations_cover_every_shape():
 
 
 def test_media_wave4_probe_is_green(spark):
-    """Run the full wave-4 probe: all 48 payload shapes classify as
-    expected (the WAV truncation/giant-claim fabrication is fixed) and
-    every decode-backed operator is junk-neutral on the corrupt rows."""
+    """Run the full wave-4 probe: all 65 payload shapes (incl. the r12
+    jpeg_prog scan bomb) classify as expected (the WAV truncation/
+    giant-claim fabrication is fixed) and every decode-backed operator
+    is junk-neutral on the corrupt rows."""
     jc = _load("junk_check")
     sec = jc.run_media_wave4(spark)
     assert sec["unexplained"] == 0, {
@@ -318,7 +320,7 @@ def test_committed_junkcheck_has_media_wave4_section():
     sec = art.get("media_wave4")
     assert sec is not None, "regenerate JUNKCHECK.json (wave 4 missing)"
     assert sec["unexplained"] == 0
-    assert sec["n_rows"] == 64
+    assert sec["n_rows"] == 65  # r12: + the jpeg_prog scan bomb
     assert all(v["ok"] for v in sec["rows"].values())
     assert all(v["junk_neutral"] for v in sec["movement"].values())
 
@@ -414,5 +416,47 @@ def test_committed_schemadrift_is_clean():
     for name, rec in art["queries"].items():
         assert rec["class"] in (
             "drift_neutral",
+            "expected_mover_documented",
+        ), f"{name}: {rec}"
+
+
+def test_tz_drift_check_cli_and_movers_contract():
+    """tz_drift_check shares the probe-family CLI contract; any
+    EXPECTED_TZ_MOVERS entry must carry a reviewed explanation, and
+    the zone set must cover the three ambient-clock failure shapes
+    (DST, non-hour offset, both)."""
+    tz = _load("tz_drift_check")
+    src, only, out = tz._parse_args([])
+    assert src == "/root/testdata/sf0.01" and only is None
+    assert out.endswith("TZCHECK.json")
+    _, only2, out2 = tz._parse_args(["--only=a,b", "--out=/tmp/x.json"])
+    assert only2 == {"a", "b"} and out2 == "/tmp/x.json"
+    assert tz.ZONES == (
+        "America/New_York", "Asia/Kathmandu", "Pacific/Chatham"
+    )
+    for (name, zone), why in tz.EXPECTED_TZ_MOVERS.items():
+        assert isinstance(name, str) and zone in tz.ZONES
+        assert isinstance(why, str) and len(why) > 20
+
+
+def test_committed_tzcheck_is_clean():
+    """Ratchet on the committed clock-junk artifact (round 12): every
+    contract query is tz-neutral across all three hostile zones, the
+    sweep ran at the correctness SF, and the UTC worker's fingerprints
+    were cross-checked against the oracle-verified manifest."""
+    import json
+
+    path = os.path.join(REPO, "TZCHECK.json")
+    assert os.path.exists(path), "TZCHECK.json must be committed"
+    art = json.load(open(path))
+    assert art["sf_dir"] == "/root/testdata/sf0.01"
+    assert art["counts"]["UNEXPLAINED"] == 0
+    assert art["counts"]["ERROR"] == 0
+    assert art["manifest_cross_checked"] is True
+    assert art["counts"]["manifest_match"] > 0
+    assert art["n_run"] == len(entry_mod.queries())
+    for name, rec in art["queries"].items():
+        assert rec["class"] in (
+            "tz_neutral",
             "expected_mover_documented",
         ), f"{name}: {rec}"

@@ -129,6 +129,11 @@ MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
     ("jpeg", "giant_claim"): {"cap_exceeded"},
     ("jpeg_prog", "giant_claim"): {"cap_exceeded"},
     ("jpeg12", "giant_claim"): {"cap_exceeded"},
+    # ADVICE r11 (medium): a stream of tiny EOB-run scans — each scan
+    # walks the full block grid for ~12 payload bytes; the scan-count
+    # rail must quarantine it as a typed malformed, not stall the
+    # executor (decode used to SUCCEED, so no handler ever fired)
+    ("jpeg_prog", "scan_bomb"): {"malformed"},
 }
 
 
@@ -207,6 +212,28 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
         # mp4: 64-bit largesize box claiming more than the file holds
         return struct.pack(">I", 1) + b"ftyp" + b"\x00" * 4
 
+    def scan_bomb() -> bytes:
+        """A 256x256 SOF2 stream of 100 identical ~12-byte EOB-run
+        scans (over the 1-component cap of 14+64): each scan covers the
+        full 1024-block grid with one EOB10 symbol, the unbounded-work
+        shape the r12 scan-count rail quarantines (ADVICE r11)."""
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+        scan = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x00\x1f"
+        return b"".join(
+            [
+                mm.JPEG_SOI,
+                seg(0xDB, b"\x00" + bytes([1] * 64)),
+                seg(0xC2, struct.pack(">BHHB", 8, 256, 256, 1)
+                    + bytes([1, 0x11, 0])),
+                seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xA0])),
+            ]
+            + [scan] * 100
+            + [b"\xff\xd9"]
+        )
+
     soup = bytes((i * 37 + 11) % 256 for i in range(64))
     rows: list[tuple[int, str, str, bytes | None]] = []
     mid = 0
@@ -221,6 +248,8 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
             "body_corrupt": body_corrupt(fmt, p),
             "giant_claim": giant_claim(fmt, p),
         }
+        if fmt == "jpeg_prog":
+            shapes["scan_bomb"] = scan_bomb()
         for shape, payload in sorted(shapes.items()):
             rows.append((mid, fmt, shape, payload))
             mid += 1
