@@ -13,8 +13,11 @@ two decode modes exist:
   original stub; real Spark plumbing, fake content).
 - ``decode="real"`` — pure-Python parsers for six public formats:
   **WAV** (RIFF PCM audio), **PPM** (P6 binary portable pixmap),
-  **Y4M** (YUV4MPEG2 uncompressed video), **PNG** (8-bit RGB, zlib
-  DEFLATE via stdlib + all five scanline filters), **JPEG** (baseline
+  **Y4M** (YUV4MPEG2 uncompressed video), **PNG** (all RFC 2083
+  still-image shapes: colour types 0/2/3/4/6 at their legal bit
+  depths incl. 16-bit and bit-packed 1/2/4, PLTE expansion, null +
+  Adam7 interlace; zlib DEFLATE via stdlib + all five scanline
+  filters), **JPEG** (baseline
   + extended sequential at 8- and 12-bit precision, AND progressive
   SOF2 — spectral selection, successive approximation, DC/AC
   refinement scans, EOB runs; canonical Huffman from DHT, DC
@@ -345,11 +348,35 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _png_filter_line(line: bytes, prev: bytes, ft: int, bpp: int) -> bytes:
+    """Apply PNG filter ``ft`` to one raw scanline (RFC 2083 §6): the
+    filter operates on BYTES with the left neighbor ``bpp`` bytes back
+    (bytes-per-complete-pixel, rounded up to 1 for sub-byte depths)."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        pred = (
+            0 if ft == 0
+            else a if ft == 1
+            else b if ft == 2
+            else (a + b) // 2 if ft == 3
+            else _paeth(a, b, c)
+        )
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
 def encode_png(width: int, height: int, pixels: bytes) -> bytes:
     """8-bit RGB (color type 2) PNG; ``pixels`` is width*height*3 bytes.
     Scanline ``r`` uses filter ``r % 5``, so a round trip exercises all
     five PNG filters (None/Sub/Up/Average/Paeth) — the fixture builder
-    for the real-COMPRESSED-format decode path (stdlib zlib DEFLATE)."""
+    for the real-COMPRESSED-format decode path (stdlib zlib DEFLATE).
+
+    Byte-stable by contract: the `media_png_histogram` oracle
+    recomputes pixels from document text, so this builder's output for
+    a given input must never drift."""
     import zlib
 
     if len(pixels) != width * height * 3:
@@ -361,18 +388,7 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
         line = pixels[r * stride:(r + 1) * stride]
         ft = r % 5
         raw.append(ft)
-        for i in range(stride):
-            a = line[i - 3] if i >= 3 else 0
-            b = prev[i]
-            c = prev[i - 3] if i >= 3 else 0
-            pred = (
-                0 if ft == 0
-                else a if ft == 1
-                else b if ft == 2
-                else (a + b) // 2 if ft == 3
-                else _paeth(a, b, c)
-            )
-            raw.append((line[i] - pred) & 0xFF)
+        raw += _png_filter_line(line, prev, ft, 3)
         prev = line
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
@@ -383,10 +399,43 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def _png_unfilter(raw: bytes, width: int, height: int) -> np.ndarray:
-    """Undo the per-scanline filters of a decompressed 8-bit RGB IDAT
-    stream; returns the interleaved RGB raster as uint8."""
-    stride = width * 3
+#: colour type → channel count (RFC 2083 §4.1.1); palette rasters are
+#: 1-channel indices until PLTE expansion
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: legal bit depths per colour type (spec table in §4.1.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+#: Adam7 pass grid (x0, y0, dx, dy) — RFC 2083 §2.6; each pass is an
+#: independently filtered sub-image, empty passes contribute no bytes
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_passes(width: int, height: int, interlace: int):
+    """(x0, y0, dx, dy, w_p, h_p) for each non-empty pass."""
+    grids = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    out = []
+    for x0, y0, dx, dy in grids:
+        w_p = max(0, -(-(width - x0) // dx))
+        h_p = max(0, -(-(height - y0) // dy))
+        if w_p and h_p:
+            out.append((x0, y0, dx, dy, w_p, h_p))
+    return out
+
+
+def _png_unfilter_lines(
+    raw: bytes, stride: int, height: int, bpp: int
+) -> list[bytes]:
+    """Undo the per-scanline filters of one (sub-)image's filtered
+    stream; generalization of the old RGB8-only path to any
+    bytes-per-pixel (sub-byte depths filter with bpp=1 per spec)."""
     if len(raw) != (stride + 1) * height:
         raise ValueError("bad raster size after inflate")
     prev = [0] * stride
@@ -401,9 +450,9 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> np.ndarray:
         elif ft in (1, 3, 4):
             cur = [0] * stride
             for i in range(stride):
-                a = cur[i - 3] if i >= 3 else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 pred = (
                     a if ft == 1
                     else (a + b) // 2 if ft == 3
@@ -412,19 +461,66 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> np.ndarray:
                 cur[i] = (line[i] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {ft}")
-        out.append(cur)
+        out.append(bytes(cur))
         prev = cur
-    return np.array(out, dtype=np.uint8).reshape(-1)
+    return out
+
+
+def _png_unpack_line(
+    line: bytes, n_samples: int, depth: int
+) -> np.ndarray:
+    """Samples of one unfiltered scanline: 8-bit direct, 16-bit
+    big-endian, sub-byte depths MSB-first with end-of-line padding."""
+    if depth == 8:
+        return np.frombuffer(line, np.uint8)[:n_samples]
+    if depth == 16:
+        return np.frombuffer(line, ">u2")[:n_samples].astype(np.uint16)
+    bits = np.unpackbits(np.frombuffer(line, np.uint8))
+    vals = bits[: n_samples * depth].reshape(n_samples, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (vals * weights).sum(axis=1).astype(np.uint8)
+
+
+def _png_pack_line(samples, depth: int) -> bytes:
+    """Inverse of :func:`_png_unpack_line` (fixture builder side)."""
+    if depth == 8:
+        return bytes(int(s) & 0xFF for s in samples)
+    if depth == 16:
+        return b"".join(struct.pack(">H", int(s) & 0xFFFF) for s in samples)
+    out = bytearray()
+    acc = nbits = 0
+    for s in samples:
+        acc = (acc << depth) | (int(s) & ((1 << depth) - 1))
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
 
 
 def _png_raster(payload: bytes) -> np.ndarray:
-    """Interleaved RGB bytes of an 8-bit color-type-2 PNG: chunk walk
-    with CRC verification → concatenated-IDAT inflate → unfilter."""
+    """Decoded samples of a PNG as a flat interleaved array: chunk walk
+    with CRC verification → concatenated-IDAT inflate (output-bounded)
+    → per-pass unfilter → bit/16-bit unpack → Adam7 de-interlace →
+    PLTE expansion.
+
+    Round 12 widened this from "8-bit non-interlaced RGB only" to the
+    full RFC 2083 still-image matrix: colour types 0/2/3/4/6 at their
+    legal bit depths (1/2/4/8/16 gray, 8/16 RGB(A) and gray+alpha,
+    1/2/4/8 palette) and interlace methods 0/1 (Adam7, each pass an
+    independently filtered sub-image; empty passes contribute no
+    bytes). Palette rasters expand through PLTE to RGB — pinned
+    differentially: the SAME pixels encoded as plain RGB, as palette,
+    and as Adam7-interlaced anything decode to identical rasters
+    (tests/test_png_formats.py). 16-bit samples return uint16 (checksum
+    law unchanged: exact integer sum over decoded samples)."""
     import zlib
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 12 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -436,6 +532,10 @@ def _png_raster(payload: bytes) -> np.ndarray:
             raise ValueError("PNG chunk CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -443,18 +543,33 @@ def _png_raster(payload: bytes) -> np.ndarray:
         pos += 12 + size
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    width, height, bit_depth, color_type, _, _, interlace = ihdr
-    if bit_depth != 8 or color_type != 2 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced RGB PNG supported")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("bad PNG compression/filter/interlace method")
+    if color_type not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError("illegal PNG colour-type/bit-depth combination")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad PNG dimensions")
+    channels = _PNG_CHANNELS[color_type]
+    out_channels = 3 if color_type == 3 else channels
     # memory-bomb guard, same class as the JPEG sample cap: a 1 MB IDAT
     # of compressed zeros under an IHDR claiming 20000x20000 would
     # inflate ~GBs and run an O(pixels) pure-Python unfilter BEFORE the
     # raster-size check. Cap the claimed dimensions, then inflate with
     # an explicit output bound so a lying stream can never expand past
-    # the raster the header promises.
-    if width * height * 3 > DECODE_SAMPLE_CAP:
+    # the raster the header promises. (Output samples, not raw bytes,
+    # carry the cap — the law the round-8 RGB path set.)
+    if width * height * out_channels * (2 if depth == 16 else 1) > (
+        DECODE_SAMPLE_CAP
+    ):
         raise DecodeCapExceeded("image dimensions exceed decode cap")
-    expected = (width * 3 + 1) * height
+    passes = _png_passes(width, height, interlace)
+    strides = [
+        (w_p * channels * depth + 7) // 8 for _, _, _, _, w_p, h_p in passes
+    ]
+    expected = sum(
+        (s + 1) * h_p for s, (_, _, _, _, _, h_p) in zip(strides, passes)
+    )
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected)
@@ -462,14 +577,93 @@ def _png_raster(payload: bytes) -> np.ndarray:
             raise ValueError("IDAT inflates past the declared raster")
     except zlib.error as exc:
         raise ValueError(f"PNG inflate failed: {exc}") from exc
-    return _png_unfilter(raw, width, height)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((height, width, channels), dtype=dtype)
+    bpp = max(1, channels * depth // 8)
+    off = 0
+    for stride, (x0, y0, dx, dy, w_p, h_p) in zip(strides, passes):
+        span = (stride + 1) * h_p
+        lines = _png_unfilter_lines(raw[off:off + span], stride, h_p, bpp)
+        off += span
+        sub = np.stack(
+            [_png_unpack_line(ln, w_p * channels, depth) for ln in lines]
+        ).reshape(h_p, w_p, channels)
+        img[y0::dy, x0::dx] = sub
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if len(plte) > (1 << depth):
+            raise ValueError("PLTE larger than the bit depth allows")
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        img = plte[idx]
+    return img.reshape(-1)
+
+
+def encode_png_ex(
+    width: int,
+    height: int,
+    samples,
+    color_type: int = 2,
+    bit_depth: int = 8,
+    interlace: int = 0,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """General PNG fixture builder (the :func:`_png_raster` widening's
+    differential twin): any legal colour-type/bit-depth combination,
+    null or Adam7 interlace. ``samples`` is the flat interleaved sample
+    list (palette indices for colour type 3). Scanline filters cycle
+    ``global_line % 5`` ACROSS passes so an interlaced fixture
+    exercises every filter in every sub-image position.
+
+    :func:`encode_png` (the byte-stable RGB8 contract builder) is
+    deliberately untouched — its output feeds the oracle-pinned
+    media fixtures."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError("illegal colour-type/bit-depth combination")
+    if len(samples) != width * height * channels:
+        raise ValueError("samples must be width*height*channels long")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette required for colour type 3")
+    arr = np.asarray(samples, dtype=np.int64).reshape(
+        height, width, channels
+    )
+    bpp = max(1, channels * bit_depth // 8)
+    raw = bytearray()
+    line_no = 0
+    for x0, y0, dx, dy, w_p, h_p in _png_passes(width, height, interlace):
+        sub = arr[y0::dy, x0::dx]
+        prev = bytes((w_p * channels * bit_depth + 7) // 8)
+        for r in range(h_p):
+            line = _png_pack_line(sub[r].reshape(-1), bit_depth)
+            ft = line_no % 5
+            raw.append(ft)
+            raw += _png_filter_line(line, prev, ft, bpp)
+            prev = line
+            line_no += 1
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        chunks.append(
+            _png_chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
+        )
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return PNG_SIG + b"".join(chunks)
 
 
 def decode_png(payload: bytes) -> dict:
-    """Parse an 8-bit RGB PNG (the one compressed format decodable with
-    stdlib only): signature + CRC-checked chunk walk + DEFLATE + the
-    five scanline filters. Same feature contract as the other decoders
-    (exact integer checksum → oracle-reproducible)."""
+    """Parse a PNG (the one compressed format decodable with stdlib
+    only): signature + CRC-checked chunk walk + DEFLATE + the five
+    scanline filters, all colour types/bit depths, Adam7. Same feature
+    contract as the other decoders (exact integer checksum →
+    oracle-reproducible)."""
     raster = _png_raster(payload)
     (width, height) = _png_dims(payload)
     return {
