@@ -1,0 +1,188 @@
+"""WAV bit-width + Y4M colorspace widening (round 12).
+
+WAV: 8/16/24/32-bit integer PCM, plain or WAVE_FORMAT_EXTENSIBLE-
+wrapped (the 0xFFFE header multichannel/24-bit encoders actually
+emit). 8-bit is unsigned on disk and decodes CENTERED so silence is 0
+at every width; 24-bit is sign-extended 3-byte LE. IEEE-float stays a
+typed quarantine: audio_frame_energy's contract is the EXACT int64
+sum of squares, which has no float form — and 32-bit PCM rows are
+skipped by the energy op (not decode) because a full-scale frame's
+exact energy (~2^70) cannot fit the int64 output column at all.
+
+Y4M: C444/C422/C420(+jpeg/paldv/mpeg2 siting)/C411/Cmono frame-size
+laws, the mjpegtools C-less default (C420 — the old C444-only parser
+rejected spec-default streams), and typed quarantines for odd
+dimensions and unknown tags.
+"""
+
+import struct
+
+import pytest
+
+from yandex_tracker_exporter_spark import multimodal as mm
+
+
+@pytest.mark.parametrize("bits,lo,hi", [
+    (8, -128, 127),
+    (16, -(1 << 15), (1 << 15) - 1),
+    (24, -(1 << 23), (1 << 23) - 1),
+    (32, -(1 << 31), (1 << 31) - 1),
+])
+@pytest.mark.parametrize("extensible", [False, True])
+def test_wav_pcm_widths_round_trip(bits, lo, hi, extensible):
+    """Full-scale extremes + zero at every width, plain and
+    extensible-wrapped: exact integer checksum, centered 8-bit."""
+    import random
+
+    rng = random.Random(bits)
+    s = [rng.randint(lo, hi) for _ in range(301)] + [lo, hi, 0]
+    p = mm.encode_wav_ex(s, 8000, 1, bits=bits, extensible=extensible)
+    d = mm.decode_wav(p)
+    assert d["bits_per_sample"] == bits
+    assert d["n_elements"] == len(s)
+    assert d["content_checksum"] == sum(s)
+    assert d["duration_ms"] == len(s) * 1000 // 8000
+
+
+def test_wav_8bit_centering_law():
+    """8-bit PCM stores v+128 unsigned; a silent stream must checksum
+    to ZERO (the pre-centering decode would fabricate 128*n)."""
+    p = mm.encode_wav_ex([0] * 50, bits=8)
+    assert mm.decode_wav(p)["content_checksum"] == 0
+    # raw disk bytes really are unsigned 128s (non-vacuous)
+    i = p.find(b"data")
+    assert set(p[i + 8:]) == {128}
+
+
+def test_wav_float_and_exotic_formats_quarantine():
+    """fmt=3 (IEEE float), extensible-wrapped float, and unknown
+    codecs (e.g. 0x0055 MP3) raise typed ValueErrors."""
+    base = mm.encode_wav_ex([1, 2, 3])
+
+    def with_fmt(code):
+        b = bytearray(base)
+        i = b.find(b"fmt ")
+        struct.pack_into("<H", b, i + 8, code)
+        return bytes(b)
+
+    with pytest.raises(ValueError, match="IEEE-float"):
+        mm.decode_wav(with_fmt(3))
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        mm.decode_wav(with_fmt(0x0055))
+    # extensible wrapper with a float SubFormat
+    ext = bytearray(mm.encode_wav_ex([1, 2, 3], extensible=True))
+    i = ext.find(b"fmt ")
+    struct.pack_into("<H", ext, i + 8 + 24, 3)  # SubFormat GUID head
+    with pytest.raises(ValueError, match="IEEE-float"):
+        mm.decode_wav(bytes(ext))
+    # extensible fmt chunk cut below the 40-byte GUID layout
+    short = bytearray(mm.encode_wav_ex([1, 2, 3]))
+    i = short.find(b"fmt ")
+    struct.pack_into("<H", short, i + 8, 0xFFFE)
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        mm.decode_wav(bytes(short))
+    with pytest.raises(ValueError, match="bit width"):
+        mm.decode_wav(
+            mm.encode_wav_ex([1], bits=16).replace(
+                struct.pack("<H", 16) + b"data",
+                struct.pack("<H", 12) + b"data",
+            )
+        )
+
+
+def test_energy_law_bounds_by_width(spark):
+    """audio_frame_energy: 24-bit full-scale frames stay exact inside
+    int64 (2^54 max), 32-bit rows are SKIPPED (typed posture — the
+    exact law cannot fit the output column), float rows quarantine via
+    the parser."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    full24 = [(1 << 23) - 1] * 256
+    rows = [
+        (0, mm.encode_wav_ex(full24, bits=24)),
+        (1, mm.encode_wav_ex([3] * 256, bits=8)),
+        (2, mm.encode_wav_ex([(1 << 31) - 1] * 256, bits=32)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]),
+    )
+    got = {r["media_id"]: r["energy"]
+           for r in mm.audio_frame_energy(df).collect()}
+    assert got[0] == 256 * ((1 << 23) - 1) ** 2  # exact at 24-bit
+    assert got[1] == 256 * 9
+    assert 2 not in got  # 32-bit: skipped, never wrapped/fabricated
+
+
+@pytest.mark.parametrize("cs,w,h,fb", [
+    ("C444", 6, 4, 72), ("C422", 6, 4, 48), ("C420", 6, 4, 36),
+    ("C420jpeg", 6, 4, 36), ("C420paldv", 6, 4, 36),
+    ("C420mpeg2", 6, 4, 36), ("C411", 8, 3, 36), ("Cmono", 5, 3, 15),
+])
+def test_y4m_colorspace_frame_laws(cs, w, h, fb):
+    import random
+
+    rng = random.Random(len(cs))
+    frames = [bytes(rng.randrange(256) for _ in range(fb))
+              for _ in range(3)]
+    d = mm.decode_y4m(mm.encode_y4m(w, h, frames, colorspace=cs))
+    assert d["n_frames"] == 3 and d["n_elements"] == 3 * fb
+    assert d["frames"] == frames
+    assert d["content_checksum"] == sum(sum(f) for f in frames)
+    # truncating the final frame still quarantines at every size
+    with pytest.raises(ValueError, match="truncated FRAME"):
+        mm.decode_y4m(mm.encode_y4m(w, h, frames, colorspace=cs)[:-1])
+
+
+def test_y4m_cless_default_and_typed_rejections():
+    """A header with no C tag is C420 by the mjpegtools convention —
+    the old C444-only parser rejected the spec default. Odd dims per
+    colorspace and unknown tags stay typed quarantines."""
+    d = mm.decode_y4m(b"YUV4MPEG2 W6 H4 F25:1\nFRAME\n" + bytes(36))
+    assert d["n_elements"] == 36 and d["fps"] == (25, 1)
+    for hdr, msg in [
+        (b"YUV4MPEG2 W5 H4 F25:1 C420\n", "even dimensions"),
+        (b"YUV4MPEG2 W5 H4 F25:1 C422\n", "even width"),
+        (b"YUV4MPEG2 W6 H4 F25:1 C411\n", "divisible by 4"),
+        (b"YUV4MPEG2 W6 H4 F25:1 C9x\n", "unsupported Y4M colorspace"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            mm.decode_y4m(hdr + b"FRAME\n" + bytes(60))
+
+
+def test_c420_flows_through_sample_frames(spark):
+    """Spark-side integration: a C420 stream (the common wild shape)
+    frame-samples through the real-decode kernel exactly like C444 —
+    per-frame hashes over the true 1.5-bytes-per-pixel frame blocks."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from pyspark.sql.types import StringType
+
+    frames = [bytes((i * 11 + f) % 256 for i in range(36))
+              for f in range(4)]
+    p = mm.encode_y4m(6, 4, frames, fps=(2, 1), colorspace="C420")
+    df = spark.createDataFrame(
+        [(7, "video", p, 2000)],
+        StructType([
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("duration_ms", LongType(), True),
+        ]),
+    )
+    got = sorted(
+        (r["frame_idx"], r["frame_sha256"])
+        for r in mm.sample_frames(df, every_ms=500, decode="real").collect()
+    )
+    assert got == [
+        (i, hashlib.sha256(frames[i]).hexdigest()) for i in range(4)
+    ]

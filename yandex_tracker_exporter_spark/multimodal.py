@@ -12,8 +12,12 @@ two decode modes exist:
 - ``decode="fake"`` — deterministic metadata-derived features (the
   original stub; real Spark plumbing, fake content).
 - ``decode="real"`` — pure-Python parsers for six public formats:
-  **WAV** (RIFF PCM audio), **PPM** (P6 binary portable pixmap),
-  **Y4M** (YUV4MPEG2 uncompressed video), **PNG** (all RFC 2083
+  **WAV** (RIFF integer PCM at 8/16/24/32-bit, plain or
+  WAVE_FORMAT_EXTENSIBLE-wrapped; IEEE-float → typed quarantine),
+  **PPM** (P6 binary portable pixmap),
+  **Y4M** (YUV4MPEG2 uncompressed video: C444/C422/C420 siting
+  variants/C411/Cmono, C-less headers defaulting to C420), **PNG**
+  (all RFC 2083
   still-image shapes: colour types 0/2/3/4/6 at their legal bit
   depths incl. 16-bit and bit-packed 1/2/4, PLTE expansion, null +
   Adam7 interlace; zlib DEFLATE via stdlib + all five scanline
@@ -126,8 +130,56 @@ def encode_wav(samples: list[int], sample_rate: int = 8000, n_channels: int = 1)
     )
 
 
+def encode_wav_ex(
+    samples: list[int],
+    sample_rate: int = 8000,
+    n_channels: int = 1,
+    bits: int = 16,
+    extensible: bool = False,
+) -> bytes:
+    """PCM WAV fixture builder at any supported width (round 12 twin of
+    the :func:`_wav_parse` widening): 8/16/24/32-bit integer PCM,
+    optionally wrapped in WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE + PCM
+    SubFormat GUID — what multichannel/24-bit encoders actually emit).
+    ``samples`` are CENTERED values at every width (8-bit is stored
+    unsigned on disk, +128, matching the decoder's centering)."""
+    if bits == 8:
+        data = bytes((int(s) + 128) & 0xFF for s in samples)
+    elif bits == 16:
+        data = struct.pack("<%dh" % len(samples), *samples)
+    elif bits == 24:
+        data = b"".join(
+            struct.pack("<i", int(s) << 8)[1:] for s in samples
+        )
+    elif bits == 32:
+        data = struct.pack("<%di" % len(samples), *samples)
+    else:
+        raise ValueError("bits must be 8/16/24/32")
+    step = bits // 8
+    if extensible:
+        # {00000001-0000-0010-8000-00AA00389B71} = KSDATAFORMAT_SUBTYPE_PCM
+        guid = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt = struct.pack(
+            "<IHHIIHHHHI", 40, 0xFFFE, n_channels, sample_rate,
+            sample_rate * n_channels * step, n_channels * step, bits,
+            22, bits, 0,
+        ) + guid
+    else:
+        fmt = struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate,
+            sample_rate * n_channels * step, n_channels * step, bits,
+        )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _wav_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """(n_channels, sample_rate, bits, int16 samples) of a PCM WAV —
+    """(n_channels, sample_rate, bits, integer samples) of a PCM WAV
+    at 8/16/24/32-bit (plain fmt=1 or WAVE_FORMAT_EXTENSIBLE-wrapped;
+    8-bit centered, 24-bit sign-extended — round 12 widening) —
     the SINGLE RIFF chunk walk behind both :func:`decode_wav` and
     :func:`audio_frame_energy` (walking and copying the payload twice
     per row is pure waste on the audio fraction of a 100 TB corpus).
@@ -135,7 +187,7 @@ def _wav_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     catches them."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
@@ -155,28 +207,61 @@ def _wav_parse(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 # ValueError — normalize here
                 raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (round 12): the real format lives in
+        # the first two bytes of the 16-byte SubFormat GUID at body
+        # offset 24 (cbSize 22 layout). Multichannel/24-bit encoders
+        # emit this wrapper routinely; rejecting it as "fmt=65534"
+        # would quarantine perfectly good PCM.
+        if len(fmt_body) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+    if audio_format == 3:
+        # IEEE-float WAV: decodable, but the downstream feature law
+        # (audio_frame_energy's EXACT int64 sum of squares) is defined
+        # over integer PCM — a float path would need a different,
+        # inexact energy contract. Honest typed bound, like
+        # arithmetic-coded JPEG.
+        raise ValueError("IEEE-float WAV unsupported (integer-PCM energy contract)")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format}")
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM bit width {bits}")
     if sample_rate <= 0:
         # a crafted fmt chunk with rate 0 would ZeroDivisionError out of
         # every quarantine handler downstream (they catch ValueError)
         raise ValueError("non-positive sample rate")
-    n_values = len(data) // 2
-    # vectorized decode: int16 little-endian view + exact int64 sum
-    # (identical to summing struct.unpack'ed Python ints, ~30× cheaper)
-    samples = np.frombuffer(data[: n_values * 2], dtype="<i2")
+    step = bits // 8
+    n_values = len(data) // step
+    # vectorized decode (identical to summing struct.unpack'ed Python
+    # ints, ~30× cheaper). Widths (round 12, was 16-bit-only):
+    # 8-bit PCM is UNSIGNED on disk — decoded centered (v-128) so
+    # silence is 0 at every width; 24-bit is sign-extended 3-byte LE.
+    raw = data[: n_values * step]
+    if bits == 8:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    elif bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = v - ((v & 0x800000) << 1)
+    else:  # 32
+        samples = np.frombuffer(raw, dtype="<i4")
     return n_channels, sample_rate, bits, samples
 
 
 def decode_wav(payload: bytes) -> dict:
     """Parse a PCM WAV: walks RIFF chunks (tolerates extra chunks such as
-    LIST/INFO), returns header fields + decoded int16 samples."""
+    LIST/INFO), returns header fields + decoded integer samples
+    (8/16/24/32-bit; checksum is the exact int64 sum at every width)."""
     n_channels, sample_rate, bits, samples = _wav_parse(payload)
     n_values = len(samples)
     n_frames = n_values // max(n_channels, 1)
@@ -257,20 +342,68 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
-def encode_y4m(width: int, height: int, frames: list[bytes], fps: tuple[int, int] = (25, 1)) -> bytes:
-    """YUV4MPEG2 uncompressed video, C444 (w*h*3 bytes per frame)."""
+def _y4m_frame_bytes(width: int, height: int, colorspace: str) -> int:
+    """Frame byte count for a YUV4MPEG2 colorspace tag (round 12 — was
+    C444-only; C420 is the overwhelmingly common wild format):
+
+    - ``C444``                      → w·h·3 (full chroma)
+    - ``C422``                      → w·h·2 (chroma halved in x; w even)
+    - ``C420`` (+ ``jpeg``/``paldv``/``mpeg2`` siting variants — same
+      plane sizes, different chroma sample SITING, which does not
+      change the byte layout) and ``C411`` → w·h·3/2 (w,h even for
+      420; w divisible by 4 for 411)
+    - ``Cmono``                     → w·h (luma only)
+
+    Unknown tags raise (typed quarantine)."""
+    if colorspace == "C444":
+        return width * height * 3
+    if colorspace == "C422":
+        if width % 2:
+            raise ValueError("C422 requires even width")
+        return width * height * 2
+    if colorspace in ("C420", "C420jpeg", "C420paldv", "C420mpeg2"):
+        if width % 2 or height % 2:
+            raise ValueError("C420 requires even dimensions")
+        return width * height * 3 // 2
+    if colorspace == "C411":
+        if width % 4:
+            raise ValueError("C411 requires width divisible by 4")
+        return width * height * 3 // 2
+    if colorspace == "Cmono":
+        return width * height
+    raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "C444",
+) -> bytes:
+    """YUV4MPEG2 uncompressed video at any supported colorspace
+    (default C444 — the byte-stable fixture shape)."""
     num, den = fps
-    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n" % (width, height, num, den)]
+    fb = _y4m_frame_bytes(width, height, colorspace)
+    out = [
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+        % (width, height, num, den, colorspace.encode())
+    ]
     for f in frames:
-        if len(f) != width * height * 3:
-            raise ValueError("frame must be width*height*3 bytes (C444)")
+        if len(f) != fb:
+            raise ValueError(
+                f"frame must be {fb} bytes ({colorspace})"
+            )
         out.append(b"FRAME\n" + f)
     return b"".join(out)
 
 
 def decode_y4m(payload: bytes) -> dict:
     """Parse a YUV4MPEG2 stream header + FRAME markers; returns raw
-    per-frame byte blocks (C444 only)."""
+    per-frame byte blocks. Colorspaces C444/C422/C420(+siting
+    variants)/C411/Cmono (round 12 — a stream with NO C tag defaults
+    to C420 per the mjpegtools convention, which the old C444-only
+    parser rejected)."""
     nl = payload.find(b"\n")
     if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
@@ -292,9 +425,7 @@ def decode_y4m(payload: bytes) -> dict:
         # F0:1 or F25:0 would ZeroDivisionError in duration_ms here or
         # in sample_frames' per-frame step computation
         raise ValueError("non-positive frame rate")
-    if colorspace != "C444":
-        raise ValueError("only C444 supported")
-    frame_bytes = width * height * 3
+    frame_bytes = _y4m_frame_bytes(width, height, colorspace)
     frames, pos = [], nl + 1
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
@@ -918,9 +1049,18 @@ def audio_frame_energy(df: DataFrame, frame_size: int = 256) -> DataFrame:
                 try:
                     # ONE RIFF walk per row (was decode_wav + a second
                     # _wav_samples walk over a second bytes() copy)
-                    _, _, _, samples = _wav_parse(bytes(payload))
+                    _, _, bits, samples = _wav_parse(bytes(payload))
                 except (ValueError, struct.error, IndexError):
                     continue  # quarantine posture: skip, don't fail
+                if bits >= 32:
+                    # 32-bit PCM (round 12): a full-scale frame's exact
+                    # energy is ~2^70 — it does not FIT the int64
+                    # output column, so the exact-law contract cannot
+                    # extend to this width. Typed skip (quarantine
+                    # posture), not a lossy downshift; decode_wav still
+                    # decodes 32-bit fully. 24-bit is safe: 2^46 per
+                    # square, 2^54 per 256-sample frame.
+                    continue
                 sq = samples.astype(np.int64) ** 2
                 n = len(sq)
                 for f in range(0, max((n + frame_size - 1) // frame_size, 0)):
