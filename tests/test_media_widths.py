@@ -186,3 +186,64 @@ def test_c420_flows_through_sample_frames(spark):
     assert got == [
         (i, hashlib.sha256(frames[i]).hexdigest()) for i in range(4)
     ]
+
+
+def test_pnm_family_decodes_and_strict_laws():
+    """PNM widening (round 12 — was binary-P6-only): P1-P3 ASCII and
+    P4-P6 binary at 8- and 16-bit (maxval>255 → big-endian pairs, the
+    netpbm law), P1 bits running together without whitespace, packed
+    P4 rows with byte padding — all under the strict length/count/
+    maxval laws, with no dimension cap needed (every raster read is
+    sliced from the actual payload, so a lying header fails strict
+    length before any dimension-proportional work)."""
+    import numpy as np
+
+    rng = __import__("random").Random(11)
+    # P6 16-bit
+    s = [rng.randrange(65536) for _ in range(4 * 3 * 3)]
+    p = b"P6\n4 3\n65535\n" + b"".join(struct.pack(">H", v) for v in s)
+    d = mm.decode_ppm(p)
+    assert (d["format"], d["n_elements"], d["content_checksum"]) == (
+        "ppm", 36, sum(s))
+    # P5 grayscale, both widths
+    g = [rng.randrange(256) for _ in range(12)]
+    assert mm.decode_ppm(b"P5\n4 3\n255\n" + bytes(g))["content_checksum"] == sum(g)
+    g16 = [rng.randrange(65536) for _ in range(12)]
+    d = mm.decode_ppm(
+        b"P5\n4 3\n65535\n" + b"".join(struct.pack(">H", v) for v in g16)
+    )
+    assert (d["format"], d["content_checksum"]) == ("pgm", sum(g16))
+    # P4 packed bitmap: width 10 -> stride 2, padding bits ignored
+    rows = [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1], [0] * 10, [1] * 10]
+    packed = b"".join(
+        np.packbits(np.array(r + [0] * 6, dtype=np.uint8)).tobytes()
+        for r in rows
+    )
+    d = mm.decode_ppm(b"P4\n10 3\n" + packed)
+    assert (d["format"], d["n_elements"], d["content_checksum"]) == (
+        "pbm", 30, sum(map(sum, rows)))
+    # ASCII family: comments, run-together P1 bits
+    assert mm.decode_ppm(b"P1\n# c\n4 2\n0110\n1001\n")["content_checksum"] == 4
+    assert mm.decode_ppm(b"P2\n3 2\n99\n1 2 3 # x\n4 5 6\n")["content_checksum"] == 21
+    assert mm.decode_ppm(b"P3\n1 2\n255\n1 2 3  4 5 6\n")["format"] == "ppm"
+    # strict rejections: short count, over-maxval, short 16-bit raster,
+    # trailing byte after packed bitmap, maxval overflow, P1 non-bit
+    for bad, msg in [
+        (b"P2\n3 2\n99\n1 2 3 4 5\n", "length mismatch"),
+        (b"P2\n3 2\n9\n1 2 3 4 5 100\n", "exceeds maxval"),
+        (b"P6\n4 3\n65535\n" + bytes(71), "length mismatch"),
+        (b"P4\n10 3\n" + packed + b"x", "length mismatch"),
+        (b"P5\n2 2\n70000\n" + bytes(8), "above 65535"),
+        (b"P1\n2 2\n0120\n", "exceeds maxval"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            mm.decode_ppm(bad)
+    # the legacy P6 path is untouched: 8-bit strict length + format tag
+    pix = bytes(range(48))
+    d = mm.decode_ppm(mm.encode_ppm(4, 4, pix))
+    assert (d["format"], d["content_checksum"]) == ("ppm", sum(pix))
+    # dispatch: every PNM magic routes to the family decoder; the
+    # RGB-pixel ops' P6-only entry point still rejects non-P6
+    assert mm._dispatch_decoder(b"P5\n1 1\n255\n\x07") is mm.decode_ppm
+    with pytest.raises(ValueError, match="not a P6"):
+        mm._ppm_header(b"P5\n1 1\n255\n\x07")

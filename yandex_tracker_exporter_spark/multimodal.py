@@ -14,7 +14,8 @@ two decode modes exist:
 - ``decode="real"`` — pure-Python parsers for six public formats:
   **WAV** (RIFF integer PCM at 8/16/24/32-bit, plain or
   WAVE_FORMAT_EXTENSIBLE-wrapped; IEEE-float → typed quarantine),
-  **PPM** (P6 binary portable pixmap),
+  **PNM** (the whole netpbm family: P1-P3 ASCII and P4-P6 binary
+  bitmaps/graymaps/pixmaps, 8- and 16-bit),
   **Y4M** (YUV4MPEG2 uncompressed video: C444/C422/C420 siting
   variants/C411/Cmono, C-less headers defaulting to C420), **PNG**
   (all RFC 2083
@@ -40,6 +41,7 @@ sane behavior when scanning 100 TB of crawled media.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from collections.abc import Iterator
 
@@ -283,14 +285,26 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
-    """(width, height, maxval, raster_offset) of a P6 PPM header
+#: PNM family (round 12 — was P6-only): magic → (format label,
+#: header token count, samples per pixel). P1/P4 bitmaps carry no
+#: maxval token; P2/P5 are grayscale; P3/P6 RGB. "ascii" vs "binary"
+#: raster is the magic's parity (P1-P3 ascii, P4-P6 binary).
+_PNM_TYPES = {
+    b"P1": ("pbm", 2, 1), b"P2": ("pgm", 3, 1), b"P3": ("ppm", 3, 3),
+    b"P4": ("pbm", 2, 1), b"P5": ("pgm", 3, 1), b"P6": ("ppm", 3, 3),
+}
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """(magic, width, height, maxval, raster_offset) of any PNM header
     (whitespace/comment tolerant) — header-only, never touches the
-    raster."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
+    raster. P1/P4 have no maxval token; their maxval is 1."""
+    magic = payload[:2]
+    if magic not in _PNM_TYPES:
+        raise ValueError("not a PNM payload")
+    _, n_tokens, _ = _PNM_TYPES[magic]
     pos, tokens = 2, []
-    while len(tokens) < 3 and pos < len(payload):
+    while len(tokens) < n_tokens and pos < len(payload):
         c = payload[pos:pos + 1]
         if c == b"#":  # comment to end of line
             while pos < len(payload) and payload[pos:pos + 1] != b"\n":
@@ -302,14 +316,28 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
             while pos < len(payload) and not payload[pos:pos + 1].isspace():
                 pos += 1
             tokens.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
-    if len(tokens) < 3:
-        raise ValueError("truncated PPM header")
-    width, height, maxval = tokens
+    pos += 1  # single whitespace after the last header token
+    if len(tokens) < n_tokens:
+        raise ValueError("truncated PNM header")
+    width, height = tokens[0], tokens[1]
+    maxval = tokens[2] if n_tokens == 3 else 1
     if width <= 0 or height <= 0 or maxval <= 0:
-        # negative dims can pass the w*h*3 length checks (product of two
-        # negatives) and reach a reshape(-1, -3, 3) outside any handler
         raise ValueError("non-positive PPM dimensions")
+    if maxval > 65535:
+        raise ValueError("PNM maxval above 65535")
+    return magic, width, height, maxval, pos
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, raster_offset) of a P6 PPM header — the
+    RGB-pixel-op entry point (histogram/resize consume P6 only); the
+    general tokenizer lives in :func:`_pnm_header`. The non-positive
+    dimension guard matters because negative dims can pass the w*h*3
+    length checks (product of two negatives) and reach a
+    reshape(-1, -3, 3) outside any handler."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    _, width, height, maxval, pos = _pnm_header(payload)
     return width, height, maxval, pos
 
 
@@ -319,26 +347,63 @@ def _ppm_dims(payload: bytes) -> tuple[int, int]:
 
 
 def decode_ppm(payload: bytes) -> dict:
-    """Parse a P6 PPM header (whitespace/comment tolerant) + raster.
-    Strict raster length: payloads with trailing bytes quarantine, the
-    SAME rule as :func:`_ppm_pixels` — metadata/checksum scans and
-    histogram/resize must agree on which images are valid (a corpus
-    member must never be counted by one and silently dropped by the
-    other)."""
-    width, height, maxval, pos = _ppm_header(payload)
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
-    raster = payload[pos:pos + width * height * 3]
-    if len(payload) != pos + width * height * 3:
-        raise ValueError("PPM raster length mismatch")
+    """Parse any PNM payload (round 12 — was binary-P6-only): P1-P3
+    ASCII and P4-P6 binary bitmaps/graymaps/pixmaps, 8- AND 16-bit
+    (maxval > 255 → two-byte big-endian samples, the netpbm law).
+    Strict raster length/count everywhere: payloads with trailing or
+    missing samples quarantine, the SAME rule as :func:`_ppm_pixels` —
+    metadata/checksum scans and histogram/resize must agree on which
+    images are valid (a corpus member must never be counted by one and
+    silently dropped by the other). PNM needs no dimension cap: every
+    raster read is sliced from the actual payload and length-checked,
+    so a lying header fails the strict-length law before any
+    dimension-proportional work."""
+    magic, width, height, maxval, pos = _pnm_header(payload)
+    label, _, channels = _PNM_TYPES[magic]
+    n_samples = width * height * channels
+    if magic == b"P4":  # packed bitmap, rows padded to byte boundary
+        stride = (width + 7) // 8
+        if len(payload) != pos + stride * height:
+            raise ValueError("PPM raster length mismatch")
+        rows = np.frombuffer(
+            payload[pos:], dtype=np.uint8
+        ).reshape(height, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :width]
+        total = int(bits.astype(np.int64).sum())
+    elif magic in (b"P5", b"P6"):
+        step = 2 if maxval > 255 else 1
+        if len(payload) != pos + n_samples * step:
+            raise ValueError("PPM raster length mismatch")
+        dt = ">u2" if step == 2 else np.uint8
+        total = int(
+            np.frombuffer(payload[pos:], dtype=dt).astype(np.int64).sum()
+        )
+    else:  # P1/P2/P3 — ASCII samples, comments allowed
+        body = re.sub(rb"#[^\n]*", b"", payload[pos - 1:])
+        if magic == b"P1":
+            # P1 bits may run together without whitespace ("0110") —
+            # the spec's own examples do; strip whitespace, then every
+            # remaining char must be a bit
+            digits = re.sub(rb"\s", b"", body)
+            if len(digits) != n_samples:
+                raise ValueError("PPM raster length mismatch")
+            if digits.strip(b"01"):
+                raise ValueError("PNM sample exceeds maxval")
+            vals = np.frombuffer(digits, np.uint8).astype(np.int64) - 48
+        else:
+            toks = body.split()
+            if len(toks) != n_samples:
+                raise ValueError("PPM raster length mismatch")
+            vals = np.array([int(t) for t in toks], dtype=np.int64)
+            if (vals < 0).any() or (vals > maxval).any():
+                raise ValueError("PNM sample exceeds maxval")
+        total = int(vals.sum())
     return {
-        "format": "ppm",
+        "format": label,
         "width": width,
         "height": height,
-        "n_elements": width * height * 3,
-        "content_checksum": int(
-            np.frombuffer(raster, dtype=np.uint8).astype(np.int64).sum()
-        ),
+        "n_elements": n_samples,
+        "content_checksum": total,
     }
 
 
@@ -818,7 +883,7 @@ def _dispatch_decoder(payload: bytes):
     ``None`` when no magic matches."""
     if payload[:4] == b"RIFF":
         return decode_wav
-    if payload[:2] == b"P6":
+    if payload[:2] in _PNM_TYPES:
         return decode_ppm
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m
