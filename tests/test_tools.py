@@ -381,6 +381,21 @@ def test_committed_r11_bench_artifact_is_trusted():
     assert art["task_failures"] == 0 and art["contended"] is False
 
 
+def test_committed_r12_bench_artifact_is_trusted_with_caveat():
+    """Round-12 ratchet: the committed quiet artifact is trusted, full
+    map, and carries the median caveat IN the artifact (VERDICT r11
+    #3) so no committed record invites a median-to-median cross-round
+    comparison."""
+    import json
+
+    art = json.load(open(os.path.join(REPO, "BENCH_r12_quiet.json")))
+    assert art["minima_trusted"] is True
+    assert art["n_queries"] == len(entry_mod.queries())
+    assert len(art["queries"]) == art["n_queries"]
+    assert art["task_failures"] == 0 and art["contended"] is False
+    assert "value_minima" in art["median_caveat"]
+
+
 def test_schema_drift_check_cli_and_movers_contract():
     """schema_drift_check shares the probe-family CLI contract; any
     EXPECTED_SCHEMA_MOVERS entry must carry a reviewed explanation."""
