@@ -278,8 +278,9 @@ def test_media_wave4_expectations_cover_every_shape():
     is the fabrication class the probe exists to catch)."""
     jc = _load("junk_check")
     rows = jc.media_wave4_corpus()
-    # 8 formats x 8 shapes + the jpeg_prog scan bomb (ADVICE r11 rail)
-    assert len(rows) == 65
+    # 12 formats (8 wave-4 + 4 wave-5 widened-decode shapes) x 8
+    # corruption shapes + the jpeg_prog scan bomb (ADVICE r11 rail)
+    assert len(rows) == 97
     seen = set()
     for mid, fmt, shape, payload in rows:
         key = (fmt, shape)
@@ -296,10 +297,10 @@ def test_media_wave4_expectations_cover_every_shape():
 
 
 def test_media_wave4_probe_is_green(spark):
-    """Run the full wave-4 probe: all 65 payload shapes (incl. the r12
-    jpeg_prog scan bomb) classify as expected (the WAV truncation/
-    giant-claim fabrication is fixed) and every decode-backed operator
-    is junk-neutral on the corrupt rows."""
+    """Run the full wave-4/5 probe: all 97 payload shapes (12 formats
+    incl. the r12 widened-decode variants, plus the scan bomb)
+    classify as expected and every decode-backed operator is
+    junk-neutral on the corrupt rows."""
     jc = _load("junk_check")
     sec = jc.run_media_wave4(spark)
     assert sec["unexplained"] == 0, {
@@ -320,7 +321,7 @@ def test_committed_junkcheck_has_media_wave4_section():
     sec = art.get("media_wave4")
     assert sec is not None, "regenerate JUNKCHECK.json (wave 4 missing)"
     assert sec["unexplained"] == 0
-    assert sec["n_rows"] == 65  # r12: + the jpeg_prog scan bomb
+    assert sec["n_rows"] == 97  # r12: scan bomb + 4 widened formats
     assert all(v["ok"] for v in sec["rows"].values())
     assert all(v["junk_neutral"] for v in sec["movement"].values())
 

@@ -106,7 +106,15 @@ EXPECTED_MOVERS: dict[str, str] = {
 #: jpeg_prog / jpeg12 joined in round 11 when the decoder grew
 #: progressive (SOF2) and 12-bit extended-sequential (SOF1) support —
 #: the new scan machinery sits under the SAME adjudicated artifact.
-_W4_FORMATS = ("wav", "ppm", "y4m", "png", "jpeg", "jpeg_prog", "jpeg12", "mp4")
+#: wave 4 (r10) formats + the wave-5 (r12) widened-decode variants —
+#: each widened shape (24-bit extensible WAV, 16-bit P5 graymap,
+#: Adam7 palette PNG, C420 Y4M) gets the SAME full corruption-shape
+#: battery as the original formats, so the format widenings are
+#: adjudicated in the junk artifact, not just pinned in pytest
+_W4_FORMATS = (
+    "wav", "ppm", "y4m", "png", "jpeg", "jpeg_prog", "jpeg12", "mp4",
+    "wav24", "pgm16", "png_i", "y4m420",
+)
 
 MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
     **{(f, "valid"): {"ok"} for f in _W4_FORMATS},
@@ -120,7 +128,10 @@ MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
     **{(f, "truncated_body"): {"malformed"} for f in _W4_FORMATS},
     # structural corruption mid-body (bit flip / size-field lie)
     **{(f, "body_corrupt"): {"malformed"} for f in _W4_FORMATS},
-    # header claims multi-GB content over a tiny body
+    # header claims multi-GB content over a tiny body. The class split
+    # is structural: strict-length formats (WAV/PNM/Y4M/MP4) fail the
+    # payload-slice check -> malformed; PNG/JPEG validate dimensions
+    # BEFORE touching compressed data -> cap_exceeded
     ("wav", "giant_claim"): {"malformed"},
     ("ppm", "giant_claim"): {"malformed"},
     ("y4m", "giant_claim"): {"malformed"},
@@ -129,6 +140,10 @@ MEDIA_WAVE4_EXPECT: dict[tuple[str, str], set] = {
     ("jpeg", "giant_claim"): {"cap_exceeded"},
     ("jpeg_prog", "giant_claim"): {"cap_exceeded"},
     ("jpeg12", "giant_claim"): {"cap_exceeded"},
+    ("wav24", "giant_claim"): {"malformed"},
+    ("pgm16", "giant_claim"): {"malformed"},
+    ("png_i", "giant_claim"): {"cap_exceeded"},
+    ("y4m420", "giant_claim"): {"malformed"},
     # ADVICE r11 (medium): a stream of tiny EOB-run scans — each scan
     # walks the full block grid for ~12 payload bytes; the scan-count
     # rail must quarantine it as a typed malformed, not stall the
@@ -157,15 +172,41 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
         ),
         "jpeg12": mm.encode_jpeg_gray12(8, 8, [(i * 64) % 4096 for i in range(64)]),
         "mp4": mm.encode_mp4_meta(640, 480, 1500),
+        # wave 5 (r12): the widened-decode shapes as first-class formats
+        "wav24": mm.encode_wav_ex(
+            [((i * 9001) % (1 << 24)) - (1 << 23) for i in range(120)],
+            8000, 1, bits=24, extensible=True,
+        ),
+        "pgm16": b"P5\n5 4\n65535\n" + struct.pack(
+            ">20H", *[(i * 3001) % 65536 for i in range(20)]
+        ),
+        "png_i": mm.encode_png_ex(
+            9, 7, [(i * 5) % 4 for i in range(63)], color_type=3,
+            bit_depth=2, interlace=1,
+            palette=[(10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3)],
+        ),
+        "y4m420": mm.encode_y4m(
+            6, 4, [bytes((i * 13 + f) % 256 for i in range(36))
+                   for f in range(2)],
+            colorspace="C420",
+        ),
     }
     magic_keep = {"wav": 3, "ppm": 1, "y4m": 4, "png": 5, "jpeg": 1,
-                  "jpeg_prog": 1, "jpeg12": 1, "mp4": 6}
+                  "jpeg_prog": 1, "jpeg12": 1, "mp4": 6,
+                  "wav24": 3, "pgm16": 1, "png_i": 5, "y4m420": 4}
 
     def body_corrupt(fmt: str, p: bytes) -> bytes:
         b = bytearray(p)
-        if fmt == "wav":  # data chunk size lies beyond the payload
+        if fmt in ("wav", "wav24"):  # data chunk size lies past payload
             i = p.find(b"data")
             b[i + 4:i + 8] = struct.pack("<I", 0x7FFFFFF0)
+        elif fmt == "pgm16":  # one raster byte chopped (odd 16-bit cut)
+            b = b[:-1]
+        elif fmt == "png_i":  # flip a byte inside the IDAT body: CRC
+            i = p.find(b"IDAT")
+            b[i + 6] ^= 0xFF
+        elif fmt == "y4m420":  # final frame body cut
+            b = b[:-5]
         elif fmt == "ppm":  # one raster byte chopped: strict-length breach
             b = b[:-1]
         elif fmt == "y4m":  # final frame body cut: checksummed length breach
@@ -188,11 +229,23 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
         return bytes(b)
 
     def giant_claim(fmt: str, p: bytes) -> bytes:
-        if fmt == "wav":
-            return body_corrupt("wav", p)  # multi-GB data chunk claim
+        if fmt in ("wav", "wav24"):
+            return body_corrupt(fmt, p)  # multi-GB data chunk claim
         if fmt == "ppm":
             return b"P6\n60000 60000\n255\n" + b"\x00" * 10
-        if fmt == "y4m":
+        if fmt == "pgm16":
+            return b"P5\n60000 60000\n65535\n" + b"\x00" * 10
+        if fmt == "png_i":
+            # IHDR claims 50000x50000 palette Adam7 over a 2-byte IDAT
+            ihdr = struct.pack(">IIBBBBB", 50000, 50000, 2, 3, 0, 0, 1)
+            return (
+                mm.PNG_SIG
+                + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"PLTE", bytes(12))
+                + mm._png_chunk(b"IDAT", b"xx")
+                + mm._png_chunk(b"IEND", b"")
+            )
+        if fmt in ("y4m", "y4m420"):
             return b"YUV4MPEG2 W60000 H60000 F25:1\nFRAME\n" + b"\x00" * 10
         if fmt == "png":  # IHDR claims 50000x50000 over a 2-byte IDAT
             ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0)
@@ -283,7 +336,8 @@ def run_media_wave4(spark) -> dict:
     )
     kind_of = {"wav": "audio", "ppm": "image", "y4m": "video",
                "png": "image", "jpeg": "image", "jpeg_prog": "image",
-               "jpeg12": "image", "mp4": "video"}
+               "jpeg12": "image", "mp4": "video", "wav24": "audio",
+               "pgm16": "image", "png_i": "image", "y4m420": "video"}
     df = spark.createDataFrame(
         [(mid, kind_of[fmt], f"{fmt}:{shape}", p) for mid, fmt, shape, p in rows],
         schema,
