@@ -289,28 +289,16 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
-def _eob_scan_bomb(n_scans: int, w: int = 256, h: int = 256) -> bytes:
-    """A hand-rolled SOF2 stream of ``n_scans`` identical ~12-byte
-    AC-first scans, each a single EOB-run symbol covering the FULL
-    block grid (ADVICE r11 medium): per scan the decoder walks every
-    block while consuming ~2 entropy bytes, so without the cross-scan
-    count rail total work grows linearly in payload size at ~6.5 ms
-    per 1024x1024 scan — the executor-stall shape the sequential
-    entropy budget cannot see (progressive scans are exempt from it,
-    and decode SUCCEEDS, so no quarantine fires)."""
-    out = [
-        mm.JPEG_SOI,
-        _seg(0xDB, b"\x00" + bytes([1] * 64)),
-        _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])),
-        # one AC table (tc=1, th=0): a single 1-bit code for EOB10
-        _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xA0])),
-    ]
-    # entropy data: code '0' (1 bit) + 10 appended bits -> eobrun
-    # covers 1023 blocks beyond the first; pad bits are 1s
-    scan = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x00\x1f"
-    out.extend([scan] * n_scans)
-    out.append(b"\xff\xd9")
-    return b"".join(out)
+def _eob_scan_bomb(n_scans: int) -> bytes:
+    """The shared scan-bomb fixture (ADVICE r11 medium): per scan the
+    decoder walks every block while consuming ~2 entropy bytes, so
+    without the cross-scan count rail total work grows linearly in
+    payload size at ~6.5 ms per 1024x1024 scan — the executor-stall
+    shape the sequential entropy budget cannot see (progressive scans
+    are exempt from it, and decode SUCCEEDS, so no quarantine fires).
+    ONE builder serves this pin and the junk-probe payload
+    (tools/junk_check.py) — see encode_jpeg_eob_scan_stream."""
+    return mm.encode_jpeg_eob_scan_stream(n_scans)
 
 
 def test_progressive_scan_count_rail():

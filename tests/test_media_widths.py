@@ -247,3 +247,83 @@ def test_pnm_family_decodes_and_strict_laws():
     assert mm._dispatch_decoder(b"P5\n1 1\n255\n\x07") is mm.decode_ppm
     with pytest.raises(ValueError, match="not a P6"):
         mm._ppm_header(b"P5\n1 1\n255\n\x07")
+
+
+def test_r12_review_fixes_quarantine_and_domain_gates(spark):
+    """Pins for the r12 self-review findings: (1) a 30-digit ASCII PNM
+    token must quarantine as ValueError, not escape as OverflowError
+    and kill the scan task; (2/3/4) the RGB-pixel ops' domain gate —
+    palette/Adam7 PNGs ARE processed (they expand to RGB8), while
+    valid-but-out-of-domain rasters (16-bit RGB PNG, grayscale, RGBA,
+    16-bit P6) are SKIPPED rather than crashing resize in encode_ppm
+    or fabricating mod-3 channel labels; (5) the energy op's overflow
+    rail scales with frame_size (24-bit wraps int64 past 2^17 samples);
+    (6) the RIFF size field counts the actual remaining bytes."""
+    import struct as _struct
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    # (1) OverflowError class escape
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        mm.decode_ppm(b"P2\n1 1\n255\n99999999999999999999999999\n")
+    assert mm._decode_payload_verbose(
+        b"P2\n1 1\n255\n99999999999999999999999999\n"
+    )[1] == "malformed"
+
+    # (2/3/4) domain gate: build one image in every tier
+    rgb = [((i * 7) % 256) for i in range(5 * 4 * 3)]
+    pal = [(1, 2, 3), (9, 8, 7)]
+    idx = [i % 2 for i in range(5 * 4)]
+    in_domain = [
+        (0, mm.encode_png(5, 4, bytes(rgb))),
+        (1, mm.encode_png_ex(5, 4, rgb, interlace=1)),
+        (2, mm.encode_png_ex(5, 4, idx, color_type=3, bit_depth=1,
+                             palette=pal)),
+    ]
+    out_of_domain = [
+        (10, mm.encode_png_ex(5, 4, rgb, color_type=2, bit_depth=16)),
+        (11, mm.encode_png_ex(5, 4, [7] * 20, color_type=0, bit_depth=8)),
+        (12, mm.encode_png_ex(5, 4, [3] * 80, color_type=6, bit_depth=8)),
+        (13, b"P6\n5 4\n65535\n" + bytes(5 * 4 * 3 * 2)),
+    ]
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ])
+    df = spark.createDataFrame(in_domain + out_of_domain, schema)
+    hist_ids = {r["media_id"]
+                for r in mm.image_channel_histogram(df).collect()}
+    assert hist_ids == {0, 1, 2}
+    resized = mm.resize_images(df).collect()  # must not raise
+    assert {r["media_id"] for r in resized} == {0, 1, 2}
+    # the out-of-domain shapes are still VALID at the decode tier
+    dec = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+    for mid in (10, 11, 12, 13):
+        assert dec[mid]["content_checksum"] is not None, mid
+    # and the in-domain variants agree with the plain-RGB8 histogram
+    one = mm.image_channel_histogram(
+        spark.createDataFrame(in_domain[:1], schema))
+    base = {(r["channel"], r["bucket"]): r["n_pixels"]
+            for r in one.collect()}
+    for mid in (1, 2):
+        rows = mm.image_channel_histogram(
+            spark.createDataFrame(
+                [(mid, dict(in_domain)[mid])], schema)).collect()
+        if mid == 1:  # same pixels, different layout -> same histogram
+            assert {(r["channel"], r["bucket"]): r["n_pixels"]
+                    for r in rows} == base
+
+    # (5) frame_size-aware overflow rail: 24-bit at frame_size 2^18
+    # would wrap int64; the row must be skipped, not fabricated
+    wav = mm.encode_wav_ex([(1 << 23) - 1] * 10, bits=24)
+    adf = spark.createDataFrame([(0, wav)], schema)
+    assert mm.audio_frame_energy(adf, frame_size=1 << 18).collect() == []
+    assert mm.audio_frame_energy(adf, frame_size=256).collect() != []
+
+    # (6) RIFF size counts exactly the bytes after the 8-byte header
+    for p in (mm.encode_wav([1, 2, 3]),
+              mm.encode_wav_ex([1, 2, 3], bits=24, extensible=True)):
+        (declared,) = _struct.unpack("<I", p[4:8])
+        assert declared == len(p) - 8

@@ -265,28 +265,6 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
         # mp4: 64-bit largesize box claiming more than the file holds
         return struct.pack(">I", 1) + b"ftyp" + b"\x00" * 4
 
-    def scan_bomb() -> bytes:
-        """A 256x256 SOF2 stream of 100 identical ~12-byte EOB-run
-        scans (over the 1-component cap of 14+64): each scan covers the
-        full 1024-block grid with one EOB10 symbol, the unbounded-work
-        shape the r12 scan-count rail quarantines (ADVICE r11)."""
-
-        def seg(marker: int, body: bytes) -> bytes:
-            return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-        scan = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x00\x1f"
-        return b"".join(
-            [
-                mm.JPEG_SOI,
-                seg(0xDB, b"\x00" + bytes([1] * 64)),
-                seg(0xC2, struct.pack(">BHHB", 8, 256, 256, 1)
-                    + bytes([1, 0x11, 0])),
-                seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xA0])),
-            ]
-            + [scan] * 100
-            + [b"\xff\xd9"]
-        )
-
     soup = bytes((i * 37 + 11) % 256 for i in range(64))
     rows: list[tuple[int, str, str, bytes | None]] = []
     mid = 0
@@ -302,7 +280,10 @@ def media_wave4_corpus() -> list[tuple[int, str, str, bytes | None]]:
             "giant_claim": giant_claim(fmt, p),
         }
         if fmt == "jpeg_prog":
-            shapes["scan_bomb"] = scan_bomb()
+            # 100 scans: over the 1-component cap of 14 + 64; the
+            # builder is shared with the pytest pin (r12 review —
+            # a second hand-rolled copy would drift silently)
+            shapes["scan_bomb"] = mm.encode_jpeg_eob_scan_stream(100)
         for shape, payload in sorted(shapes.items()):
             rows.append((mid, fmt, shape, payload))
             mid += 1

@@ -113,13 +113,20 @@ class DecodeCapExceeded(ValueError):
 
 
 def _encode_wav_pcm(data: bytes, sample_rate: int, n_channels: int) -> bytes:
-    """RIFF/WAVE wrapper around raw little-endian int16 PCM bytes."""
+    """RIFF/WAVE wrapper around raw little-endian int16 PCM bytes.
+
+    RIFF size law (r12 review fix): the field counts everything after
+    the 8-byte RIFF header — 4 ("WAVE") + the fmt chunk (its 4-byte
+    size field is already inside ``fmt``, so + 4 for the tag) + the
+    8-byte data header + the data. The old formula double-counted the
+    fmt size field (+4), which this repo's parser ignores but a strict
+    external reader would flag on every fixture."""
     fmt = struct.pack(
         "<IHHIIHH", 16, 1, n_channels, sample_rate,
         sample_rate * n_channels * 2, n_channels * 2, 16,
     )
     return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 4 + 4 + len(fmt) + 8 + len(data)) + b"WAVE"
         + b"fmt " + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
@@ -171,8 +178,11 @@ def encode_wav_ex(
             "<IHHIIHH", 16, 1, n_channels, sample_rate,
             sample_rate * n_channels * step, n_channels * step, bits,
         )
+    # RIFF size: everything after the 8-byte RIFF header; ``fmt``
+    # already carries its own 4-byte size field (r12 review fix — the
+    # old formula double-counted it by 4)
     return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        b"RIFF" + struct.pack("<I", 4 + 4 + len(fmt) + 8 + len(data)) + b"WAVE"
         + b"fmt " + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
@@ -394,6 +404,12 @@ def decode_ppm(payload: bytes) -> dict:
             toks = body.split()
             if len(toks) != n_samples:
                 raise ValueError("PPM raster length mismatch")
+            # r12 review: a crafted 30-digit token raises OverflowError
+            # (not ValueError) inside the int64 array build, escaping
+            # every quarantine handler and killing the scan task —
+            # maxval <= 65535, so any token past 6 digits is junk
+            if any(len(t) > 6 for t in toks):
+                raise ValueError("PNM sample exceeds maxval")
             vals = np.array([int(t) for t in toks], dtype=np.int64)
             if (vals < 0).any() or (vals > maxval).any():
                 raise ValueError("PNM sample exceeds maxval")
@@ -1117,14 +1133,15 @@ def audio_frame_energy(df: DataFrame, frame_size: int = 256) -> DataFrame:
                     _, _, bits, samples = _wav_parse(bytes(payload))
                 except (ValueError, struct.error, IndexError):
                     continue  # quarantine posture: skip, don't fail
-                if bits >= 32:
-                    # 32-bit PCM (round 12): a full-scale frame's exact
-                    # energy is ~2^70 — it does not FIT the int64
-                    # output column, so the exact-law contract cannot
-                    # extend to this width. Typed skip (quarantine
-                    # posture), not a lossy downshift; decode_wav still
-                    # decodes 32-bit fully. 24-bit is safe: 2^46 per
-                    # square, 2^54 per 256-sample frame.
+                # Exact-law overflow rail (round 12, tightened by the
+                # r12 review): a frame's worst-case energy is
+                # frame_size * (2^(bits-1))^2 and must FIT the int64
+                # output column — 32-bit can never (2^70 at the
+                # default), and 24-bit overflows once frame_size
+                # exceeds 2^17. Typed skip (quarantine posture), never
+                # a silent int64 wrap or a lossy downshift;
+                # decode_wav still decodes every width fully.
+                if frame_size * (1 << (2 * bits - 2)) >= (1 << 63):
                     continue
                 sq = samples.astype(np.int64) ** 2
                 n = len(sq)
@@ -1426,14 +1443,27 @@ HIST_SCHEMA = StructType(
 
 
 def _image_raster(payload: bytes) -> np.ndarray:
-    """Interleaved RGB bytes of any supported image payload (P6 PPM or
-    8-bit RGB PNG); empty array for anything else — the quarantine
-    posture shared by every media kernel."""
+    """Interleaved 8-bit RGB raster of an image payload, or an empty
+    array — the single domain gate for the RGB-pixel feature ops
+    (histogram/resize). Two-tier contract with the decode/checksum
+    tier (round 12, after the format widenings): ``decode_media``
+    accepts the FULL PNM family and every RFC 2083 PNG shape, but the
+    pixel ops consume exactly the rasters that are 3-channel uint8 —
+    P6 with maxval ≤ 255, and PNGs whose decode expands to w*h*3
+    uint8 samples (plain RGB8, palette, Adam7 of either). Other VALID
+    shapes (16-bit RGB, grayscale, RGBA, gray+alpha) are skipped here
+    as out-of-domain, NOT quarantined — without this gate a 16-bit
+    RGB PNG passed the old size check as uint16 and crashed
+    resize_images in encode_ppm, and grayscale/RGBA rasters got
+    fabricated mod-3 channel labels in the histogram (r12 review)."""
     try:
         if payload[:2] == b"P6":
             return _ppm_pixels(payload)
         if payload[:8] == PNG_SIG:
-            return _png_raster(payload)
+            ras = _png_raster(payload)
+            w, h = _png_dims(payload)
+            if ras.dtype == np.uint8 and ras.size == w * h * 3:
+                return ras
     except (ValueError, struct.error, IndexError):
         pass
     return np.array([], dtype=np.uint8)
@@ -2074,6 +2104,43 @@ def encode_jpeg_gray_progressive(
         height,
         [(1, 1, 1, _jpeg_quantize_blocks(width, height, pixels))],
         al=al,
+    )
+
+
+def encode_jpeg_eob_scan_stream(
+    n_scans: int, width: int = 256, height: int = 256
+) -> bytes:
+    """The scan-count rail's differential fixture (ADVICE r11 medium):
+    a grayscale SOF2 stream of ``n_scans`` identical ~12-byte AC-first
+    scans, each one EOB-run symbol (EOB10 under a single 1-bit Huffman
+    code + 10 appended bits) covering the FULL block grid. Per scan
+    the decoder walks every block for ~2 entropy bytes — the
+    unbounded-work shape the rail quarantines past
+    ``JPEG_MAX_DC_PASSES + JPEG_MAX_SCANS_PER_COMPONENT``; under the
+    cap it decodes to the level-shift constant (all coefficients
+    zero). The SINGLE builder behind both the pytest pin
+    (tests/test_jpeg_progressive.py) and the junk-probe payload
+    (tools/junk_check.py) — two hand-rolled copies would drift
+    silently (r12 review)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    scan = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + b"\x00\x1f"
+    return b"".join(
+        [
+            JPEG_SOI,
+            seg(0xDB, b"\x00" + bytes([1] * 64)),
+            seg(
+                0xC2,
+                struct.pack(">BHHB", 8, height, width, 1)
+                + bytes([1, 0x11, 0]),
+            ),
+            # one AC table (tc=1, th=0): a single 1-bit code for EOB10
+            seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0xA0])),
+        ]
+        + [scan] * n_scans
+        + [b"\xff\xd9"]
     )
 
 
