@@ -406,7 +406,7 @@ def test_schema_drift_check_cli_and_movers_contract():
     assert out.endswith("SCHEMADRIFT.json")
     _, only2, _, out2 = sd._parse_args(["--only=a,b", "--out=/tmp/x.json"])
     assert only2 == {"a", "b"} and out2 == "/tmp/x.json"
-    assert sd.VARIANTS == ("reorder", "extra", "split")
+    assert sd.VARIANTS == ("reorder", "extra", "split", "debris")
     for (name, mode), why in sd.EXPECTED_SCHEMA_MOVERS.items():
         assert isinstance(name, str) and mode in sd.VARIANTS
         assert isinstance(why, str) and len(why) > 20

@@ -19,6 +19,15 @@ Three drifted clones of the corpus, each holding the SAME LOGICAL ROWS:
   carrying the extra column — per-file footer disagreement, the shape
   multi-producer directories actually have. Rows are split
   deterministically (crc32 of the first column, even/odd).
+* ``debris``   — every table as a directory carrying the committer
+  litter real lakes accumulate: ``_SUCCESS``, ``_started_*`` /
+  ``_committed_*`` markers, ``.crc`` sidecars, ``.DS_Store``, and —
+  the dangerous one — a ``_temporary/`` subtree holding a DUPLICATE
+  part file from an aborted task attempt. Spark's hidden-file filter
+  must drop all of it; an engine that hand-globbed ``**`` or listed
+  recursively would DOUBLE every row (a loud fingerprint move), and
+  one that read ``*.parquet`` per-file would miss the directory
+  layout entirely (round 12).
 
 Adjudication: every ``queries()`` entry runs on the clean corpus and
 on each drifted clone under the driver protocol fingerprint (rows +
@@ -58,7 +67,7 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-VARIANTS = ("reorder", "extra", "split")
+VARIANTS = ("reorder", "extra", "split", "debris")
 
 #: queries whose movement under a drift variant is EXPECTED, with a
 #: reviewed explanation. Empty = the whole contract is drift-neutral.
@@ -107,6 +116,43 @@ def build_variant(spark, src: str, dst: str, mode: str) -> None:
                         )
                         n += 1
                 shutil.rmtree(tmp)
+        elif mode == "debris":
+            tmp = out_dir + "_tmp"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.makedirs(out_dir)
+            n = 0
+            part = None
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    part = os.path.join(out_dir, f"part-{n:05d}.parquet")
+                    os.rename(os.path.join(tmp, f), part)
+                    # the GENUINE checksum sidecar Hadoop's local FS
+                    # wrote for this part (a real committer leaves a
+                    # VALID .crc — a garbage one makes Hadoop fail the
+                    # read as corruption, which is correct behavior and
+                    # not what this probe measures)
+                    crc = os.path.join(tmp, f".{f}.crc")
+                    if os.path.exists(crc):
+                        os.rename(
+                            crc,
+                            os.path.join(
+                                out_dir,
+                                f".{os.path.basename(part)}.crc",
+                            ),
+                        )
+                    n += 1
+            shutil.rmtree(tmp)
+            open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+            open(os.path.join(out_dir, "_started_17123"), "w").close()
+            with open(os.path.join(out_dir, "_committed_17123"), "w") as fh:
+                fh.write('{"added":["part-00000.parquet"]}')
+            with open(os.path.join(out_dir, ".DS_Store"), "wb") as fh:
+                fh.write(b"\x00Bud1")
+            # aborted-attempt duplicate: MUST stay invisible, else every
+            # row doubles and the fingerprint moves loudly
+            attempt = os.path.join(out_dir, "_temporary", "0", "attempt_1")
+            os.makedirs(attempt)
+            shutil.copy(part, os.path.join(attempt, "part-00000.parquet"))
         else:
             raise ValueError(mode)
 
