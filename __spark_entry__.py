@@ -541,7 +541,10 @@ def q_lsh_topk(spark, sf_dir):
     Deterministic plane family → the oracle reproduces buckets exactly.
     """
     emb = _t_wide(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
+    # query side from the PLAIN scan (r12): deriving it from the _t_wide
+    # relation made the 5-row broadcast branch pay the full round-robin
+    # exchange first (plan: Exchange(RoundRobin) under BroadcastExchange)
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
     out = lsh_bucket_topk(emb, queries, k=10, num_planes=8, dim=64)
     return out.select(
         F.col("query_id").cast("long"),
@@ -556,7 +559,8 @@ def q_lsh_multiband_topk(spark, sf_dir):
     8-plane band buckets; corpus stays shuffle-free (band keys join the
     broadcast query bands, candidate ids broadcast back for scoring)."""
     emb = _t_wide(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
+    # plain-scan query side — same rationale as q_lsh_topk (r12)
+    queries = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
     out = lsh_bucket_topk(emb, queries, k=10, num_planes=8, dim=64, num_bands=4)
     return out.select(
         F.col("query_id").cast("long"),
@@ -3040,10 +3044,13 @@ def q_copurchase_recs(spark, sf_dir):
     aggregate): parts sharing an order pair up (bounded by order width
     AND the ``COPURCHASE_MAX_BASKET`` rail, never a corpus self-join),
     pair counts rank per part, top-3 kept — one window over the
-    pair-count relation. _t_wide: the 600k-row single-file harness
-    scan serialized the pair-join's map side (measured 3.2 -> 1.7 s);
-    at real scale the split count makes the repartition a no-op."""
-    li = _t_wide(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pair-count relation. _t (r12 optimization): the old _t_wide
+    round-robin predates the broadcast self-join — today's plan put its
+    Exchange DIRECTLY under the rail window's hash exchange on one
+    branch and under the BroadcastExchange on the other (both sides
+    re-shuffle/collect immediately, map work is a trivial projection),
+    so the 600k-row round-robin was a pure extra shuffle (plans/r12)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = _copurchase_pairs(li)
     w = Window.partitionBy("p1").orderBy(
         F.col("n_together").desc(), F.col("p2").asc()

@@ -68,6 +68,48 @@ def test_quantize_drops_nonfinite_vectors(spark):
     assert out[6].qvec == []
 
 
+def test_quantize_kernel_bitexact_vs_expression_twin(spark):
+    """The r12 Arrow kernel (default) and the pure-expression path must
+    agree BIT-for-bit — surviving rows, scale doubles, every code —
+    including on the junk shapes the quarantine adjudicates (NaN / Inf
+    / NULL element / NULL vector / empty / ragged / element=None)."""
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [NAN, 1.0, 1.0]),
+            (3, [INF, 1.0, 1.0]),
+            (4, None),
+            (5, [0.0, 0.0, 0.0]),
+            (6, []),
+            (7, [None, 1.0, 2.0]),  # NULL element → quarantined both paths
+            (8, [0.3]),  # ragged width is fine in both paths
+            (9, [-INF, 5.0]),
+            (10, [1.5, 2.5, -63.0, 0.25]),  # .5 tie points
+        ],
+        schema,
+    )
+    kern = sorted(
+        (r.vec_id, r.scale, list(r.qvec))
+        for r in quantize_embeddings(df, use_kernel=True).collect()
+    )
+    expr = sorted(
+        (r.vec_id, r.scale, list(r.qvec))
+        for r in quantize_embeddings(df, use_kernel=False).collect()
+    )
+    assert kern == expr
+    assert [v for v, _, _ in kern] == [1, 5, 6, 8, 10]
+
+
 def test_label_centroids_excludes_nonfinite_vectors(spark):
     from yandex_tracker_exporter_spark.operators.clustering import (
         label_centroids,

@@ -221,7 +221,13 @@ def _minhash_sig_kernel(num_hashes: int, shingle_k: int):
             )
         return pd.Series(out)
 
-    return sig
+    # The kernel IS pure, but Catalyst pushes filters that reference its
+    # output (the _lsh_banded isnotnull guard) below the parallelizing
+    # exchange by DUPLICATING the call — measured r12: sig() evaluated
+    # twice per branch, the extra one on the single-partition scan (the
+    # similarity.py `prep` precedent, guide §4.4). asNondeterministic()
+    # forbids duplicating the call; results are unchanged.
+    return sig.asNondeterministic()
 
 
 def _shingle_hset_kernel(shingle_k: int):
@@ -253,7 +259,10 @@ def _shingle_hset_kernel(shingle_k: int):
             out.append(np.unique(h))
         return pd.Series(out)
 
-    return hset
+    # asNondeterministic: stop Catalyst re-evaluating the kernel below
+    # exchanges for inferred explode/isnotnull constraints (measured r12:
+    # hset() ran twice on decontaminate's benchmark branch — guide §4.4)
+    return hset.asNondeterministic()
 
 
 def minhash_signatures(
@@ -1384,6 +1393,9 @@ def _hashset_kernel(shingle_k: int):
             out.append(np.unique(h))
         return pd.Series(out)
 
+    # asNondeterministic: stop Catalyst re-evaluating the kernel below
+    # exchanges for inferred explode/isnotnull constraints (measured r12:
+    # hset() ran twice on decontaminate's benchmark branch — guide §4.4)
     return hset.asNondeterministic()
 
 

@@ -685,7 +685,12 @@ def _pair_cosine_kernel():
             dots = np.add.accumulate(av * bv, axis=1)[:, -1]
             return pd.Series(dots / (anrm.to_numpy() * bnrm.to_numpy()))
 
-    return score
+    # asNondeterministic (the `prep` precedent, guide §4.4): Catalyst
+    # pushed the `>= threshold` filter below the projection by RE-RUNNING
+    # the scorer — measured r12 (embedding_neardup plan): score() as two
+    # back-to-back ArrowEvalPython nodes, every candidate pair scored
+    # twice. Pure kernel; forbidding duplication changes no result.
+    return score.asNondeterministic()
 
 
 def cosine_neardup_pairs(
@@ -856,10 +861,54 @@ def cosine_neardup_pairs(
     )
 
 
+def _quantize_kernel():
+    """Arrow-vectorized int8 quantizer: one numpy pass per batch doing
+    EXACTLY the expression path's math — ``scale = 127.0 / max(|v|)``
+    (double division), ``q_i = floor(v_i·scale + 0.5)`` (float32→float64
+    cast is exact; multiply/add/floor are single IEEE-754 double ops in
+    both engines) — so codes are bit-identical to the HOF fold and the
+    DuckDB oracle (pinned: tests/test_differential_reference3.py).
+
+    Why it exists (r12 optimization, guide §4.2): the expression path is
+    ~5 interpreted higher-order-function passes per row (finite_vector's
+    forall + abs/max/floor transforms never enter codegen), measured
+    ~1.0 s of the 1.45 s query at sf0.1 — with the quarantine filter
+    pushed onto the SINGLE-partition scan. The kernel replaces them with
+    vectorized numpy and carries the quarantine INSIDE (NULL struct →
+    dropped by the caller), so nothing pushes below the exchange.
+
+    Quarantine parity with :func:`finite_vector`: NULL vector → NULL
+    struct; NULL element (NaN through Arrow) / NaN / ±Inf element →
+    NULL struct; empty and ragged vectors keep the scale-0 convention.
+    """
+
+    @F.pandas_udf("struct<scale: double, qvec: array<int>>")
+    def qz(vecs: pd.Series) -> pd.DataFrame:
+        scales: list = [None] * len(vecs)
+        codes: list = [None] * len(vecs)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if arr.ndim != 1 or not np.isfinite(arr).all():
+                continue
+            m = np.abs(arr).max() if arr.shape[0] else 0.0
+            scale = 127.0 / m if m > 0.0 else 0.0
+            scales[i] = scale
+            codes[i] = np.floor(arr * scale + 0.5).astype(np.int32)
+        return pd.DataFrame({"scale": scales, "qvec": codes})
+
+    # asNondeterministic (guide §4.4): forbid Catalyst duplicating the
+    # call into pushed-down isnotnull filters — pure kernel, no result
+    # change (the prep/score precedent).
+    return qz.asNondeterministic()
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the 4×
     storage/bandwidth compression step for a 100 TB vector corpus
@@ -881,7 +930,23 @@ def quantize_embeddings(
     the guard a junk NaN vector quantized to a legitimate-looking
     all-zero code row (and Inf to ±Long.MAX) instead of failing or
     vanishing. Empty and ragged vectors keep the scale-0 convention.
+
+    Default path is the Arrow kernel (``_quantize_kernel`` — r12
+    optimization, ~5 interpreted HOF passes replaced by one numpy pass,
+    bit-identical); ``use_kernel=False`` keeps the pure-expression twin
+    (engines without Python workers; the differential pin runs both).
     """
+    if use_kernel:
+        kernel = _quantize_kernel()
+        out = df.select(F.col(id_col), kernel(F.col(vec_col)).alias("_q"))
+        # quarantined rows come back as a struct with NULL fields (Arrow
+        # structs are never themselves NULL out of a pandas UDF) — gate
+        # on scale, which is non-NULL for every surviving row (0.0 for
+        # the empty/zero-vector convention)
+        return out.where(F.col("_q.scale").isNotNull()).select(
+            F.col(id_col), F.col("_q.scale").alias("scale"),
+            F.col("_q.qvec").alias("qvec"),
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.where(finite_vector(F.col(vec_col))).select(
         F.col(id_col), v.alias("_v")
