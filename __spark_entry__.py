@@ -2082,9 +2082,18 @@ def q_hll_distinct(spark, sf_dir):
     from yandex_tracker_exporter_spark.operators.sketches import hll_distinct
 
     ev = _t(spark, sf_dir, "events")
-    est = hll_distinct(ev, "user_id", ["event_type"], out_col="est_users")
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
+    # r12 optimization (guide §2.4): both the sketch and the exact
+    # audit are duplicate-invariant, so they share ONE checkpointed
+    # distinct (type, user) relation instead of two corpus scans. HLL
+    # registers are max-merges (identical rows can't change a max);
+    # count(user_id) over the distinct pairs IS count_distinct over the
+    # raw events. Estimates and exact counts bit-identical.
+    du = (
+        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    )
+    est = hll_distinct(du, "user_id", ["event_type"], out_col="est_users")
+    exact = du.groupBy("event_type").agg(
+        F.count("user_id").alias("exact_users")
     )
     return est.join(F.broadcast(exact), "event_type").select(
         "event_type",
@@ -2245,7 +2254,16 @@ def q_cms_heavy_hitters(spark, sf_dir):
     # ONE corpus shuffle: the exact count relation feeds both the top-k
     # and the sketch build (counters from counts, never per-occurrence —
     # the salted hash fold must run once per distinct term)
-    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # barrier (r12, guide §2.4): the exact count relation feeds the
+    # sketch build AND (via topk) two more consumers — without it the
+    # corpus explode+aggregate executed three times (3 FileScans in the
+    # before-plan). exact is vocabulary-sized (already the shuffle
+    # output). topk itself stays UN-checkpointed: re-deriving 20 rows
+    # from the checkpointed vocab relation is cheap, and the visible
+    # TakeOrderedAndProject keeps the no-global-sort plan guard honest.
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).localCheckpoint(eager=False)
     topk = exact.orderBy(F.col("exact_cnt").desc(), F.col("term").asc()).limit(20)
     counters = cms_counters(exact, count_col="exact_cnt")
     est = cms_estimate(topk.select("term"), counters)
@@ -2649,13 +2667,18 @@ def q_kmv_intersection(spark, sf_dir):
     # sides, and the distinct (type, user) relation feeds both sides
     # of the exact-intersection self-join — each reference used to
     # re-scan and re-aggregate the corpus (4 FileScans)
-    sk = kmv_bottom_k(ev, "user_id", "event_type").localCheckpoint(eager=False)
-    est = kmv_intersection_estimates(sk)
     du = (
         ev.select(F.col("event_type").alias("grp"), "user_id")
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r12 optimization (guide §2.4): the KMV sketch is
+    # duplicate-invariant (it hashes then takes DISTINCT bottom-k), so
+    # it builds from the same checkpointed distinct relation the exact
+    # side already pays for — one corpus scan instead of two. Sketches
+    # are bit-identical (oracle-pinned).
+    sk = kmv_bottom_k(du, "user_id", "grp").localCheckpoint(eager=False)
+    est = kmv_intersection_estimates(sk)
     a = du.select(F.col("grp").alias("grp_a"), "user_id")
     b = du.select(F.col("grp").alias("grp_b"), "user_id")
     exact = (
@@ -3118,7 +3141,6 @@ def q_hll_union(spark, sf_dir):
     from yandex_tracker_exporter_spark.operators.sketches import hll_union_pairs
 
     ev = _t(spark, sf_dir, "events")
-    est = hll_union_pairs(ev, "user_id", "event_type")
     # barrier: the distinct (type, user) relation feeds the per-group
     # counts AND both sides of the intersection self-join — three
     # corpus scans without it
@@ -3127,6 +3149,13 @@ def q_hll_union(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r12 optimization (guide §2.4): HLL register state is
+    # duplicate-invariant — max over identical (reg, rho) rows — so the
+    # sketch builds from the SAME checkpointed distinct relation the
+    # exact side already pays for, instead of a second full corpus
+    # scan + (grp, reg) aggregation over raw events. Registers, and
+    # therefore every estimate, are bit-identical (oracle-pinned).
+    est = hll_union_pairs(du, "user_id", "grp")
     counts = du.groupBy("grp").agg(F.count(F.lit(1)).alias("c"))
     inter = (
         du.select(F.col("grp").alias("grp_a"), "user_id")
@@ -3560,6 +3589,10 @@ def q_contingency_chi2(spark, sf_dir):
     the |segments|×|priorities| cell relation via broadcast."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # barrier (r12, guide §2.4): the |segments|×|priorities|-row cell
+    # relation feeds FOUR consumers (row/col marginals, total, probe) —
+    # without it the corpus join+aggregate executed four times (8
+    # FileScans in the before-plan).
     cells = (
         orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
@@ -3567,6 +3600,7 @@ def q_contingency_chi2(spark, sf_dir):
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=False)
     )
     rows_m = cells.groupBy("segment").agg(F.sum("observed").alias("_r"))
     cols_m = cells.groupBy("priority").agg(F.sum("observed").alias("_c"))
@@ -3744,9 +3778,13 @@ def q_cluster_balance(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned = kmeans_quantized(emb, k=8, iters=2)
+    # barrier (r12, guide §2.4/§5): the k-row sizes relation feeds BOTH
+    # the broadcast total-aggregate build and the outer join probe —
+    # without it the whole kmeans assignment pipeline re-executed once
+    # per reference (measured: two identical job chains in the UI)
     sizes = assigned.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vectors")
-    )
+    ).localCheckpoint(eager=False)
     tot = sizes.agg(
         F.sum("n_vectors").alias("_t"), F.max("n_vectors").alias("_mx"),
         F.count(F.lit(1)).alias("_k"),

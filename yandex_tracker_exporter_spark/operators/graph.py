@@ -492,11 +492,15 @@ def degree_assortativity_moments(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # barrier (r12, guide §2.4): deg feeds BOTH endpoint joins — each
+    # broadcast build re-ran the union+aggregation over the edge
+    # checkpoint without it. Node-sized relation; computed once now.
     deg = (
         e.select(F.col("_u").alias("node"))
         .unionAll(e.select(F.col("_v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     both = e.unionAll(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
     joined = (

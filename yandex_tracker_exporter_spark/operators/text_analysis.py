@@ -234,9 +234,18 @@ def duplicated_window_ratio(
 
     Output: (id, n_windows, n_dup_windows, dup_ratio).
     """
+    # barrier TRADE-OFF (r12, guide §2.4): the window-hash explode
+    # feeds BOTH the frequency aggregate and the join probe — without
+    # it the tokenize+chunk+md5 subtree runs twice over the corpus.
+    # The materialized relation is (id, 16-byte hash) per window —
+    # far narrower than the text, but still corpus-scale at 100 TB;
+    # there, prefer re-tokenizing (drop the checkpoint) over a
+    # cluster-storage persist, as with the other text barriers.
     chunks = chunk_tokens(
         df, text_col, id_col, chunk_size=window_tokens, overlap=0
-    ).select(id_col, F.md5(F.col("chunk_text")).alias("_wh"))
+    ).select(
+        id_col, F.md5(F.col("chunk_text")).alias("_wh")
+    ).localCheckpoint(eager=False)
     freq = chunks.groupBy("_wh").agg(
         F.count_distinct(F.col(id_col)).alias("_ndocs")
     )
@@ -477,6 +486,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 3,
+    materialize_doc_term: bool = True,
 ) -> DataFrame:
     """Most-distinctive terms per document: rank a document's terms by
     (term frequency DESC, document frequency ASC, term ASC) and keep the
@@ -524,6 +534,16 @@ def tfidf_top_terms(
     doc_term = with_bounds.select(
         F.col(id_col), F.explode(pairs).alias("_p")
     ).select(F.col(id_col), F.col("_p.term").alias("term"), F.col("_p.tf").alias("tf"))
+    # barrier TRADE-OFF (r12, guide §2.4 / the term_cooccurrence_pmi
+    # precedent): doc_term feeds the document-frequency broadcast build
+    # AND the join probe side — without the barrier the tokenize +
+    # sort + RLE subtree runs twice over the corpus. The barrier is an
+    # executor materialization of the doc×term relation: fine at bench
+    # scale, a cluster-storage-sized persist at 100 TB —
+    # ``materialize_doc_term=False`` keeps the plan purely streaming
+    # (re-tokenize instead of persist) for input >> cluster memory.
+    if materialize_doc_term:
+        doc_term = doc_term.localCheckpoint(eager=False)
     doc_freq = doc_term.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -883,6 +903,7 @@ def sorted_neighborhood_pairs(
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
+    materialize_bigrams: bool = True,
 ) -> DataFrame:
     """Add-one-smoothed bigram language model in exact milli units:
     P(w2|w1) ≈ (c12 + 1)·1000 div (c1 + V) — the LM statistic behind
@@ -912,12 +933,30 @@ def bigram_lm(
             )
         ).alias("bg")
     ).where(F.col("bg.w2").isNotNull()).select("bg.w1", "bg.w2")
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # barrier TRADE-OFF (r12, guide §2.4 / the term_cooccurrence_pmi
+    # precedent): the bigram relation feeds BOTH count aggregations
+    # (c12 and the prefix counts) — without the barrier the tokenize +
+    # bigram-explode subtree runs twice over the corpus. The barrier
+    # materializes the exploded bigram stream on executors: fine at
+    # bench scale, corpus-sized at 100 TB —
+    # ``materialize_bigrams=False`` keeps it streaming there.
+    if materialize_bigrams:
+        bigrams = bigrams.localCheckpoint(eager=False)
     vocab = (
         df.select(F.explode(toks).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
+    return _bigram_lm_from(bigrams, vocab)
+
+
+def _bigram_lm_from(bigrams: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The LM count/smoothing core over a pre-built (w1, w2) bigram
+    relation and a single-row vocabulary count — shared by
+    :func:`bigram_lm` and :func:`lm_doc_score` (which reuses its per-doc
+    bigram explode as the training stream; same multiset, so every
+    count and probability is bit-identical)."""
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     joined = c12.join(c1, "w1").join(F.broadcast(vocab))
     p_milli = F.expr("((c12 + 1) * 1000) div (c1 + v)")
     return joined.select(
@@ -1028,9 +1067,15 @@ def split_leakage_audit(
             )
         ).alias("_key"),
     )
+    # barrier (r12, guide §2.4): per_split feeds BOTH sides of the
+    # key self-join — without it the tokenize+window+md5 explode and
+    # its aggregation ran twice over the corpus. The materialized
+    # relation is (16-byte key, split, count) per DISTINCT window —
+    # the aggregated, not the exploded, size; at 100 TB this is the
+    # relation a leakage audit has to hold somewhere regardless.
     per_split = exploded.groupBy("_key", "split").agg(
         F.count(F.lit(1)).alias("_n")
-    )
+    ).localCheckpoint(eager=False)
     a = per_split.select(
         "_key", F.col("split").alias("split_a"), F.col("_n").alias("_na")
     )
@@ -1217,12 +1262,17 @@ def lm_doc_score(
     map-only explode plus one id-keyed rollup; no corpus-scale join
     shuffle. Output: doc_id, n_bigrams, mean_p_milli.
     """
-    # barrier: the LM table is vocabulary²-bounded but derives from a
-    # full corpus aggregation, and the broadcast build is a second
-    # consumer of its subtree — without it the corpus was re-scanned
-    # and re-counted per reference (4 FileScans in the contract plan)
-    lm = bigram_lm(df, text_col).localCheckpoint(eager=False)
     toks = _tokens(F.col(text_col))
+    # barrier TRADE-OFF (r12, guide §2.4): the per-doc bigram relation
+    # feeds the LM training counts AND the scoring join probe — dropping
+    # id_col yields the exact bigram multiset bigram_lm() would explode
+    # itself, so training from it changes no count or probability while
+    # removing two whole corpus tokenize+explode passes (the contract
+    # plan went from 4 corpus passes to 2: this relation + the vocab
+    # count). The checkpoint materializes the exploded doc×bigram
+    # stream: fine at bench scale, corpus-sized at 100 TB — there,
+    # prefer the streaming shape (call bigram_lm(df) directly and keep
+    # this relation un-materialized, re-tokenizing instead).
     doc_bigrams = df.select(F.col(id_col), toks.alias("_t")).select(
         F.col(id_col),
         F.explode(
@@ -1234,7 +1284,19 @@ def lm_doc_score(
                 ),
             )
         ).alias("bg"),
-    ).where(F.col("bg.w2").isNotNull()).select(id_col, "bg.w1", "bg.w2")
+    ).where(F.col("bg.w2").isNotNull()).select(
+        id_col, "bg.w1", "bg.w2"
+    ).localCheckpoint(eager=False)
+    vocab = df.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    # barrier: the LM table is vocabulary²-bounded but derives from a
+    # full corpus aggregation, and the broadcast build is a second
+    # consumer of its subtree — without it the corpus was re-scanned
+    # and re-counted per reference (4 FileScans in the contract plan)
+    lm = _bigram_lm_from(
+        doc_bigrams.select("w1", "w2"), vocab
+    ).localCheckpoint(eager=False)
     scored = doc_bigrams.join(
         F.broadcast(lm.select("w1", "w2", "p_milli")), ["w1", "w2"]
     )

@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 
 from yandex_tracker_exporter_spark.schemas import TESTDATA_TABLES
 
+#: Read-PLAN memo per (session, sf_dir, table): ``spark.read.parquet``
+#: costs driver-side file listing + footer/schema reads (plus the
+#: ``dtypes`` inspection round-trips below) on EVERY call, and a static
+#: file's schema never changes within a process. Caching the analyzed
+#: DataFrame (an immutable logical plan — no data, no results; the same
+#: class of metadata caching as Spark's own file-listing cache, and the
+#: `_WIDE_PROBE_CACHE` precedent one module over) pays it once per
+#: table. Keyed by applicationId so a stopped/restarted session never
+#: sees a stale plan. (r12 optimization, guide §6.)
+_READ_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table (``{sf_dir}/{name}.parquet``).
@@ -28,9 +39,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Runtime confs, harmless when already set; required because the
     # driver's own SparkSession won't carry them: ns-parquet reading and
-    # UTC epoch semantics (oracle comparisons assume UTC).
+    # UTC epoch semantics (oracle comparisons assume UTC). Deliberately
+    # OUTSIDE the memo: the self-heal must run even on a cache hit (a
+    # caller may have flipped the session timezone between queries).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _READ_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -42,6 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    _READ_PLAN_CACHE[key] = df
     return df
 
 
