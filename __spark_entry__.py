@@ -1185,7 +1185,11 @@ def q_quantize_embeddings(spark, sf_dir):
     # _t_wide: 64 transform+floor ops per row is enough per-row CPU for
     # the single-file harness scan to serialize (measured 1.6 -> 1.1 s)
     emb = _t_wide(spark, sf_dir, "embeddings")
-    out = quantize_embeddings(emb, "embedding", "vec_id")
+    # use_kernel=True HERE ONLY (r12): the codes are this query's
+    # terminal output, where the Arrow kernel won its paired A/B
+    # (0.72 s vs 2.01 s); operator consumers (kmeans/knn/ivf/semdedup)
+    # keep the expression twin, which won everywhere downstream.
+    out = quantize_embeddings(emb, "embedding", "vec_id", use_kernel=True)
     return out.select(
         F.col("vec_id").cast("long"),
         "scale",

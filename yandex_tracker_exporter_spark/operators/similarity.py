@@ -908,7 +908,7 @@ def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    use_kernel: bool = True,
+    use_kernel: bool = False,
 ) -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the 4×
     storage/bandwidth compression step for a 100 TB vector corpus
@@ -931,10 +931,16 @@ def quantize_embeddings(
     all-zero code row (and Inf to ±Long.MAX) instead of failing or
     vanishing. Empty and ragged vectors keep the scale-0 convention.
 
-    Default path is the Arrow kernel (``_quantize_kernel`` — r12
-    optimization, ~5 interpreted HOF passes replaced by one numpy pass,
-    bit-identical); ``use_kernel=False`` keeps the pure-expression twin
-    (engines without Python workers; the differential pin runs both).
+    ``use_kernel=True`` swaps in the Arrow kernel (``_quantize_kernel``
+    — r12 optimization, ~5 interpreted HOF passes replaced by one numpy
+    pass, bit-identical). The kernel wins ONLY when the codes are the
+    TERMINAL output (quantize-as-a-query: 0.72 s vs 2.01 s paired
+    in-session at sf0.1) — as an upstream stage it inserts a JVM→Python
+    boundary that breaks codegen fusion with the consumer and LOST the
+    same A/B everywhere it was tried (kmeans 3.36 vs 1.39 s,
+    cluster_balance 1.94 vs 1.46, knn_confusion 1.76 vs 1.36, ivf_topk
+    1.62 vs 1.31), so the default stays the pure-expression twin and
+    downstream operators inherit it.
     """
     if use_kernel:
         kernel = _quantize_kernel()

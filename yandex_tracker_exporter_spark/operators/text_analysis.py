@@ -903,7 +903,7 @@ def sorted_neighborhood_pairs(
 def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
-    materialize_bigrams: bool = True,
+    materialize_bigrams: bool = False,
 ) -> DataFrame:
     """Add-one-smoothed bigram language model in exact milli units:
     P(w2|w1) ≈ (c12 + 1)·1000 div (c1 + V) — the LM statistic behind
@@ -933,13 +933,16 @@ def bigram_lm(
             )
         ).alias("bg")
     ).where(F.col("bg.w2").isNotNull()).select("bg.w1", "bg.w2")
-    # barrier TRADE-OFF (r12, guide §2.4 / the term_cooccurrence_pmi
-    # precedent): the bigram relation feeds BOTH count aggregations
-    # (c12 and the prefix counts) — without the barrier the tokenize +
-    # bigram-explode subtree runs twice over the corpus. The barrier
-    # materializes the exploded bigram stream on executors: fine at
-    # bench scale, corpus-sized at 100 TB —
-    # ``materialize_bigrams=False`` keeps it streaming there.
+    # barrier TRADE-OFF (r12, guide §2.4): the bigram relation feeds
+    # BOTH count aggregations (c12 and the prefix counts) — a barrier
+    # would tokenize once instead of twice, but it materializes the
+    # exploded (w1, w2) STRING stream, which is BIGGER than the text it
+    # came from; paired in-session A/B at sf0.1 measured the barrier
+    # LOSING (ckpt 0.77/1.18 best/med vs streaming 0.65/0.79) — writing
+    # exploded bigrams costs more than the second map-side tokenize
+    # feeding a partial aggregation. Default is therefore streaming at
+    # every scale; the flag stays for corpora whose tokenize is the
+    # bottleneck (e.g. much longer documents per row).
     if materialize_bigrams:
         bigrams = bigrams.localCheckpoint(eager=False)
     vocab = (
