@@ -438,17 +438,17 @@ def q_cosine_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_qvec"),
-    ).withColumn("_qn", norm(F.col("_qvec"))).where(_usable_norm(F.col("_qn")))
+    ).withColumn("_qn", norm("_qvec")).where(_usable_norm(F.col("_qn")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_cvec"),
-    ).withColumn("_cn", norm(F.col("_cvec"))).where(_usable_norm(F.col("_cn")))
+    ).withColumn("_cn", norm("_cvec")).where(_usable_norm(F.col("_cn")))
     scored = corpus.join(
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
     ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
+        (dot("_qvec", "_cvec") / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
     # The _finite_score belt goes AFTER the rank<=k filter (the
     # placement the library operators use): pre-rank, Catalyst infers a
@@ -1746,19 +1746,19 @@ def q_knn_classify(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_qvec"),
-    ).withColumn("_qn", norm(F.col("_qvec"))).where(_usable_norm(F.col("_qn")))
+    ).withColumn("_qn", norm("_qvec")).where(_usable_norm(F.col("_qn")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_cvec"),
-    ).withColumn("_cn", norm(F.col("_cvec"))).where(_usable_norm(F.col("_cn")))
+    ).withColumn("_cn", norm("_cvec")).where(_usable_norm(F.col("_cn")))
     scored = corpus.join(
         F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id")
     ).select(
         F.col("query_id").cast("long"),
         F.col("neighbor_id").cast("long"),
         F.col("n_label").cast("long"),
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
+        (dot("_qvec", "_cvec") / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
     # _finite_score goes AFTER the rank<=k filter (library placement;
     # see q_cosine_topk): pre-rank it duplicates the dot fold into the
@@ -2780,7 +2780,7 @@ def q_zorder_layout(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     keyed = li.select(
-        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+        zorder_key("l_partkey", "l_suppkey").alias("zkey"),
         "l_partkey",
         "l_suppkey",
     )
@@ -2847,7 +2847,7 @@ def q_pruning_simulation(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     keyed = li.withColumn(
-        "zkey", zorder_key(F.col("l_partkey"), F.col("l_suppkey"))
+        "zkey", zorder_key("l_partkey", "l_suppkey")
     )
     lo, hi = 100, 120
     rows_per_file = 4096
@@ -3255,12 +3255,12 @@ def q_knn_confusion(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_qvec"),
-    ).withColumn("_qn", norm(F.col("_qvec"))).where(_usable_norm(F.col("_qn")))
+    ).withColumn("_qn", norm("_qvec")).where(_usable_norm(F.col("_qn")))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_cvec"),
-    ).withColumn("_cn", norm(F.col("_cvec"))).where(_usable_norm(F.col("_cn")))
+    ).withColumn("_cn", norm("_cvec")).where(_usable_norm(F.col("_cn")))
     scored = corpus.join(
         F.broadcast(queries_df), F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -3268,7 +3268,7 @@ def q_knn_confusion(spark, sf_dir):
         F.col("true_label").cast("long"),
         F.col("neighbor_id").cast("long"),
         F.col("n_label").cast("long"),
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
+        (dot("_qvec", "_cvec") / (F.col("_qn") * F.col("_cn"))).alias("cosine_sim"),
     )
     # _finite_score goes AFTER the rank<=k filter (library placement;
     # see q_cosine_topk/q_knn_classify): post-rank it is O(k) rows and

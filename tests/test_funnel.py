@@ -270,3 +270,82 @@ def test_ewma_daily_matches_python_fold(spark):
     for m in means:
         expect.append(m if not expect else 0.3 * m + 0.7 * expect[-1])
     assert [e for _, _, e in got] == expect
+
+
+def test_window_funnel_sql_fold_matches_column_fold(spark):
+    """r12 construction fast path: window_funnel builds its fold as one
+    SQL string. Pin it against the original Column-built fold (inlined
+    here verbatim) — every user's level must be identical, including
+    quote-bearing step names and out-of-order/over-window events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.funnel import window_funnel
+
+    steps = ["vi'ew", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    import random
+
+    rnd = random.Random(7)
+    for u in range(50):
+        for i in range(rnd.randint(0, 12)):
+            rows.append(
+                (
+                    u,
+                    rnd.choice(steps + ["other"]),
+                    base + dt.timedelta(seconds=rnd.randint(0, 7200)),
+                )
+            )
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(df, steps, 3600).collect()
+    }
+
+    # original Column-built fold, verbatim from pre-r12 window_funnel
+    ev = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_timestamp(F.col("ts")).alias("t"),
+                F.col("event_type").alias("y"),
+            )
+        )
+    )
+    grouped = df.groupBy("user_id").agg(ev.alias("_ev"))
+    init = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(0).cast("long").alias("t0"),
+        F.lit(0).cast("long").alias("tp"),
+    )
+
+    def step(acc, e):
+        out = F.when(
+            (acc["level"] == 0) & (e["y"] == steps[0]),
+            F.struct(
+                F.lit(1).alias("level"), e["t"].alias("t0"), e["t"].alias("tp")
+            ),
+        )
+        for k in range(1, len(steps)):
+            out = out.when(
+                (acc["level"] == k)
+                & (e["y"] == steps[k])
+                & (e["t"] > acc["tp"])
+                & (e["t"] <= acc["t0"] + 3600),
+                F.struct(
+                    F.lit(k + 1).alias("level"),
+                    acc["t0"].alias("t0"),
+                    e["t"].alias("tp"),
+                ),
+            )
+        return out.otherwise(acc)
+
+    level = F.aggregate(F.col("_ev"), init, step)["level"]
+    want = {
+        r.user_id: r.funnel_level
+        for r in grouped.select(
+            F.col("user_id"), level.cast("long").alias("funnel_level")
+        ).collect()
+    }
+    assert got == want

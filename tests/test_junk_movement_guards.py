@@ -483,3 +483,80 @@ def test_usable_vec_oracle_twin_tests_the_folded_norm(spark, tmp_path):
     assert new_pred in sql
     old_rows = con.execute(sql.replace(new_pred, old_proxy)).fetchall()
     assert any(n in (90001, 90002) for _, n, _, _ in old_rows)
+
+
+def test_sql_twins_bitexact_vs_column_path(spark):
+    """r12 construction fast paths: dot/norm/cosine/lsh_bucket_key/
+    zorder_key accept SQL-snippet strings and build ONE F.expr instead
+    of hundreds of py4j Column calls. The two paths must produce
+    BIT-identical values on every shape — normal, zero, empty, NULL,
+    NULL-element, NaN/Inf, ragged, overflow/underflow squares — since
+    the whole oracle contract rides on the fold semantics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from yandex_tracker_exporter_spark.operators.partitioning import (
+        zorder_key,
+    )
+    from yandex_tracker_exporter_spark.operators.similarity import (
+        cosine,
+        dot,
+        lsh_bucket_key,
+        norm,
+    )
+
+    dim = 8
+    rows = [
+        (1, [float(i) - 3.5 for i in range(dim)], [1.0] * dim, 7, 11),
+        (2, [0.0] * dim, [2.0] * dim, 0, 0),
+        (3, [], [], 65535, 65536),
+        (4, None, [1.0] * dim, -5, -7),
+        (5, [1.0, None] + [0.5] * (dim - 2), [1.0] * dim, 123456789, 42),
+        (6, [float("nan")] * dim, [1.0] * dim, 1, 2),
+        (7, [float("inf"), 1.0] + [0.0] * (dim - 2), [1.0] * dim, 3, 4),
+        (8, [1.0] * 3, [1.0] * dim, 5, 6),  # ragged pair
+        (9, [1e200] * dim, [1e-200] * dim, 8, 9),  # overflow/underflow
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("a", ArrayType(DoubleType()), True),
+            StructField("b", ArrayType(DoubleType()), True),
+            StructField("x", LongType(), True),
+            StructField("y", LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = df.select(
+        dot("a", "b").alias("dot_s"),
+        dot(F.col("a"), F.col("b")).alias("dot_c"),
+        norm("a").alias("norm_s"),
+        norm(F.col("a")).alias("norm_c"),
+        cosine("a", "b").alias("cos_s"),
+        cosine(F.col("a"), F.col("b")).alias("cos_c"),
+        lsh_bucket_key("a", num_planes=8, dim=dim).alias("lsh_s"),
+        lsh_bucket_key(F.col("a"), num_planes=8, dim=dim).alias("lsh_c"),
+        zorder_key("x", "y", bits=16).alias("z_s"),
+        zorder_key(F.col("x"), F.col("y"), bits=16).alias("z_c"),
+    ).collect()
+    import struct
+
+    def bits(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            return struct.pack("<d", v)
+        return v
+
+    for r in out:
+        assert bits(r.dot_s) == bits(r.dot_c), r
+        assert bits(r.norm_s) == bits(r.norm_c), r
+        assert bits(r.cos_s) == bits(r.cos_c), r
+        assert r.lsh_s == r.lsh_c, r
+        assert r.z_s == r.z_c, r

@@ -95,38 +95,33 @@ def window_funnel(
     )
     grouped = events.groupBy(user_col).agg(ev.alias("_ev"))
 
-    init = F.struct(
-        F.lit(0).alias("level"),
-        F.lit(0).cast("long").alias("t0"),
-        F.lit(0).cast("long").alias("tp"),
-    )
+    # The whole fold as ONE SQL string (r12): the Column-built variant
+    # cost ~1,400 py4j round trips per call (nested when/struct tree);
+    # the parsed tree is identical — same named_struct init, same CASE
+    # branch order, same comparisons — so every level is bit-equal
+    # (pinned: test_window_funnel_sql_fold_matches_column_fold).
+    def lit_s(v: str) -> str:
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    def step(acc: Column, e: Column) -> Column:
-        # anchor: first occurrence of steps[0]
-        out = F.when(
-            (acc["level"] == 0) & (e["y"] == steps[0]),
-            F.struct(
-                F.lit(1).alias("level"), e["t"].alias("t0"), e["t"].alias("tp")
-            ),
+    branches = [
+        f"WHEN acc.level = 0 AND e.y = {lit_s(steps[0])} "
+        "THEN named_struct('level', 1, 't0', e.t, 'tp', e.t)"
+    ]
+    for k in range(1, len(steps)):
+        branches.append(
+            f"WHEN acc.level = {k} AND e.y = {lit_s(steps[k])} "
+            f"AND e.t > acc.tp AND e.t <= acc.t0 + {window_seconds} "
+            f"THEN named_struct('level', {k + 1}, 't0', acc.t0, 'tp', e.t)"
         )
-        # advance: next step type, strictly later, within the window
-        for k in range(1, len(steps)):
-            out = out.when(
-                (acc["level"] == k)
-                & (e["y"] == steps[k])
-                & (e["t"] > acc["tp"])
-                & (e["t"] <= acc["t0"] + window_seconds),
-                F.struct(
-                    F.lit(k + 1).alias("level"),
-                    acc["t0"].alias("t0"),
-                    e["t"].alias("tp"),
-                ),
-            )
-        return out.otherwise(acc)
-
-    level = F.aggregate(F.col("_ev"), init, step)["level"]
+    fold = (
+        "aggregate(_ev, "
+        "named_struct('level', 0, 't0', CAST(0 AS BIGINT), "
+        "'tp', CAST(0 AS BIGINT)), "
+        f"(acc, e) -> CASE {' '.join(branches)} ELSE acc END"
+        ").level"
+    )
     return grouped.select(
-        F.col(user_col), level.cast("long").alias("funnel_level")
+        F.col(user_col), F.expr(fold).cast("long").alias("funnel_level")
     )
 
 

@@ -129,6 +129,23 @@ def zorder_key(
     """
     from pyspark.sql import functions as F
 
+    if isinstance(x, str) and isinstance(y, str):
+        # SQL fast path (r12): the Column loop below costs ~8 py4j
+        # round trips per bit (~130 per key, two keys per caller);
+        # building the identical 2·bits-term sum as ONE SQL string is a
+        # single JVM parse. Term order and types match the Column path
+        # exactly (pinned: test_zorder_sql_twin_bitexact).
+        xm = f"pmod({x}, {1 << bits})"
+        ym = f"pmod({y}, {1 << bits})"
+        terms = ["CAST(0 AS BIGINT)"]
+        for j in range(bits):
+            terms.append(
+                f"shiftleft(CAST(shiftright({xm}, {j}) % 2 AS BIGINT), {2 * j})"
+            )
+            terms.append(
+                f"shiftleft(CAST(shiftright({ym}, {j}) % 2 AS BIGINT), {2 * j + 1})"
+            )
+        return F.expr(" + ".join(terms))
     xm = F.pmod(x, F.lit(1 << bits))
     ym = F.pmod(y, F.lit(1 << bits))
     key = F.lit(0).cast("long")

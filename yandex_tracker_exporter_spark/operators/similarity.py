@@ -54,13 +54,47 @@ def _plane_component(j: int, d: int) -> float:
     return h / 2.0**64 - 0.5
 
 
-def dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over two column/SQL snippets — parsed
+    JVM-side in ONE py4j call instead of ~30 Column-op round trips
+    (r12 optimization: plan construction was ~60 s of the 151-query
+    suite, mostly py4j socket latency). Same expression tree as the
+    Column path: widen-to-double products, 0.0D init, left-fold sum."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    """SQL text of :func:`norm` (see :func:`_dot_sql`)."""
+    return (
+        f"sqrt(aggregate(transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for use in the SQL fast paths."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two float-array columns (built-in expressions).
 
     Elements are widened to double BEFORE multiplying so the reduction
     is a pure double left-fold — deterministic and reproducible by any
     engine that folds in the same order (float32 intermediate products
-    would diverge from the DuckDB oracle)."""
+    would diverge from the DuckDB oracle).
+
+    Accepts SQL snippets (str) for both sides — the fast-construction
+    path (one JVM parse); Columns keep the expression-builder path for
+    callers inside higher-order-function lambdas. Both produce the
+    identical expression tree (pinned: test_sql_twins_bitexact)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
@@ -68,7 +102,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -94,6 +130,10 @@ def cosine(a: Column, b: Column) -> Column:
     quarantine rows first — :func:`usable_vectors`, or the
     per-row-norm + :func:`_usable_norm` pattern every operator in this
     module uses."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"try_divide({_dot_sql(a, b)}, {_norm_sql(a)} * {_norm_sql(b)})"
+        )
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
@@ -104,7 +144,7 @@ def usable_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     scorers need before a broadcast-cross: applied once per row, junk
     can neither raise in the per-pair division nor outrank real
     neighbors with a NaN score."""
-    return df.where(_usable_norm(norm(F.col(vec_col))))
+    return df.where(_usable_norm(norm(_qident(vec_col))))
 
 
 def finite_vector(vec: Column) -> Column:
@@ -192,17 +232,17 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qn"),
+        norm(_qident(vec_col)).alias("_qn"),
     ).where(_usable_norm(F.col("_qn")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cn"),
+        norm(_qident(vec_col)).alias("_cn"),
     ).where(_usable_norm(F.col("_cn")))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qn") * F.col("_cn"))).alias(
+        (dot("_qvec", "_cvec") / (F.col("_qn") * F.col("_cn"))).alias(
             "cosine_sim"
         ),
     )
@@ -228,13 +268,35 @@ def cosine_topk(
 
 
 def lsh_bucket_key(
-    vec: Column, num_planes: int = 8, dim: int = 64, offset: int = 0
+    vec: Column | str, num_planes: int = 8, dim: int = 64, offset: int = 0
 ) -> Column:
     """Sign-LSH bucket id: bit j = 1 iff <vec, plane_{offset+j}> >= 0.
 
     ``offset`` selects an independent plane family — band ``b`` of a
     multi-band scheme passes ``offset=b*num_planes`` so every band hashes
-    with its own planes."""
+    with its own planes.
+
+    Accepts a SQL snippet (str) for ``vec``: the whole key — plane
+    literals, projections, sign bits, sum — is then built as ONE SQL
+    string and parsed JVM-side in a single py4j call (r12: the Column
+    path cost ~35 round trips per plane; this query family builds up to
+    32 planes). Identical expression tree either way (pinned test)."""
+    if isinstance(vec, str):
+        bits = []
+        for j in range(num_planes):
+            planes = (
+                "array("
+                + ",".join(
+                    repr(_plane_component(offset + j, d)) + "D"
+                    for d in range(dim)
+                )
+                + ")"
+            )
+            bits.append(
+                f"CASE WHEN {_dot_sql(vec, planes)} >= 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        return F.expr(f"CAST({' + '.join(bits)} AS INT)")
     key = None
     for j in range(num_planes):
         # string-built double literals: one JVM parse instead of ``dim``
@@ -284,14 +346,14 @@ def lsh_bucket_topk(
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
-            norm(F.col(vec_col)).alias("_cn"),
-            lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+            norm(_qident(vec_col)).alias("_cn"),
+            lsh_bucket_key(_qident(vec_col), num_planes, dim).alias("bucket"),
         ).where(_usable_norm(F.col("_cn")))
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qvec"),
-            norm(F.col(vec_col)).alias("_qn"),
-            lsh_bucket_key(F.col(vec_col), num_planes, dim).alias("bucket"),
+            norm(_qident(vec_col)).alias("_qn"),
+            lsh_bucket_key(_qident(vec_col), num_planes, dim).alias("bucket"),
         ).where(_usable_norm(F.col("_qn")))
         scored = (
             c.join(q, "bucket")
@@ -300,7 +362,7 @@ def lsh_bucket_topk(
                 "query_id",
                 "neighbor_id",
                 (
-                    dot(F.col("_qvec"), F.col("_cvec"))
+                    dot("_qvec", "_cvec")
                     / (F.col("_qn") * F.col("_cn"))
                 ).alias("cosine_sim"),
             )
@@ -352,7 +414,7 @@ def lsh_bucket_topk(
             .select(
                 "query_id",
                 "neighbor_id",
-                cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+                cosine("_qvec", "_cvec").alias("cosine_sim"),
             )
         )
     w = Window.partitionBy("query_id").orderBy(
@@ -399,8 +461,8 @@ def ivf_topk(
     # vector among the lowest-id rows would otherwise become a
     # centroid whose cn=0 raises DIVIDE_BY_ZERO in every row's ANSI
     # assignment (the driver runs bare-session ANSI)
-    corpus = corpus.where(_usable_norm(norm(F.col(vec_col))))
-    queries = queries.where(_usable_norm(norm(F.col(vec_col))))
+    corpus = corpus.where(_usable_norm(norm(_qident(vec_col))))
+    queries = queries.where(_usable_norm(norm(_qident(vec_col))))
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
