@@ -3886,14 +3886,25 @@ def q_streaming_upsert_state(spark, sf_dir):
     base = ev.select(
         *cols, F.col("value"), F.lit(0).alias("updated_seq")
     )
-    updates = ev.where(F.col("event_type") == "purchase").select(
+    base.repartition(4).write.mode("overwrite").parquet(in_dir)
+    # r12 optimization (guide §2.4): derive the correction file from
+    # the just-written snapshot instead of re-running the filter +
+    # key-dedup window over the raw events a second time (the written
+    # base IS the deduped relation, so the purchase rows and their
+    # doubled values are bit-identical either way — and a real pipeline
+    # re-prices from the snapshot table, not from the raw feed). The
+    # snapshot read's file listing is pinned at read() time (4 base
+    # files), so the appended correction never feeds itself; its schema
+    # also replaces the extra listing+footer pass the old
+    # `spark.read.parquet(in_dir).schema` probe paid.
+    snap = spark.read.parquet(in_dir)
+    updates = snap.where(F.col("event_type") == "purchase").select(
         *cols,
         (F.col("value") * F.lit(2.0)).alias("value"),
         F.lit(1).alias("updated_seq"),
     )
-    base.repartition(4).write.mode("overwrite").parquet(in_dir)
     updates.coalesce(1).write.mode("append").parquet(in_dir)
-    schema = spark.read.parquet(in_dir).schema
+    schema = snap.schema
     stream = read_event_stream(spark, in_dir, schema, max_files_per_trigger=2)
     run_micro_batch_upsert(stream, out_dir, ckpt, keys=["event_id"])
     tbl = spark.read.parquet(out_dir)
