@@ -2498,18 +2498,31 @@ def q_source_gini(spark, sf_dir):
 
 
 def _copurchase_edges(spark, sf_dir):
-    """The 1995 part co-purchase graph (shared with triangle_count)."""
+    """The 1995 part co-purchase graph (shared with triangle_count).
+
+    r12 batch 6: same self-join → collect_list + map-side pair explode
+    rewrite as ``_copurchase_pairs`` (one corpus shuffle instead of
+    two join branches). Edge MULTISET identical to the old
+    ``p1 < p2`` join — per basket the explode emits every ordered
+    element pair with y > x by VALUE, reproducing duplicate-part
+    multiplicities exactly (graph consumers dedup defensively anyway;
+    pinned in tests/test_skew_rails.py::test_copurchase_edges_explode_matches_self_join)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
         .select("l_orderkey", "l_partkey")
     )
-    left = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    right = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.collect_list("l_partkey").alias("_ps")
+    )
+    pair_sql = (
+        "flatten(transform(_ps, x -> "
+        "transform(filter(_ps, y -> y > x), "
+        "y -> named_struct('src', x, 'dst', y))))"
+    )
     return (
-        left.join(right, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        baskets.select(F.explode(F.expr(pair_sql)).alias("_pp"))
+        .select(F.col("_pp.src").alias("src"), F.col("_pp.dst").alias("dst"))
     )
 
 
@@ -3051,7 +3064,18 @@ def _copurchase_pairs(li, max_basket=COPURCHASE_MAX_BASKET):
     driver-probe variant; at real scale the self-join is a sort-merge
     on the order key, whose sort the window REUSES — the rail rides
     free exactly when it matters). ``max_basket=None`` disables
-    (tested capped-vs-uncapped in tests/test_skew_rails.py)."""
+    (tested capped-vs-uncapped in tests/test_skew_rails.py).
+
+    r12 batch 6 tried the ``collect_list`` + map-side pair-explode
+    variant here (the one ``_copurchase_edges`` adopted) and paired
+    solo A/B REJECTED it for this relation: best 4.10 s vs the join's
+    2.53 s at sf0.1 — the full-corpus basket aggregation plus the
+    interpreted HOF pair generation loses badly to the codegen'd
+    broadcast join when every basket explodes (no shipdate filter
+    narrows the input here, and the pair output is 10× the edges
+    query's). The join-equality pin test
+    (test_copurchase_pairs_explode_matches_self_join) keeps the
+    explode twin's semantics proven should scale tip the balance."""
     from yandex_tracker_exporter_spark.operators.dedup import _cap_hub_buckets
 
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))

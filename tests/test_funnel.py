@@ -272,6 +272,110 @@ def test_ewma_daily_matches_python_fold(spark):
     assert [e for _, _, e in got] == expect
 
 
+def test_ewma_sql_fold_matches_column_fold(spark):
+    """r12 batch 6: ewma_daily builds its array-accumulator fold as one
+    SQL string (α embedded as repr'd double literals). Pin it against
+    the original Column-built fold run over the SAME daily relation:
+    every ewma value must be BIT-identical (raw float bits), including
+    a non-default alpha whose repr carries many digits."""
+    import datetime as dt
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.funnel import ewma_daily
+
+    rows = []
+    eid = 0
+    for day in range(9):
+        for k in range(1 + (day % 3)):
+            for ty in ("view", "click"):
+                rows.append(
+                    (
+                        eid,
+                        ty,
+                        dt.datetime(2024, 1, 1 + day, 6 + k),
+                        10.37 * (day + 1) + k / 3.0,
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+
+    for alpha_milli in (300, 137):
+        got = ewma_daily(df, alpha_milli=alpha_milli)
+        alpha = alpha_milli / 1000.0
+        # original Column-built fold, verbatim from pre-r12 ewma_daily,
+        # rebuilt over the identical daily relation
+        day_epoch = F.floor(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+        ).cast("long")
+        cents = F.floor(F.col("value") * 100).cast("long")
+        daily = (
+            df.select(
+                F.col("event_type").alias("event_type"),
+                day_epoch.alias("day_epoch"),
+                cents.alias("_c"),
+            )
+            .groupBy("event_type", "day_epoch")
+            .agg(F.sum("_c").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                "event_type",
+                "day_epoch",
+                (
+                    F.col("_sum").cast("double") / F.col("_n").cast("double")
+                ).alias("day_mean"),
+            )
+        )
+        series = daily.groupBy("event_type").agg(
+            F.array_sort(
+                F.collect_list(F.struct("day_epoch", "day_mean"))
+            ).alias("_days")
+        )
+        folded = series.select(
+            "event_type",
+            "_days",
+            F.aggregate(
+                F.col("_days"),
+                F.array().cast("array<double>"),
+                lambda acc, d: F.concat(
+                    acc,
+                    F.array(
+                        F.when(F.size(acc) == 0, d["day_mean"]).otherwise(
+                            F.lit(alpha) * d["day_mean"]
+                            + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                        )
+                    ),
+                ),
+            ).alias("_ewma"),
+        )
+        zipped = folded.select(
+            "event_type",
+            F.posexplode(F.arrays_zip("_days", "_ewma")).alias("_i", "_z"),
+        )
+        want_df = zipped.select(
+            "event_type",
+            F.col("_z._days.day_epoch").alias("day_epoch"),
+            F.col("_z._days.day_mean").alias("day_mean"),
+            F.col("_z._ewma").alias("ewma"),
+        )
+
+        def key(r):
+            return (r.event_type, r.day_epoch)
+
+        got_rows = {key(r): r for r in got.collect()}
+        want_rows = {key(r): r for r in want_df.collect()}
+        assert got_rows.keys() == want_rows.keys()
+        for k in got_rows:
+            g, w = got_rows[k], want_rows[k]
+            assert struct.pack("<d", g.ewma) == struct.pack("<d", w.ewma), (
+                alpha_milli,
+                k,
+                g.ewma,
+                w.ewma,
+            )
+            assert g.day_mean == w.day_mean
+
+
 def test_window_funnel_sql_fold_matches_column_fold(spark):
     """r12 construction fast path: window_funnel builds its fold as one
     SQL string. Pin it against the original Column-built fold (inlined

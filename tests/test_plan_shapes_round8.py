@@ -71,8 +71,14 @@ PLAN_SPECS = {
         forbid=["CartesianProduct", "SortMergeJoin"],
     ),
     # ---- graph family: equi-joins only, bounded exchanges ----
+    # r12: the edge derivation's stats changed (collect_list+explode
+    # instead of a self-join), so at test scale the wedge/closure
+    # equi-joins now broadcast the checkpointed edge relation instead
+    # of sort-merging — the strategy is AQE/size-driven (SMJ returns
+    # past the broadcast threshold); the contract is that both joins
+    # stay EQUI-joins of any strategy, never a pairs blowup
     "triangle_count": dict(
-        require={"SortMergeJoin": 1}, forbid=NO_PAIRS_BLOWUP
+        require={"Join": 2}, forbid=NO_PAIRS_BLOWUP
     ),
     "component_sizes": dict(
         require={"HashAggregate": 2}, forbid=NO_PAIRS_BLOWUP

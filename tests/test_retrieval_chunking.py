@@ -83,6 +83,125 @@ def test_cdc_chunk_hash_is_the_portable_poly_hash(spark):
     assert by_doc[1 - 1][0]["chunk_hash"] == h
 
 
+def _cdc_chunks_column_path(df, content_col="text", id_col="doc_id",
+                            window=8, mask_mod=64):
+    """Verbatim pre-r12-batch-6 Column-builder implementation of
+    cdc_chunks — the reference the SQL-string rewrite must equal
+    (the test_window_funnel_sql_fold_matches_column_fold pattern)."""
+    from yandex_tracker_exporter_spark.operators.dedup import (
+        MINHASH_PRIME,
+        POLY_BASE,
+        _codepoints,
+    )
+
+    df = df.where(F.col(content_col).isNotNull())
+    base = df.select(
+        F.col(id_col),
+        _codepoints(F.col(content_col)).alias("_codes"),
+        F.length(F.col(content_col)).alias("_n"),
+    )
+    n = F.col("_n")
+    codes = F.col("_codes")
+    positions = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+
+    def hash_at(i):
+        h = F.get(codes, i - 1)
+        for j in range(1, window):
+            h = (h * POLY_BASE + F.get(codes, i + F.lit(j) - 1)) % MINHASH_PRIME
+        return h
+
+    cuts = F.when(
+        n >= window,
+        F.array_remove(
+            F.transform(
+                positions,
+                lambda i: F.when(
+                    hash_at(i) % mask_mod == 0,
+                    (i + F.lit(window - 1)).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            -1,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ends = F.array_sort(
+        F.array_distinct(F.concat(cuts, F.array(n.cast("long"))))
+    )
+    with_ends = base.select(
+        F.col(id_col), codes.alias("_codes"), ends.alias("_ends")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("_ends")),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.when(j == 1, F.lit(1).cast("long"))
+            .otherwise(F.get(F.col("_ends"), j - 2) + 1)
+            .alias("start"),
+            (
+                F.get(F.col("_ends"), j - 1)
+                - F.when(j == 1, F.lit(0).cast("long")).otherwise(
+                    F.get(F.col("_ends"), j - 2)
+                )
+            ).alias("chunk_len"),
+        ),
+    )
+    exploded = with_ends.select(
+        F.col(id_col), F.col("_codes"), F.explode(chunks).alias("c")
+    ).select(
+        id_col,
+        "_codes",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start").alias("start"),
+        F.col("c.chunk_len").alias("chunk_len"),
+    )
+    chunk_hash = F.aggregate(
+        F.slice(
+            F.col("_codes"),
+            F.col("start").cast("int"),
+            F.col("chunk_len").cast("int"),
+        ),
+        F.lit(0).cast("long"),
+        lambda h, c: (h * POLY_BASE + c) % MINHASH_PRIME,
+    )
+    return exploded.select(
+        id_col, "chunk_idx", "start", "chunk_len", chunk_hash.alias("chunk_hash")
+    )
+
+
+def test_cdc_chunks_sql_twin_matches_column_path(spark):
+    """r12 batch 6: cdc_chunks renders its expression pipeline as SQL
+    strings (one JVM parse each) instead of ~1,500 py4j Column calls.
+    Rows must be IDENTICAL to the verbatim old Column build on every
+    shape: empty doc, sub-window doc, exact-window doc, long text with
+    real cuts, non-ASCII codepoints, NULL doc (filtered), and a
+    non-default window/mask config."""
+    import random
+
+    rng = random.Random(7)
+    long_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(3, 9)))
+        for _ in range(120)
+    )
+    texts = [
+        ("", 0),
+        ("abc", 1),
+        ("exactly8", 2),
+        (long_text, 3),
+        ("ünïcødé χαρακτήρες " * 30, 4),
+        (None, 5),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for t, i in texts], ["doc_id", "text"]
+    )
+    for kw in (dict(), dict(window=4, mask_mod=16)):
+        got = sorted(
+            tuple(r) for r in cdc_chunks(df, **kw).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _cdc_chunks_column_path(df, **kw).collect()
+        )
+        assert got == want, kw
+
+
 # ---------------------------------------------------------------------------
 # sorted-neighborhood
 # ---------------------------------------------------------------------------

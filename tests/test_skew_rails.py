@@ -209,6 +209,88 @@ def test_copurchase_basket_width_rail(spark):
     assert len(uncapped) == 50 * 49 + 2  # mega-basket pairs all present
 
 
+def test_copurchase_pairs_explode_matches_self_join(spark):
+    """r12 batch 6 measured a collect_list + map-side pair-explode
+    variant of _copurchase_pairs and REJECTED it on paired solo A/B
+    (4.10 s vs the join's 2.53 s best at sf0.1 — interpreted HOF pair
+    generation loses to the codegen'd broadcast join here). This pin
+    keeps the twin's SEMANTIC equality proven — pair multiset equal to
+    the production join on every divergence-prone shape: duplicate
+    parts in one basket (multiplicities multiply), NULL parts (pair on
+    neither path), a basket exactly at the cap, one over it by a NULL
+    row only (the rail counts ALL rows, NULLs included), and
+    single-item baskets — so the variant stays available if scale ever
+    tips the balance (it shuffles the corpus once, not twice)."""
+    from __spark_entry__ import _copurchase_pairs
+
+    def _explode_path(li, max_basket):
+        baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.collect_list("l_partkey").alias("_ps"),
+            F.count(F.lit(1)).alias("_bn"),
+        )
+        if max_basket is not None:
+            baskets = baskets.where(F.col("_bn") <= max_basket)
+        pair_sql = (
+            "flatten(transform(_ps, x -> "
+            "transform(filter(_ps, y -> y != x), "
+            "y -> named_struct('p1', x, 'p2', y))))"
+        )
+        return (
+            baskets.select(F.explode(F.expr(pair_sql)).alias("_pp"))
+            .select(F.col("_pp.p1").alias("p1"), F.col("_pp.p2").alias("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_together"))
+        )
+
+    rows = [
+        (1, 10), (1, 10), (1, 20), (1, 30),   # duplicate part in basket
+        (2, 40), (2, None), (2, 50),          # NULL part among real ones
+        (3, 60),                              # single-item basket
+        (4, 70), (4, 71), (4, 72), (4, 73),   # exactly at cap 4
+        (5, 80), (5, 81), (5, 82), (5, 83), (5, None),  # over cap 4 via NULL row
+        (6, None), (6, None),                 # all-NULL basket
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    for cap in (4, None):
+        got = sorted(map(tuple, _copurchase_pairs(li, max_basket=cap).collect()))
+        want = sorted(map(tuple, _explode_path(li, cap).collect()))
+        assert got == want, cap
+
+
+def test_copurchase_edges_explode_matches_self_join(spark):
+    """r12 batch 6: _copurchase_edges got the same join→explode
+    rewrite (y > x). Edge MULTISET must equal the verbatim old
+    p1 < p2 self-join on the harness corpus (real basket shapes,
+    shipdate filter applied) — multiplicities included."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, m._copurchase_edges(spark, sf).collect())
+    )
+    li = (
+        m._t(spark, sf, "lineitem")
+        .where(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+    )
+    left = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    want = sorted(
+        map(
+            tuple,
+            left.join(right, "ok")
+            .where(F.col("p1") < F.col("p2"))
+            .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_copurchase_default_rail_never_binds_on_harness(spark):
     """The default cap (1000) must be result-neutral on TPC-H-shaped
     data (basket width <= 7) — byte-equal to the uncapped run."""

@@ -123,6 +123,11 @@ def _hash64(col: Column) -> Column:
     )
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for the SQL fast paths."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _codepoints(col: Column) -> Column:
     """Codepoint array of a string ('' → [0], the codepoint fold identity).
 
@@ -1295,71 +1300,70 @@ def cdc_chunks(
     no content to chunk, and the unguarded expression chain fabricated
     one phantom all-NULL chunk row for it).
     """
+    # r12 batch 6 (guide §7.3): the whole expression pipeline renders
+    # as SQL strings parsed JVM-side — the Column/HOF-lambda build cost
+    # ~1,500 py4j round trips per call (the window-unrolled rolling
+    # hash inside a transform() lambda is the worst shape: every op a
+    # socket round trip). Identical expression trees — pure integer
+    # arithmetic, so equality is exact (pinned:
+    # tests/test_retrieval_chunking.py::test_cdc_chunks_sql_twin_matches_column_path).
     df = df.where(F.col(content_col).isNotNull())
-    base = df.select(
-        F.col(id_col),
-        _codepoints(F.col(content_col)).alias("_codes"),
-        F.length(F.col(content_col)).alias("_n"),
+    content, ident = _qident(content_col), _qident(id_col)
+    codes_sql = (
+        f"transform(sequence(1, greatest(length({content}), 1)), "
+        f"i -> CAST(ascii(substring({content}, i, 1)) AS BIGINT))"
     )
-    n = F.col("_n")
-    codes = F.col("_codes")
-    positions = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    base = df.selectExpr(
+        ident,
+        f"{codes_sql} AS _codes",
+        f"length({content}) AS _n",
+    )
 
-    def hash_at(i: Column) -> Column:
-        h = F.get(codes, i - 1)
-        for j in range(1, window):
-            h = (h * POLY_BASE + F.get(codes, i + F.lit(j) - 1)) % MINHASH_PRIME
-        return h
+    # rolling hash of the window starting at position i, unrolled
+    h = "get(_codes, i - 1)"
+    for j in range(1, window):
+        h = f"(({h} * {POLY_BASE} + get(_codes, i + {j} - 1)) % {MINHASH_PRIME})"
 
     # candidate cut after the window ending at char i+window-1; -1 marks
     # non-cuts and is stripped (array_remove), keeping positions aligned
-    cuts = F.when(
-        n >= window,
-        F.array_remove(
-            F.transform(
-                positions,
-                lambda i: F.when(
-                    hash_at(i) % mask_mod == 0, (i + F.lit(window - 1)).cast("long")
-                ).otherwise(F.lit(-1).cast("long")),
-            ),
-            -1,
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    ends = F.array_sort(
-        F.array_distinct(F.concat(cuts, F.array(n.cast("long"))))
+    cuts = (
+        f"CASE WHEN _n >= {window} THEN array_remove("
+        f"transform(sequence(1, greatest(_n - {window - 1}, 1)), "
+        f"i -> CASE WHEN {h} % {mask_mod} = 0 "
+        f"THEN CAST(i + {window - 1} AS BIGINT) "
+        "ELSE CAST(-1 AS BIGINT) END), -1) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    with_ends = base.select(F.col(id_col), codes.alias("_codes"), ends.alias("_ends"))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size("_ends")),
-        lambda j: F.struct(
-            j.cast("long").alias("chunk_idx"),
-            F.when(j == 1, F.lit(1).cast("long"))
-            .otherwise(F.get(F.col("_ends"), j - 2) + 1)
-            .alias("start"),
-            (
-                F.get(F.col("_ends"), j - 1)
-                - F.when(j == 1, F.lit(0).cast("long")).otherwise(
-                    F.get(F.col("_ends"), j - 2)
-                )
-            ).alias("chunk_len"),
-        ),
+    ends = (
+        f"array_sort(array_distinct(concat({cuts}, "
+        "array(CAST(_n AS BIGINT)))))"
+    )
+    with_ends = base.selectExpr(ident, "_codes", f"{ends} AS _ends")
+    chunks = (
+        "transform(sequence(1, size(_ends)), j -> named_struct("
+        "'chunk_idx', CAST(j AS BIGINT), "
+        "'start', CASE WHEN j = 1 THEN CAST(1 AS BIGINT) "
+        "ELSE get(_ends, j - 2) + 1 END, "
+        "'chunk_len', get(_ends, j - 1) - "
+        "CASE WHEN j = 1 THEN CAST(0 AS BIGINT) "
+        "ELSE get(_ends, j - 2) END))"
     )
     exploded = with_ends.select(
-        F.col(id_col), F.col("_codes"), F.explode(chunks).alias("c")
-    ).select(
-        id_col,
+        F.col(id_col), F.col("_codes"), F.explode(F.expr(chunks)).alias("c")
+    ).selectExpr(
+        ident,
         "_codes",
-        F.col("c.chunk_idx").alias("chunk_idx"),
-        F.col("c.start").alias("start"),
-        F.col("c.chunk_len").alias("chunk_len"),
+        "c.chunk_idx AS chunk_idx",
+        "c.start AS start",
+        "c.chunk_len AS chunk_len",
     )
-    chunk_hash = F.aggregate(
-        F.slice(F.col("_codes"), F.col("start").cast("int"), F.col("chunk_len").cast("int")),
-        F.lit(0).cast("long"),
-        lambda h, c: (h * POLY_BASE + c) % MINHASH_PRIME,
+    chunk_hash = (
+        "aggregate(slice(_codes, CAST(start AS INT), "
+        "CAST(chunk_len AS INT)), CAST(0 AS BIGINT), "
+        f"(h, c) -> (h * {POLY_BASE} + c) % {MINHASH_PRIME})"
     )
-    return exploded.select(
-        id_col, "chunk_idx", "start", "chunk_len", chunk_hash.alias("chunk_hash")
+    return exploded.selectExpr(
+        ident, "chunk_idx", "start", "chunk_len", f"{chunk_hash} AS chunk_hash"
     )
 
 

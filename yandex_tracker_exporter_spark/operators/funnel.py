@@ -327,22 +327,22 @@ def ewma_daily(
             F.collect_list(F.struct("day_epoch", "day_mean"))
         ).alias("_days")
     )
+    # r12 batch 6: the fold as ONE SQL string (the HOF-lambda build was
+    # ~200 py4j round trips). α and 1−α embed as repr'd double literals
+    # — repr round-trips exactly, so every step is the same fixed-order
+    # IEEE arithmetic as the Column fold (pinned:
+    # tests/test_funnel.py::test_ewma_sql_fold_matches_column_fold).
+    fold = (
+        "aggregate(_days, CAST(array() AS ARRAY<DOUBLE>), "
+        "(acc, d) -> concat(acc, array("
+        "CASE WHEN size(acc) = 0 THEN d.day_mean "
+        f"ELSE {alpha!r}D * d.day_mean + "
+        f"{1.0 - alpha!r}D * element_at(acc, -1) END)))"
+    )
     folded = series.select(
         "event_type",
         "_days",
-        F.aggregate(
-            F.col("_days"),
-            F.array().cast("array<double>"),
-            lambda acc, d: F.concat(
-                acc,
-                F.array(
-                    F.when(F.size(acc) == 0, d["day_mean"]).otherwise(
-                        F.lit(alpha) * d["day_mean"]
-                        + F.lit(1.0 - alpha) * F.element_at(acc, -1)
-                    )
-                ),
-            ),
-        ).alias("_ewma"),
+        F.expr(fold).alias("_ewma"),
     )
     zipped = folded.select(
         "event_type",

@@ -36,6 +36,14 @@ _SCALE_DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # harness parquet carries ns timestamps; Spark reads them as longs
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r12: PySpark 4's DataFrame-context debugging decorates EVERY
+    # DataFrame/Column API call with a conf read + JVM origin set/clear
+    # (3 extra py4j round trips) + a Python stack walk — measured ~2×
+    # on plan-construction time for expression-heavy operators (guide
+    # §7.3: planning time is driver work paid per submission). The
+    # call-site origins it captures only enrich error messages; plans,
+    # results and executed code are identical without them.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
