@@ -3066,6 +3066,14 @@ def _copurchase_pairs(li, max_basket=COPURCHASE_MAX_BASKET):
     free exactly when it matters). ``max_basket=None`` disables
     (tested capped-vs-uncapped in tests/test_skew_rails.py).
 
+    r12 batch 7 also A/B'd the ``"agg"`` (broadcast-anti) rail shape
+    here — the window's Exchange(4)+Sort(5) feed a BROADCAST join at
+    bench scale, so the exchange looked like pure cost — and paired
+    solo A/B REJECTED it too: best 3.45 s vs the window rail's 2.03 s
+    at sf0.1. The anti shape re-scans the relation for the over-cap
+    count build and pays a broadcast build job, which costs more than
+    the one narrow 600k-row exchange it removes; the window rail stays.
+
     r12 batch 6 tried the ``collect_list`` + map-side pair-explode
     variant here (the one ``_copurchase_edges`` adopted) and paired
     solo A/B REJECTED it for this relation: best 4.10 s vs the join's
@@ -3910,7 +3918,16 @@ def q_streaming_upsert_state(spark, sf_dir):
     base = ev.select(
         *cols, F.col("value"), F.lit(0).alias("updated_seq")
     )
-    base.repartition(4).write.mode("overwrite").parquet(in_dir)
+    # coalesce, not repartition (r12 batch 7, guide §2.4): the relation
+    # is already exchanged by event_id for the key-dedup window, and the
+    # only reason for 4 here is the staged feed's file count (4 base
+    # files + 1 correction ÷ maxFilesPerTrigger=2 → 3 micro-batches).
+    # coalesce merges the window's output partitions 32→4 with NO extra
+    # exchange where repartition paid a full round-robin shuffle of the
+    # snapshot; the final state is file-slicing-independent by design
+    # (latest-wins on updated_seq — test_streaming_upsert_state_batch_
+    # order_independent), so the written layout cannot change results.
+    base.coalesce(4).write.mode("overwrite").parquet(in_dir)
     # r12 optimization (guide §2.4): derive the correction file from
     # the just-written snapshot instead of re-running the filter +
     # key-dedup window over the raw events a second time (the written

@@ -155,3 +155,48 @@ def test_source_gini_bounds(spark):
     row = source_gini(skewed).collect()[0]
     # one source holds ~98% of supply → gini near (n-1)/n = 0.9
     assert row["gini_milli"] > 850
+
+
+def test_prefix_join_barrier_twin_matches_streaming(spark):
+    """r12 batch 7: the default materialize_prefixes barrier (the
+    prefixes relation feeds BOTH candidate-join sides; without the
+    barrier the explode + df-count + rarest-first sort subtree executes
+    twice) must be a pure plan change — pairs AND exact jac_milli
+    byte-equal to the streaming twin, junk shapes included."""
+    rng = random.Random(41)
+
+    def doc():
+        return " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 8)))
+            for _ in range(30)
+        )
+
+    rows, i = [], 0
+    for _ in range(10):
+        base = doc()
+        rows.append((i, base))
+        i += 1
+        if rng.random() < 0.7:
+            rows.append((i, base.replace(base.split()[3], "qqqq", 1)))
+            i += 1
+    # junk shapes: NULL text, empty, shorter than one shingle
+    rows += [(900, None), (901, ""), (902, "ab")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    barrier = sorted(
+        map(
+            tuple,
+            prefix_filter_jaccard_join(
+                df, materialize_prefixes=True
+            ).collect(),
+        )
+    )
+    stream = sorted(
+        map(
+            tuple,
+            prefix_filter_jaccard_join(
+                df, materialize_prefixes=False
+            ).collect(),
+        )
+    )
+    assert barrier == stream
+    assert len(barrier) >= 5  # non-vacuous: planted dups found

@@ -1409,6 +1409,7 @@ def prefix_filter_jaccard_join(
     id_col: str = "doc_id",
     threshold_milli: int = 700,
     shingle_k: int = 12,
+    materialize_prefixes: bool = True,
 ) -> DataFrame:
     """EXACT thresholded set-similarity self-join via prefix filtering
     (Chaudhuri/Bayardo AllPairs): every pair with token-set Jaccard ≥ t
@@ -1481,7 +1482,19 @@ def prefix_filter_jaccard_join(
                 )
             ).alias("_pos", "_tok"),
         )
-    )
+        # barrier (r12 batch 7, guide §2.4): `prefixes` feeds BOTH sides
+        # of the candidate self-join, and with only `toks` checkpointed
+        # the whole subtree above — shingle explode, the df-count
+        # aggregate + its broadcast build, the rarest-first collect_list
+        # sort, the posexplode — executed TWICE, once per side (the
+        # before-plan shows operators (1)-(21) duplicated as (22)-(42)).
+        # One materialization of the narrow (~prefix_len per doc) rows
+        # replaces the second full computation; candidate pairs and the
+        # verify are unchanged. `materialize_prefixes=False` keeps the
+        # streaming twin for corpora where recompute beats the persist.
+        )
+    if materialize_prefixes:
+        prefixes = prefixes.localCheckpoint(eager=False)
     a = prefixes.select(
         F.col("_id").alias("a_id"),
         F.col("_s").alias("_sa"),
