@@ -1409,7 +1409,7 @@ def prefix_filter_jaccard_join(
     id_col: str = "doc_id",
     threshold_milli: int = 700,
     shingle_k: int = 12,
-    materialize_prefixes: bool = True,
+    materialize_prefixes: bool = False,
 ) -> DataFrame:
     """EXACT thresholded set-similarity self-join via prefix filtering
     (Chaudhuri/Bayardo AllPairs): every pair with token-set Jaccard ≥ t
@@ -1482,16 +1482,21 @@ def prefix_filter_jaccard_join(
                 )
             ).alias("_pos", "_tok"),
         )
-        # barrier (r12 batch 7, guide §2.4): `prefixes` feeds BOTH sides
-        # of the candidate self-join, and with only `toks` checkpointed
-        # the whole subtree above — shingle explode, the df-count
-        # aggregate + its broadcast build, the rarest-first collect_list
-        # sort, the posexplode — executed TWICE, once per side (the
-        # before-plan shows operators (1)-(21) duplicated as (22)-(42)).
-        # One materialization of the narrow (~prefix_len per doc) rows
-        # replaces the second full computation; candidate pairs and the
-        # verify are unchanged. `materialize_prefixes=False` keeps the
-        # streaming twin for corpora where recompute beats the persist.
+        # `materialize_prefixes` (r12 batch 7, guide §2.4 then §1):
+        # `prefixes` feeds BOTH sides of the candidate self-join, so the
+        # subtree above — shingle explode, df-count aggregate +
+        # broadcast build, rarest-first collect_list sort, posexplode —
+        # executes TWICE without a barrier (the plan shows the operator
+        # chain duplicated per side). A localCheckpoint here computes it
+        # once — but three paired A/B rounds at sf0.1 all measured the
+        # barrier NEUTRAL-TO-WORSE (best 6.23 vs 5.72 s, p50 tie):
+        # materializing + re-reading the exploded prefix rows costs as
+        # much as recomputing them, because one copy rides inside the
+        # b-side BROADCAST build rather than a second full pass. Default
+        # stays streaming; the flag is for corpora with long documents
+        # (bigger prefix subtree, same narrow prefix rows) where the
+        # balance tips. Both paths byte-equal:
+        # test_prefix_join_barrier_twin_matches_streaming.
         )
     if materialize_prefixes:
         prefixes = prefixes.localCheckpoint(eager=False)
