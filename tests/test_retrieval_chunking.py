@@ -284,3 +284,65 @@ def test_bm25_zero_score_ties_break_by_doc_id(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     out = bm25_rank(df, topk=4).collect()
     assert [r["doc_id"] for r in out] == [1, 3, 5, 9]
+
+
+def test_bigram_zip_twin_matches_hof_build(spark):
+    """r12 batch 8: the arrays_zip(slice, slice) bigram build must be a
+    byte-exact twin of the previous transform(sequence, lambda) build
+    (copied verbatim below) after the shared `w2 IS NOT NULL` consumer
+    filter — on normal, multi-space, single-token, empty,
+    whitespace-only and NULL text."""
+    from pyspark.sql import functions as F
+
+    from yandex_tracker_exporter_spark.operators.text_analysis import (
+        _bigram_structs,
+        _tokens,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "one"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+        (5, "a  b\tc"),
+        (6, "x y x y x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = df.select(F.col("doc_id"), _tokens(F.col("text")).alias("_t"))
+
+    def hof_bigrams():  # the pre-batch-8 build, verbatim
+        return (
+            base.select(
+                F.col("doc_id"),
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size("_t") - 1, F.lit(1)),
+                        ),
+                        lambda i: F.struct(
+                            F.get(F.col("_t"), i - 1).alias("w1"),
+                            F.get(F.col("_t"), i).alias("w2"),
+                        ),
+                    )
+                ).alias("bg"),
+            )
+            .where(F.col("bg.w2").isNotNull())
+            .select("doc_id", "bg.w1", "bg.w2")
+        )
+
+    def zip_bigrams():
+        return (
+            base.select(
+                F.col("doc_id"),
+                F.explode(_bigram_structs(F.col("_t"))).alias("bg"),
+            )
+            .where(F.col("bg.w2").isNotNull())
+            .select("doc_id", "bg.w1", "bg.w2")
+        )
+
+    old = sorted(map(tuple, hof_bigrams().collect()))
+    new = sorted(map(tuple, zip_bigrams().collect()))
+    assert old == new
+    assert len(new) == 4 + 0 + 2 + 4  # docs 0, 5, 6 contribute; rest none

@@ -47,6 +47,30 @@ def _tokens(col: Column) -> Column:
     ).otherwise(F.split(trimmed, r"\s+"))
 
 
+def _bigram_structs(toks_col: Column) -> Column:
+    """Adjacent-token bigrams as ``array<struct<w1,w2>>`` —
+    ``arrays_zip(slice(t,1,n-1), slice(t,2,n-1))``, no lambda.
+
+    r12 batch 8: twin of the previous
+    ``transform(sequence(1, greatest(n-1,1)), i -> struct(t[i-1], t[i]))``
+    build. Higher-order functions evaluate their lambda INTERPRETED
+    (boxed elements, no codegen participation) per row, and the lambda's
+    fresh variable ids also defeat the driver's codegen cache across
+    rebuilds; ``slice``/``arrays_zip`` are plain codegen-supported
+    expressions. Equality by cases (pinned in
+    test_bigram_zip_twin_matches_hof_build): n ≥ 2 → identical (t[i],
+    t[i+1]) pairs; n ∈ {0, 1} → empty here, while the HOF emitted one
+    (t[0], NULL) row that every consumer filtered with ``w2 IS NOT
+    NULL`` — consumers keep that filter, so results are byte-equal on
+    every shape incl. NULL/empty/whitespace-only text (NULL text → NULL
+    array → explode drops it, both builds)."""
+    n1 = F.greatest(F.size(toks_col) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks_col, 1, n1).alias("w1"),
+        F.slice(toks_col, 2, n1).alias("w2"),
+    )
+
+
 def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
     marker_arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(tokens, lambda t: F.array_contains(marker_arr, t)))
@@ -923,15 +947,7 @@ def bigram_lm(
     """
     toks = _tokens(F.col(text_col))
     bigrams = df.select(toks.alias("_t")).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(1))),
-                lambda i: F.struct(
-                    F.get(F.col("_t"), i - 1).alias("w1"),
-                    F.get(F.col("_t"), i).alias("w2"),
-                ),
-            )
-        ).alias("bg")
+        F.explode(_bigram_structs(F.col("_t"))).alias("bg")
     ).where(F.col("bg.w2").isNotNull()).select("bg.w1", "bg.w2")
     # barrier TRADE-OFF (r12, guide §2.4): the bigram relation feeds
     # BOTH count aggregations (c12 and the prefix counts) — a barrier
@@ -1278,15 +1294,7 @@ def lm_doc_score(
     # this relation un-materialized, re-tokenizing instead).
     doc_bigrams = df.select(F.col(id_col), toks.alias("_t")).select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(1))),
-                lambda i: F.struct(
-                    F.get(F.col("_t"), i - 1).alias("w1"),
-                    F.get(F.col("_t"), i).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
+        F.explode(_bigram_structs(F.col("_t"))).alias("bg"),
     ).where(F.col("bg.w2").isNotNull()).select(
         id_col, "bg.w1", "bg.w2"
     ).localCheckpoint(eager=False)
