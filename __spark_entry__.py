@@ -1060,9 +1060,12 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
     docs = _t_wide(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, "text", "doc_id", top_k=3).select(
-        F.col("doc_id").cast("long"), "term", "tf", "df", "rank"
-    )
+    # materialize_doc_term: bench-scale opt-in (r13) — the operator's
+    # default is the 100 TB streaming shape; here the doc×term barrier
+    # measured faster (r12 batch 3: 1.02 vs 1.74 s best).
+    return tfidf_top_terms(
+        docs, "text", "doc_id", top_k=3, materialize_doc_term=True
+    ).select(F.col("doc_id").cast("long"), "term", "tf", "df", "rank")
 
 
 def q_global_rank(spark, sf_dir):
@@ -2070,7 +2073,11 @@ def q_dup_window_ratio(spark, sf_dir):
     )
 
     docs = _t_wide(spark, sf_dir, "documents")
-    out = duplicated_window_ratio(docs, "text", "doc_id", window_tokens=16)
+    # materialize_windows: bench-scale opt-in (r13) — the operator's
+    # default is the 100 TB streaming shape (re-tokenize over persist).
+    out = duplicated_window_ratio(
+        docs, "text", "doc_id", window_tokens=16, materialize_windows=True
+    )
     return out.select(
         F.col("doc_id").cast("long"), "n_windows", "n_dup_windows", "dup_ratio"
     )
@@ -2418,7 +2425,9 @@ def q_cdc_chunks(spark, sf_dir):
     rolling 8-gram hash ≡ 0 mod 64 — boundaries depend only on local
     content, so an early insertion shifts ONE chunk and every later
     chunk still dedups by its hash (why LBFS/restic/borg chunk this
-    way). Map-only expressions over the codepoint array; no shuffle."""
+    way). Arrow-kernel rolling/prefix hash (r13, guide §4.2 — the
+    interpreted HOF twin stays behind use_kernel=False); map-only, no
+    shuffle."""
     from yandex_tracker_exporter_spark.operators.dedup import cdc_chunks
 
     docs = _t_wide(spark, sf_dir, "documents")
@@ -2470,7 +2479,9 @@ def q_split_leakage(spark, sf_dir):
     )
 
     docs = _t_wide(spark, sf_dir, "documents")
-    return split_leakage_audit(docs)
+    # materialize_per_split: bench-scale opt-in (r13) — the operator's
+    # default is the 100 TB streaming shape.
+    return split_leakage_audit(docs, materialize_per_split=True)
 
 
 def q_term_pmi(spark, sf_dir):
@@ -2718,7 +2729,10 @@ def q_lm_doc_score(spark, sf_dir):
     from yandex_tracker_exporter_spark.operators.text_analysis import lm_doc_score
 
     docs = _t_wide(spark, sf_dir, "documents")
-    return lm_doc_score(docs).select(
+    # materialize_doc_bigrams: bench-scale opt-in (r13) — the
+    # operator's default is the 100 TB streaming shape (re-tokenize
+    # over a corpus-sized doc×bigram executor persist).
+    return lm_doc_score(docs, materialize_doc_bigrams=True).select(
         F.col("doc_id").cast("long"), "n_bigrams", "mean_p_milli"
     )
 
@@ -3922,6 +3936,12 @@ def q_streaming_upsert_state(spark, sf_dir):
     # is already exchanged by event_id for the key-dedup window, and the
     # only reason for 4 here is the staged feed's file count (4 base
     # files + 1 correction ÷ maxFilesPerTrigger=2 → 3 micro-batches).
+    # ADVICE r12: coalesce(4) makes 4 an UPPER bound on non-empty output
+    # files — if the upstream window ever yielded <4 non-empty
+    # partitions the feed would slice into fewer micro-batches. Results
+    # are slicing-independent (latest-wins on updated_seq, tested), so
+    # only the bench's micro-batch shape would shift; at sf0.001+ the
+    # window always emits ≥4 non-empty partitions.
     # coalesce merges the window's output partitions 32→4 with NO extra
     # exchange where repartition paid a full round-robin shuffle of the
     # snapshot; the final state is file-slicing-independent by design

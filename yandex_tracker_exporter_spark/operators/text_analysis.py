@@ -240,6 +240,7 @@ def duplicated_window_ratio(
     text_col: str = "text",
     id_col: str = "doc_id",
     window_tokens: int = 16,
+    materialize_windows: bool = False,
 ) -> DataFrame:
     """Sub-document exact dedup signal (Lee et al. 2022 "Deduplicating
     Training Data" at window granularity): split every document into
@@ -262,14 +263,18 @@ def duplicated_window_ratio(
     # feeds BOTH the frequency aggregate and the join probe — without
     # it the tokenize+chunk+md5 subtree runs twice over the corpus.
     # The materialized relation is (id, 16-byte hash) per window —
-    # far narrower than the text, but still corpus-scale at 100 TB;
-    # there, prefer re-tokenizing (drop the checkpoint) over a
-    # cluster-storage persist, as with the other text barriers.
+    # far narrower than the text, but still corpus-scale at 100 TB.
+    # r13 (VERDICT r12 #3): the DEFAULT is now the scale-safe
+    # streaming shape (re-tokenize instead of persist);
+    # small/bench-scale callers opt in with ``materialize_windows=True``
+    # (the entry query does).
     chunks = chunk_tokens(
         df, text_col, id_col, chunk_size=window_tokens, overlap=0
     ).select(
         id_col, F.md5(F.col("chunk_text")).alias("_wh")
-    ).localCheckpoint(eager=False)
+    )
+    if materialize_windows:
+        chunks = chunks.localCheckpoint(eager=False)
     freq = chunks.groupBy("_wh").agg(
         F.count_distinct(F.col(id_col)).alias("_ndocs")
     )
@@ -510,7 +515,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 3,
-    materialize_doc_term: bool = True,
+    materialize_doc_term: bool = False,
 ) -> DataFrame:
     """Most-distinctive terms per document: rank a document's terms by
     (term frequency DESC, document frequency ASC, term ASC) and keep the
@@ -563,9 +568,10 @@ def tfidf_top_terms(
     # AND the join probe side — without the barrier the tokenize +
     # sort + RLE subtree runs twice over the corpus. The barrier is an
     # executor materialization of the doc×term relation: fine at bench
-    # scale, a cluster-storage-sized persist at 100 TB —
-    # ``materialize_doc_term=False`` keeps the plan purely streaming
-    # (re-tokenize instead of persist) for input >> cluster memory.
+    # scale, a cluster-storage-sized persist at 100 TB. r13 (VERDICT
+    # r12 #3): the DEFAULT is now the scale-safe streaming shape
+    # (re-tokenize instead of persist); small/bench-scale callers opt
+    # in with ``materialize_doc_term=True`` (the entry query does).
     if materialize_doc_term:
         doc_term = doc_term.localCheckpoint(eager=False)
     doc_freq = doc_term.groupBy("term").agg(
@@ -1042,6 +1048,7 @@ def split_leakage_audit(
     text_col: str = "text",
     id_col: str = "doc_id",
     window_tokens: int = 16,
+    materialize_per_split: bool = False,
 ) -> DataFrame:
     """Train/val/test leakage audit at SUB-document granularity: count
     16-token windows whose exact content appears in more than one
@@ -1091,10 +1098,16 @@ def split_leakage_audit(
     # its aggregation ran twice over the corpus. The materialized
     # relation is (16-byte key, split, count) per DISTINCT window —
     # the aggregated, not the exploded, size; at 100 TB this is the
-    # relation a leakage audit has to hold somewhere regardless.
+    # relation a leakage audit has to hold somewhere regardless, but
+    # executor-memory localCheckpoint blocks are the wrong "somewhere"
+    # for input >> cluster memory. r13 (VERDICT r12 #3): the DEFAULT
+    # is now the streaming shape; small/bench-scale callers opt in
+    # with ``materialize_per_split=True`` (the entry query does).
     per_split = exploded.groupBy("_key", "split").agg(
         F.count(F.lit(1)).alias("_n")
-    ).localCheckpoint(eager=False)
+    )
+    if materialize_per_split:
+        per_split = per_split.localCheckpoint(eager=False)
     a = per_split.select(
         "_key", F.col("split").alias("split_a"), F.col("_n").alias("_na")
     )
@@ -1267,6 +1280,7 @@ def lm_doc_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_doc_bigrams: bool = False,
 ) -> DataFrame:
     """LM-based quality scoring (the CCNet / perplexity-filter shape,
     integerized): train the add-one bigram LM on the corpus itself,
@@ -1289,15 +1303,22 @@ def lm_doc_score(
     # removing two whole corpus tokenize+explode passes (the contract
     # plan went from 4 corpus passes to 2: this relation + the vocab
     # count). The checkpoint materializes the exploded doc×bigram
-    # stream: fine at bench scale, corpus-sized at 100 TB — there,
-    # prefer the streaming shape (call bigram_lm(df) directly and keep
-    # this relation un-materialized, re-tokenizing instead).
+    # stream: fine at bench scale, corpus-sized at 100 TB. r13
+    # (VERDICT r12 #3): the DEFAULT is now the scale-safe streaming
+    # shape (the training branch re-tokenizes instead of re-reading a
+    # corpus-sized executor persist); small/bench-scale callers opt in
+    # with ``materialize_doc_bigrams=True`` (the entry query does).
+    # Either way training sees the identical bigram multiset, so every
+    # count and probability — and therefore every result row — is the
+    # same (pinned: test_lm_doc_score_barrier_twin_matches_streaming).
     doc_bigrams = df.select(F.col(id_col), toks.alias("_t")).select(
         F.col(id_col),
         F.explode(_bigram_structs(F.col("_t"))).alias("bg"),
     ).where(F.col("bg.w2").isNotNull()).select(
         id_col, "bg.w1", "bg.w2"
-    ).localCheckpoint(eager=False)
+    )
+    if materialize_doc_bigrams:
+        doc_bigrams = doc_bigrams.localCheckpoint(eager=False)
     vocab = df.select(F.explode(toks).alias("w")).agg(
         F.count_distinct("w").alias("v")
     )
