@@ -3067,7 +3067,9 @@ def q_assortativity(spark, sf_dir):
 COPURCHASE_MAX_BASKET = 1_000
 
 
-def _copurchase_pairs(li, max_basket=COPURCHASE_MAX_BASKET):
+def _copurchase_pairs(
+    li, max_basket=COPURCHASE_MAX_BASKET, single_exchange=True
+):
     """(p1, p2, n_together) co-purchase pair counts from a
     (l_orderkey, l_partkey) relation, with the basket-width rail
     applied to ONE self-join side only — every pair of an order needs
@@ -3104,12 +3106,27 @@ def _copurchase_pairs(li, max_basket=COPURCHASE_MAX_BASKET):
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
     if max_basket is not None:
         a = _cap_hub_buckets(a, ("ok",), max_basket, "window")
-    return (
-        a.join(b, "ok")
-        .where(F.col("p1") != F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_together"))
-    )
+    raw = a.join(b, "ok").where(F.col("p1") != F.col("p2"))
+    if single_exchange:
+        # r13 (guide §2.4, VERDICT r12 #4): hash the pair stream by p1
+        # BEFORE the aggregation — HashPartitioning(p1) satisfies the
+        # groupBy(p1, p2) clustering requirement AND the downstream
+        # top-3 window's partitionBy(p1), so the plan pays ONE exchange
+        # where the default shape paid two ((p1,p2) agg exchange + (p1)
+        # window exchange). Paired A/B at sf0.1: best 1.182 vs 1.539 s,
+        # med 1.229 vs 1.655, results identical. Trade-off: the raw
+        # pairs cross the exchange without map-side partial
+        # aggregation; that reduction only bites when the same (p1,p2)
+        # repeats WITHIN one map partition (orders are the map key, so
+        # repeats need co-purchases duplicated across orders in one
+        # partition) — at extreme pair-duplication rates flip
+        # single_exchange=False to restore the partial-agg shape.
+        return (
+            raw.repartition(F.col("p1"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_together"))
+        )
+    return raw.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_together"))
 
 
 def q_copurchase_recs(spark, sf_dir):
@@ -3117,7 +3134,8 @@ def q_copurchase_recs(spark, sf_dir):
     aggregate): parts sharing an order pair up (bounded by order width
     AND the ``COPURCHASE_MAX_BASKET`` rail, never a corpus self-join),
     pair counts rank per part, top-3 kept — one window over the
-    pair-count relation. _t (r12 optimization): the old _t_wide
+    pair-count relation, riding the SAME p1 exchange as the pair
+    aggregation (r13 single_exchange, guide §2.4: 3 exchanges → 2). _t (r12 optimization): the old _t_wide
     round-robin predates the broadcast self-join — today's plan put its
     Exchange DIRECTLY under the rail window's hash exchange on one
     branch and under the BroadcastExchange on the other (both sides
