@@ -3955,11 +3955,17 @@ def q_streaming_upsert_state(spark, sf_dir):
     # only reason for 4 here is the staged feed's file count (4 base
     # files + 1 correction ÷ maxFilesPerTrigger=2 → 3 micro-batches).
     # ADVICE r12: coalesce(4) makes 4 an UPPER bound on non-empty output
-    # files — if the upstream window ever yielded <4 non-empty
-    # partitions the feed would slice into fewer micro-batches. Results
-    # are slicing-independent (latest-wins on updated_seq, tested), so
-    # only the bench's micro-batch shape would shift; at sf0.001+ the
-    # window always emits ≥4 non-empty partitions.
+    # files — AQE's partition coalescing on the key-dedup window's
+    # exchange can (and at sf0.1 DOES) leave fewer: measured r13, the
+    # staged feed is 3 base files + 1 correction → 2 micro-batches, not
+    # the 3 this comment used to claim. Results are slicing-independent
+    # (latest-wins on updated_seq, tested) and ≥2 batches still
+    # exercise the cross-batch upsert; only the bench's micro-batch
+    # count rides AQE's size estimates. r13 floor profile (committed in
+    # OPTIMIZATION_r13.md): ~0.2 s/batch of availableNow machinery
+    # (offset+commit log, per-batch planning) + ~0.2 s/batch of real
+    # append-write jobs; staging-codec A/B (snappy vs lz4 vs
+    # uncompressed) was a wash and rejected.
     # coalesce merges the window's output partitions 32→4 with NO extra
     # exchange where repartition paid a full round-robin shuffle of the
     # snapshot; the final state is file-slicing-independent by design

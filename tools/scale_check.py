@@ -179,10 +179,14 @@ def main() -> None:
 
     from yandex_tracker_exporter_spark.session import get_spark
 
+    # r13 (VERDICT r12 #5): core count honors $SPARK_GRAFT_CPUS so the
+    # same blow-up can measure the 8-vs-32-core scaling ratio at the
+    # big SF (the driver's own scaling protocol, applied here).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="yte-scale-check",
-        master="local[32]",
-        shuffle_partitions=32,
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
@@ -238,9 +242,15 @@ def main() -> None:
     print("|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} |")
-    with open(os.path.join(WORK, "result.json"), "w") as fh:
+    with open(os.path.join(WORK, f"result_c{cpus}.json"), "w") as fh:
         json.dump(
-            {"factor": factor, "runs": runs, "small": small, "big": big},
+            {
+                "factor": factor,
+                "runs": runs,
+                "cpus": cpus,
+                "small": small,
+                "big": big,
+            },
             fh,
             indent=1,
         )

